@@ -1,0 +1,147 @@
+"""Deterministic, engine-portable building blocks.
+
+The correctness gate compares Spark output against a DuckDB oracle by value
+hash, so every numeric path must be bit-reproducible across engines and
+across partitionings:
+
+- **Money aggregates** go through DECIMAL (exact, order-independent), then
+  cast to DOUBLE at the very end. A raw ``sum(double)`` is
+  order-dependent and can differ between engines/partitionings.
+- **Randomness** is never ``rand()``: a seeded md5 of the row key yields an
+  identical uniform draw in any engine (the reference pins seeds too, e.g.
+  ``manual_seed(42)`` at edit_model_pipeline.py:67).
+- **Event time** is integer microseconds (``BIGINT``), never raw
+  timestamps, because parquet NANOS + session timezones diverge between
+  engines.
+
+Verified bit-equal against DuckDB 1.0 on /root/testdata (see tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^32 as double — md5 prefix is 8 hex chars = 32 bits.
+_TWO_32 = 4294967296.0
+
+
+def unit_rand(key: Column, salt: str = "42") -> Column:
+    """Deterministic uniform draw in [0, 1) keyed by ``key`` and ``salt``.
+
+    Replaces the reference's unseeded ``random.random()`` gates
+    (easy_sampler.py:26-42) with a reproducible, distributed-safe draw:
+    md5 of the salted key → first 32 bits → scale to [0,1).
+
+    DuckDB oracle twin::
+
+        CAST('0x' || substr(md5(<salt> || '|' || CAST(<key> AS VARCHAR)), 1, 8)
+             AS BIGINT) / 4294967296.0
+    """
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(_TWO_32)).alias(
+        "unit_rand"
+    )
+
+
+def unit_rand_sql(key_sql: str, salt: str = "42") -> str:
+    """DuckDB-SQL twin of :func:`unit_rand` (for oracle strings)."""
+    return (
+        f"(CAST('0x' || substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) / {_TWO_32})"
+    )
+
+
+def hash_bucket(key: Column, n_buckets: int, salt: str = "b") -> Column:
+    """Deterministic bucket id in [0, n_buckets) from a key (salting/skew)."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(n_buckets)).cast("int")
+
+
+def hash_bucket_sql(key_sql: str, n_buckets: int, salt: str = "b") -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {n_buckets} AS INTEGER)"
+    )
+
+
+def dsum(col: Column, scale: int = 2, precision: int = 38) -> Column:
+    """Order-independent SUM of a double column with ``scale`` true decimals.
+
+    Exact decimal accumulation, exported as DOUBLE. Money columns in the
+    testdata carry 2 decimals; products of two 2-decimal values need
+    ``scale=4``, triple products ``scale=6``.
+    """
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dsum_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
+    return f"CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column, scale: int = 2, precision: int = 38) -> Column:
+    """Exact-sum average: CAST(decimal-sum AS DOUBLE) / count — deterministic
+    IEEE division, identical across engines."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double") / F.count(col)
+
+
+def davg_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
+    return (
+        f"(CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f" / COUNT({col_sql}))"
+    )
+
+
+def dstddev(col: Column, scale: int = 2, precision: int = 38) -> Column:
+    """Sample stddev from exact decimal sums of x and x².
+
+    Engines' native stddev is order-dependent (Welford/pairwise); this is
+    sqrt((Σx² − (Σx)²/n) / (n−1)) with Σ exact → bit-stable. Covers A7
+    (metrics.py:334-345).
+    """
+    sq_scale = min(2 * scale, 18)
+    s1 = F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+    s2 = F.sum(
+        (col.cast(f"decimal(19,{scale})") * col.cast(f"decimal(19,{scale})")).cast(
+            f"decimal({precision},{sq_scale})"
+        )
+    ).cast("double")
+    n = F.count(col).cast("double")
+    var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+    # round(·,6): the Σx² decimal can exceed 2^53 in scaled-integer form,
+    # where DuckDB's decimal→double conversion double-rounds (up to 1 ulp
+    # off Java's correctly-rounded conversion); sqrt outputs are irrational
+    # so a 6-decimal grid absorbs the discrepancy with no tie risk.
+    return F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+
+
+def dstddev_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
+    sq_scale = min(2 * scale, 18)
+    s1 = f"CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    s2 = (
+        f"CAST(SUM(CAST(CAST({col_sql} AS DECIMAL(19,{scale})) * "
+        f"CAST({col_sql} AS DECIMAL(19,{scale})) AS DECIMAL({precision},{sq_scale}))) AS DOUBLE)"
+    )
+    n = f"CAST(COUNT({col_sql}) AS DOUBLE)"
+    return f"round(sqrt(greatest(({s2} - ({s1} * {s1}) / {n}) / ({n} - 1.0), 0.0)), 6)"
+
+
+def event_micros(ts_nanos_col: str = "ts") -> Column:
+    """events.ts (parquet NANOS read as BIGINT via
+    ``spark.sql.legacy.parquet.nanosAsLong``) → integer microseconds.
+
+    Integer ``DIV`` keeps full precision (double division would corrupt
+    ns-scale longs above 2^53); DuckDB's TIMESTAMP read truncates ns→µs
+    identically. Oracle twin: ``epoch_us(ts)``.
+    """
+    return F.expr(f"{ts_nanos_col} DIV 1000")
+
+
+def bucket_micros(us: Column, width_seconds: int) -> Column:
+    """Tumbling-window start (µs) by integer arithmetic — timezone-proof.
+
+    Matches both Spark ``window(ts, ...)`` and DuckDB ``time_bucket`` for
+    epoch-aligned widths. Oracle: ``(epoch_us(ts) // W) * W``.
+    """
+    w = width_seconds * 1_000_000
+    return (us - (us % F.lit(w))).cast("bigint")

@@ -1,0 +1,257 @@
+"""String / regex / URL / JSON scalar functions (SURVEY.md §2.7, T1-T16).
+
+Each function mirrors an observable behavior of the reference (cited
+file:line into /root/reference) as a pure Spark Column expression. Regexes
+stick to the common Java/RE2 subset so DuckDB oracles behave identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- T1: product-id extraction ----------------------------------------------
+# Reference rules: Amazon ASIN /dp|gp\/product/{B0...}; Zalando *.html slug;
+# Nykaa /p/{sku}; generic last path segment; md5(url) fallback
+# (any_scraper.py:161-196, test_kimono.py:277-283,
+# zalando_gallery_scraper_s3.py:197-202).
+
+_P_ASIN = r"/(?:dp|gp/product)/([A-Z0-9]{10})"
+_P_ZALANDO = r"/([a-z0-9-]+)\.html"
+_P_NYKAA = r"/p/([A-Za-z0-9]+)"
+_P_LAST_SEG = r"/([^/?#]+)/?(?:[?#].*)?$"
+
+
+def extract_product_id(url: Column) -> Column:
+    """First matching id rule wins; md5(url) as last resort."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(url, _P_ASIN, 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, _P_ZALANDO, 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, _P_NYKAA, 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, _P_LAST_SEG, 1), F.lit("")),
+        F.md5(url),
+    )
+
+
+def extract_product_id_sql(url: str) -> str:
+    """DuckDB twin of :func:`extract_product_id`."""
+    def rx(p: str) -> str:
+        return f"nullif(regexp_extract({url}, '{p}', 1), '')"
+
+    return (
+        "coalesce("
+        + ", ".join(
+            [
+                rx("/(?:dp|gp/product)/([A-Z0-9]{10})"),
+                rx("/([a-z0-9-]+)\\.html"),
+                rx("/p/([A-Za-z0-9]+)"),
+                rx("/([^/?#]+)/?(?:[?#].*)?$"),
+                f"md5({url})",
+            ]
+        )
+        + ")"
+    )
+
+
+# --- T2: thumbnail → hi-res URL rewrite --------------------------------------
+# Site rules from any_scraper.py:224-265, test_kimono.py:388-390,
+# test_etsy.py:317-331, zalando_production_scraper.py:151-157.
+
+_HIRES_RULES: list[tuple[str, str]] = [
+    (r"_S[XY]\d+_", "_SL1500_"),            # Amazon size token
+    (r"/(thumb|sq)/", "/org/"),              # Zalando thumb/square → original
+    (r"w_\d+,h_\d+[,/]?", ""),               # CDN width/height params
+    (r"tr:[^/]+/", ""),                       # imagekit transform segment
+    (r"_\d+x\d*\.", "_1800x1800."),          # Shopify _WxH. suffix
+]
+
+
+def to_hires_url(url: Column) -> Column:
+    out = url
+    for pat, repl in _HIRES_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return strip_query(out)
+
+
+def to_hires_url_sql(url: str) -> str:
+    out = url
+    for pat, repl in _HIRES_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return strip_query_sql(out)
+
+
+# --- T3: image-id extraction (D1 dedup key) ----------------------------------
+# 3 regex rules then md5 fallback (any_scraper.py:198-222).
+
+_P_HEXID = r"([a-f0-9]{32,})"
+_P_FNAME = r"/([A-Za-z0-9_-]+?)(?:_\d+x\d+)?\.(?:jpg|jpeg|png|webp)"
+_P_NUMID = r"[/_-](\d{6,})[/_.-]"
+
+
+def extract_image_id(url: Column) -> Column:
+    return F.coalesce(
+        F.nullif(F.regexp_extract(url, _P_HEXID, 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, _P_FNAME, 1), F.lit("")),
+        F.nullif(F.regexp_extract(url, _P_NUMID, 1), F.lit("")),
+        F.md5(url),
+    )
+
+
+def extract_image_id_sql(url: str) -> str:
+    def rx(p: str) -> str:
+        return f"nullif(regexp_extract({url}, '{p}', 1), '')"
+
+    return (
+        "coalesce("
+        + ", ".join(
+            [
+                rx("([a-f0-9]{32,})"),
+                rx("/([A-Za-z0-9_-]+?)(?:_\\d+x\\d+)?\\.(?:jpg|jpeg|png|webp)"),
+                rx("[/_-](\\d{6,})[/_.-]"),
+                f"md5({url})",
+            ]
+        )
+        + ")"
+    )
+
+
+# --- T4: slugify --------------------------------------------------------------
+# lower → whitespace/slashes→_ → keep [a-z0-9_.-] → cap 200
+# (people_western_keyword_extractor.py:44-49).
+
+
+def slugify(s: Column, max_len: int = 200) -> Column:
+    out = F.lower(F.trim(s))
+    out = F.regexp_replace(out, r"[/\\\s]+", "_")
+    out = F.regexp_replace(out, r"[^a-z0-9_.-]", "")
+    return F.substring(out, 1, max_len)
+
+
+def slugify_sql(s: str, max_len: int = 200) -> str:
+    out = f"lower(trim({s}))"
+    out = f"regexp_replace({out}, '[/\\\\\\s]+', '_', 'g')"
+    out = f"regexp_replace({out}, '[^a-z0-9_.-]', '', 'g')"
+    return f"substr({out}, 1, {max_len})"
+
+
+# --- T5: query-param strip ----------------------------------------------------
+# any_scraper.py:247,255,263; test_kimono.py:389-390.
+
+
+def strip_query(url: Column) -> Column:
+    return F.substring_index(url, "?", 1)
+
+
+def strip_query_sql(url: str) -> str:
+    # substring_index equivalent: text before first '?'
+    return f"CASE WHEN strpos({url}, '?') > 0 THEN substr({url}, 1, strpos({url}, '?') - 1) ELSE {url} END"
+
+
+# --- T6: URL host/path parse --------------------------------------------------
+# urlparse uses in any_scraper.py:188-193,284,444. DuckDB has no parse_url,
+# so both sides use the same regex.
+
+_P_HOST = r"^[a-z]+://([^/?#]+)"
+_P_PATH = r"^[a-z]+://[^/?#]+(/[^?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    return F.nullif(F.regexp_extract(url, _P_HOST, 1), F.lit(""))
+
+
+def url_host_sql(url: str) -> str:
+    return f"nullif(regexp_extract({url}, '^[a-z]+://([^/?#]+)', 1), '')"
+
+
+def url_path(url: Column) -> Column:
+    return F.nullif(F.regexp_extract(url, _P_PATH, 1), F.lit(""))
+
+
+def url_path_sql(url: str) -> str:
+    return f"nullif(regexp_extract({url}, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '')"
+
+
+# --- T7: pagination URL build --------------------------------------------------
+# '?p=N' vs '&p=N' depending on existing query (any_scraper.py:704-713).
+
+
+def page_url(url: Column, page: Column, param: str = "p") -> Column:
+    sep = F.when(F.instr(url, "?") > 0, F.lit("&")).otherwise(F.lit("?"))
+    return F.concat(url, sep, F.lit(param + "="), page.cast("string"))
+
+
+def page_url_sql(url: str, page: str, param: str = "p") -> str:
+    return (
+        f"({url} || CASE WHEN strpos({url}, '?') > 0 THEN '&' ELSE '?' END"
+        f" || '{param}=' || CAST({page} AS VARCHAR))"
+    )
+
+
+# --- T12: digit test -----------------------------------------------------------
+
+
+def is_digits(s: Column) -> Column:
+    return s.rlike(r"^[0-9]+$")
+
+
+# --- T14: lowercase-contains battery -------------------------------------------
+# Blocklists/indicator lists (any_scraper.py:385,441,490-497).
+
+URL_BLOCKLIST = (
+    "logo",
+    "icon",
+    "badge",
+    "banner",
+    "sprite",
+    "pixel",
+    "placeholder",
+    "avatar",
+)
+
+
+def matches_blocklist(s: Column, terms: tuple[str, ...] = URL_BLOCKLIST) -> Column:
+    return F.lower(s).rlike("|".join(terms))
+
+
+def matches_blocklist_sql(s: str, terms: tuple[str, ...] = URL_BLOCKLIST) -> str:
+    return f"regexp_matches(lower({s}), '{'|'.join(terms)}')"
+
+
+# --- T15: human duration formatting --------------------------------------------
+# s / min / h ladder (test_kimono.py:700-710).
+
+
+def format_duration(seconds: Column) -> Column:
+    # floor() everywhere: Spark's double→bigint cast truncates while
+    # DuckDB's rounds — floor first makes both exact.
+    return (
+        F.when(seconds < 60, F.concat(F.floor(seconds).cast("bigint").cast("string"), F.lit("s")))
+        .when(
+            seconds < 3600,
+            F.concat(F.floor(seconds / 60).cast("bigint").cast("string"), F.lit("min")),
+        )
+        .otherwise(F.concat(F.floor(seconds / 3600).cast("bigint").cast("string"), F.lit("h")))
+    )
+
+
+def format_duration_sql(seconds: str) -> str:
+    return (
+        f"CASE WHEN {seconds} < 60 THEN CAST(CAST(floor({seconds}) AS BIGINT) AS VARCHAR) || 's' "
+        f"WHEN {seconds} < 3600 THEN CAST(CAST(floor({seconds} / 60) AS BIGINT) AS VARCHAR) || 'min' "
+        f"ELSE CAST(CAST(floor({seconds} / 3600) AS BIGINT) AS VARCHAR) || 'h' END"
+    )
+
+
+# --- tokenization (shared by text-analysis operators) ---------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; trims first so no leading/trailing empties.
+
+    DuckDB twin: ``string_split_regex(trim(text), '\\s+')`` (verified equal).
+    """
+    return F.split(F.trim(text), r"\s+")
+
+
+def tokens_sql(text: str) -> str:
+    return f"string_split_regex(trim({text}), '\\s+')"

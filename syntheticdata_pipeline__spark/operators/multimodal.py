@@ -1,0 +1,157 @@
+"""Multimodal (binary) columns: decode / feature-extract / resize /
+frame-sample plumbing (SURVEY.md §2.11).
+
+Images/audio/video are opaque ``BinaryType`` columns with typed metadata,
+processed by Arrow-batched Pandas UDFs over ``mapInPandas``. The image
+codecs are NOT in this container, so the decode kernels are deterministic
+fakes behind ``_HAVE_PIL`` gates — the Spark-side plumbing (schema,
+partition sizing, batch shape, UDF signatures) is real and tested, which
+is the part that matters for the 100 TB plan: binary payloads never pass
+through the driver and never blow a single Arrow batch (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``).
+
+Reference anchors: image download/validate any_scraper.py:267-330 (S6),
+min-res/aspect predicates image_utils.py:12-29 (F1/F2), base64 transport
+qwen_vl_processor.py:29-32 (T13).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # codec gate — not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+IMAGE_META = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("content_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("ok", StringType()),
+    ]
+)
+
+
+def read_binary_dir(spark, path: str, glob: str = "*.jpg") -> DataFrame:
+    """S3-analog file-listing scan: ``binaryFile`` source with glob
+    pushdown (image_utils.py:50-73 → dataset index)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("n_bytes"),
+            F.col("content"),
+            F.col("modificationTime").alias("modified_at"),
+        )
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derives a stable
+    (width, height) from the payload hash. Replace with PIL when present."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    return 400 + h[0] * 8, 400 + h[1] * 8
+
+
+def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode binary → (width, height, ok) via mapInPandas.
+
+    With PIL present this decodes for real; without, the deterministic
+    fake keeps schema/partitioning/testing honest. Raises on neither —
+    malformed payloads yield ok='corrupt' (PERMISSIVE-style, mirroring
+    the reference's download validator any_scraper.py:301-318).
+    """
+    fields = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decode_ok", StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            widths, heights, oks = [], [], []
+            for payload in pdf[content_col]:
+                try:
+                    if _HAVE_PIL:
+                        import io
+
+                        from PIL import Image as _I
+
+                        with _I.open(io.BytesIO(payload)) as im:
+                            w, h = im.size
+                    else:
+                        w, h = _fake_decode(payload)
+                    widths.append(w)
+                    heights.append(h)
+                    oks.append("ok")
+                except Exception:
+                    widths.append(None)
+                    heights.append(None)
+                    oks.append("corrupt")
+            out = pdf.drop(columns=[content_col])
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["decode_ok"] = oks
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_stub(df: DataFrame, target: int = 512, content_col: str = "content") -> DataFrame:
+    """Resize kernel stub: real implementation needs PIL — the plumbing
+    (schema-preserving mapInPandas pass over binary) is exercised in tests
+    with the passthrough fake."""
+    if _HAVE_PIL:  # pragma: no cover - codec not in container
+        raise NotImplementedError("PIL present: wire the real resize kernel here")
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield pdf  # passthrough fake; schema unchanged
+
+    return df.mapInPandas(kernel, schema=df.schema)
+
+
+def min_resolution_ok(width, height, min_px: int = 512):
+    """F1 predicate (image_utils.py:24-29; 512 per config.py:105-106)."""
+    return (width >= min_px) & (height >= min_px)
+
+
+ALLOWED_RATIOS = (3.0 / 4.0, 4.0 / 5.0, 1.0)
+
+
+def aspect_ratio_ok(width, height, tol: float = 0.05, ratios=ALLOWED_RATIOS):
+    """F2 predicate: |w/h − r| < tol for any allowed ratio
+    (image_utils.py:12-22)."""
+    r = width.cast("double") / height.cast("double")
+    cond = F.lit(False)
+    for ratio in ratios:
+        cond = cond | (F.abs(r - F.lit(ratio)) < F.lit(tol))
+    return cond

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two plans for approximate-nearest-neighbor over ``embeddings.embedding``:
+
+- **Brute-force cosine top-k** — the correctness baseline. Queries are a
+  small broadcast side; the corpus scan is one pass; top-k per query is a
+  windowed rank (Spark pushes the k-limit into the sort). At 100 TB this
+  is the right plan whenever |queries| is small: cost = one corpus scan.
+- **LSH-bucketed (random hyperplanes)** — the scale path when both sides
+  are large: b deterministic hyperplanes → 2^b buckets; join within
+  buckets only. Recall is tunable via b and multi-probe.
+
+Dot products are strict sequential folds (functions.vectors) so the DuckDB
+oracle matches bit-for-bit and top-k order is stable. For very wide
+vectors, swap the fold for the Arrow/Pandas-UDF kernel below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.determinism import unit_rand_sql
+from ..functions.vectors import dot, dot_sql
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (unit-norm corpus ⇒ cosine = dot).
+
+    Returns (query_id, neighbor_id, score, rank); self-matches excluded;
+    ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("__qvec"), F.col("__cvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplane_component(h: int, i: int, salt: str = "hp") -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
+    derived from md5 — reproducible in any engine / any run."""
+    import hashlib
+
+    digest = hashlib.md5(f"{salt}|{h}|{i}".encode()).hexdigest()
+    return int(digest[:8], 16) / 4294967296.0 - 0.5
+
+
+def hyperplanes(n_planes: int, dim: int, salt: str = "hp") -> list[list[float]]:
+    return [[_hyperplane_component(h, i, salt) for i in range(dim)] for h in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit h = 1 iff vec·plane_h > 0."""
+    acc = F.lit(0)
+    for h, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    terms = []
+    for h, plane in enumerate(planes):
+        lits = "[" + ", ".join(f"{float(p)!r}::DOUBLE" for p in plane) + "]"
+        proj = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({vec_sql}, {lits}), q -> CAST(q[1] AS DOUBLE) * q[2])), "
+            f"(a, v) -> a + v)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::INTEGER"
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact top-k *within* shared LSH bucket — the bucket join is the
+    scale path (equi-join on bucket id instead of a cross join)."""
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("__qvec"), F.col("__cvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def topk_pandas_kernel(
+    corpus: DataFrame,
+    queries_pd,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized brute-force kernel: numpy matmul per partition via
+    ``mapInPandas`` — the fast path for wide vectors / many queries where
+    per-element SQL folds are too slow. Queries ship as a broadcast numpy
+    matrix; each batch computes scores for all queries at once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_ids = queries_pd[id_col].to_numpy()
+    q_mat = np.vstack(queries_pd[vec_col].to_numpy()).astype("float64")
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score_batches(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = c_mat @ mat.T  # (n_corpus, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(ids)),
+                    "score": scores.T.reshape(-1),
+                }
+            )
+
+    out = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        out.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,328 @@
+"""Document/text-pipeline queries (SURVEY.md §2.11 extensions): exact and
+fuzzy dedup, text quality/stats, language-ID, fingerprints — over the
+``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+from ..operators.neardup import (
+    jaccard,
+    jaccard_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash_bits,
+    simhash_bits_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from ..operators.textops import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    fingerprint,
+    fingerprint_sql,
+    lang_scores,
+    predict_lang,
+    quality_score,
+    token_stats,
+)
+from . import register
+from .common import T
+
+# --------------------------------------------------------------------------
+# Exact dedup: md5 of normalized text, lowest doc_id wins.
+# --------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) rn,
+            COUNT(*) OVER (PARTITION BY content_key) grp_n
+  FROM keyed)
+SELECT lang,
+       COUNT(*) AS n_unique,
+       SUM(grp_n - 1) AS n_dropped
+FROM ranked WHERE rn = 1
+GROUP BY lang
+"""
+
+
+@register("exact_dedup_docs", oracle=_EXACT_DEDUP_ORACLE, bench=True, tags=("dedup-exact", "D1"))
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy): survivors + dropped counts per
+    lang. One shuffle on a uniform 128-bit key at any scale."""
+    d = T(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("content_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_key")
+    ranked = keyed.withColumn(
+        "rn", F.row_number().over(w.orderBy("doc_id"))
+    ).withColumn("grp_n", F.count("*").over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("grp_n") - 1).alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (blocked by language).
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.05
+
+_JACCARD_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {word_shingles_sql('text')} AS sh
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {jaccard_sql('a.sh', 'b.sh')} AS jac
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {jaccard_sql('a.sh', 'b.sh')} >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, bench=True, tags=("dedup-jaccard",))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard over same-language pairs. Blocking on lang cuts
+    the pair count ~5×; at corpus scale the LSH query below replaces the
+    quadratic step entirely — this is the verification kernel."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        jaccard(F.col("a.sh"), F.col("b.sh")).alias("jac"),
+    )
+    return pairs.filter(F.col("jac") >= _JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: candidate pairs without the quadratic join.
+# --------------------------------------------------------------------------
+
+_MH_HASHES = 12
+_MH_BANDS = 6  # 2 rows per band → generous candidate recall
+
+_bands_select = ", ".join(
+    f"array_to_string(sig[{b * (_MH_HASHES // _MH_BANDS) + 1}:{(b + 1) * (_MH_HASHES // _MH_BANDS)}], '') AS bh{b}"
+    for b in range(_MH_BANDS)
+)
+_bands_union = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM sigs" for b in range(_MH_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS shingles FROM documents),
+sigs AS (
+  SELECT doc_id, {minhash_signature_sql('shingles', _MH_HASHES)} AS sig, shingles FROM sh),
+banded AS (
+  SELECT doc_id, {_bands_select} FROM sigs),
+long_bands AS ({_bands_union.replace('FROM sigs', 'FROM banded')}),
+cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
+  FROM long_bands l JOIN long_bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, c.n_bands, {jaccard_sql('sa.shingles', 'sb.shingles')} AS jac
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+"""
+
+
+@register("minhash_lsh_candidates", oracle=_MINHASH_ORACLE, bench=True, tags=("dedup-minhash",))
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) signatures → 6 bands × 2 rows → bucket-join candidates →
+    exact Jaccard verification. The LSH plan replaces the all-pairs cross
+    join with an equi-join on (band, band_hash) — the 100 TB dedup shape."""
+    from ..operators.neardup import minhash_lsh_pairs
+
+    d = T(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select("id_a", "id_b", "n_bands", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures.
+# --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id, {simhash_bits_sql('text', 16, 'sh')} AS simhash
+FROM documents
+"""
+
+
+@register("simhash_signatures", oracle=_SIMHASH_ORACLE, tags=("dedup-simhash",))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup families share signatures;
+    pairing is a groupBy on the signature — constant-cost vs corpus)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_bits(F.col("text"), 16, "sh").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Token/text statistics per source.
+# --------------------------------------------------------------------------
+
+_TOKSTATS_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         len({tokens_sql('text')}) AS n_tokens,
+         length(text) AS n_chars_m,
+         len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_pieces
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars_m) AS total_chars,
+       SUM(n_bpe_pieces) AS total_bpe_pieces
+FROM s GROUP BY source
+"""
+
+
+@register("doc_token_stats", oracle=_TOKSTATS_ORACLE, bench=True, tags=("text-analysis",))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting rolled up per source."""
+    d = token_stats(T(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_m").alias("total_chars"),
+        F.sum("n_bpe_pieces").alias("total_bpe_pieces"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring.
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks, text FROM documents),
+q AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
+         WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END AS len_band,
+    least(CAST(len(list_intersect(toks, {list(LANG_STOPWORDS['en'])!r})) AS DOUBLE) / 4.0, 1.0) AS stop_sig,
+    coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) AS alpha_ratio
+  FROM t)
+SELECT doc_id, (len_band * 0.4 + stop_sig * 0.3 + alpha_ratio * 0.3) AS quality
+FROM q
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE, tags=("text-analysis",))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality score per doc (length band + stopword
+    signal + alpha ratio)."""
+    d = quality_score(T(spark, sf_dir, "documents"))
+    return d.select("doc_id", "quality")
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic + confusion rollup.
+# --------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    words = list(LANG_STOPWORDS[lang])
+    return f"CAST(len(list_intersect(list_distinct({tokens_sql('text')}), {words!r})) AS INTEGER)"
+
+
+_best_sql = (
+    "list_reduce(list_prepend({'s': -1, 'l': '~'}, ["
+    + ", ".join("{'s': " + _lang_score_sql(lang) + f", 'l': '{lang}'}}" for lang in sorted(LANG_STOPWORDS))
+    + "]), (acc, p) -> CASE WHEN p.s > acc.s THEN p ELSE acc END).l"
+)
+
+_LANGID_ORACLE = f"""
+WITH p AS (SELECT lang, {_best_sql} AS lang_pred FROM documents)
+SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
+"""
+
+
+@register("lang_id_confusion", oracle=_LANGID_ORACLE, tags=("text-analysis", "lang-id"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID vs the labeled lang column
+    (confusion-matrix rollup; deterministic argmax)."""
+    d = predict_lang(T(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprints (rolling polynomial hash).
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+"""
+
+
+@register("doc_fingerprints", oracle=_FP_ORACLE, tags=("text-analysis", "fingerprint"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint of each document head (portable 31-base
+    polynomial mod prime)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# F5: token-overlap predicate (shares >3-char token, test_kimono.py:354).
+# --------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(list_distinct({tokens_sql('text')}), t -> length(t) > 3) AS big_toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.big_toks, b.big_toks)) > 0
+"""
+
+
+@register("token_overlap_pairs", oracle=_OVERLAP_ORACLE, tags=("F5",))
+def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-source doc pairs sharing at least one >3-char token (the
+    filename/handle token-match predicate F5)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3).alias(
+            "big_toks"
+        ),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.arrays_overlap(F.col("a.big_toks"), F.col("b.big_toks")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )

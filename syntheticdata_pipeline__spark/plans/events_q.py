@@ -1,0 +1,223 @@
+"""Event-time queries over the ``events`` table (SURVEY.md §2.9 R1-R7).
+
+Event time is integer microseconds end-to-end (see
+functions.determinism.event_micros): Spark reads the parquet NANOS column
+as BIGINT, DuckDB truncates to TIMESTAMP µs — verified equal.
+
+The true Structured Streaming forms of these (watermarks, availableNow,
+memory sink) run in tests (tests/test_streaming.py); the batch forms here
+face the DuckDB oracle — plus one query that executes a *real* streaming
+plan synchronously and returns its sink table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import T
+
+_W_US = 5 * 60 * 1_000_000  # 5-minute tumbling window in µs
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+# --------------------------------------------------------------------------
+# R7: tumbling-window telemetry (batch form of the streaming agg).
+# --------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@register("tumbling_event_stats", oracle=_TUMBLING_ORACLE, bench=True, tags=("R7", "R1"))
+def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute buckets by integer µs arithmetic — identical bucketing to
+    Spark's window() and DuckDB's time_bucket, but timezone-proof."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_start_us", (F.col("ts_us") - F.col("ts_us") % F.lit(_W_US)))
+        .groupBy("window_start_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session windows (gap-based), batch twin of session_window().
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessioned AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessioned GROUP BY user_id, session_no
+"""
+
+
+@register("session_windows_batch", oracle=_SESSION_ORACLE, bench=True, tags=("R1", "R7"))
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session marker →
+    running sum as session id. Same semantics as session_window(); one
+    shuffle on user_id."""
+    ev = T(spark, sf_dir, "events").select("user_id", F.col("ts_us").alias("us"), "event_id")
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn("prev_us", F.lag("us").over(w_ord)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > _GAP_US), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = marked.withColumn("session_no", F.sum("is_new").over(w_run))
+    return sessioned.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A real Structured Streaming run, oracle-checked: readStream → watermark →
+# tumbling window by type → availableNow → memory sink.
+# --------------------------------------------------------------------------
+
+_STREAM_ORACLE = f"""
+SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_counts", oracle=_STREAM_ORACLE, tags=("R1", "R7", "streaming"))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine streaming execution (file source → watermark → windowed agg
+    → availableNow trigger → memory sink), then the sink table is returned
+    for the oracle diff. One batch ⇒ no late data ⇒ batch-equivalent."""
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg)
+
+
+# --------------------------------------------------------------------------
+# R3: stateful first-occurrence dedup (batch form).
+# --------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, us AS first_ts_us FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+@register("stateful_dedup_events", oracle=_DEDUP_ORACLE, tags=("R3", "D4"))
+def stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the persisted seen-set semantics
+    (any_scraper.py:58-60) as a window dedup; streaming twin is
+    dropDuplicatesWithinWatermark (tests)."""
+    from ..operators.dedup import first_wins
+
+    ev = T(spark, sf_dir, "events")
+    return first_wins(ev, ["user_id", "event_type"], [F.col("ts_us"), F.col("event_id")]).select(
+        "user_id", "event_type", F.col("ts_us").alias("first_ts_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# R2/K5: checkpointed resume — state anti-join over the event log.
+# --------------------------------------------------------------------------
+
+_RESUME_SPLIT_US = 1_704_067_200_000_000 + 15 * 24 * 3600 * 1_000_000  # 2024-01-16
+
+_RESUME_ORACLE = f"""
+WITH state AS (SELECT event_id FROM events WHERE epoch_us(ts) < {_RESUME_SPLIT_US}),
+     work AS (SELECT * FROM events)
+SELECT w.event_type, COUNT(*) AS n_todo
+FROM work w WHERE w.event_id NOT IN (SELECT event_id FROM state)
+GROUP BY w.event_type
+"""
+
+
+@register("resume_anti_join", oracle=_RESUME_ORACLE, tags=("R2", "K5", "J3"))
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint: the first half of the timeline is 'already
+    processed' state; remaining work = left_anti on event_id."""
+    from ..operators.dedup import anti_join_state
+
+    ev = T(spark, sf_dir, "events")
+    state = ev.filter(F.col("ts_us") < _RESUME_SPLIT_US).select("event_id")
+    todo = anti_join_state(ev, state, ["event_id"])
+    return todo.groupBy("event_type").agg(F.count("*").alias("n_todo"))
+
+
+# --------------------------------------------------------------------------
+# A3 over the event stream: rate report.
+# --------------------------------------------------------------------------
+
+_RATE_ORACLE = """
+SELECT event_type,
+  COUNT(*) AS n,
+  COUNT(DISTINCT user_id) AS n_users,
+  (CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 60000000.0) AS span_minutes,
+  (CAST(COUNT(*) AS DOUBLE)
+     / (CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 60000000.0)) AS events_per_minute
+FROM events GROUP BY event_type
+"""
+
+
+@register("event_rate_report", oracle=_RATE_ORACLE, tags=("A3", "R7", "M2"))
+def event_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events/minute over the observed span per type — the reference's
+    products-per-minute formula (test_kimono.py:753-755) on event time."""
+    ev = T(spark, sf_dir, "events")
+    span_min = (F.max("ts_us") - F.min("ts_us")).cast("double") / F.lit(60_000_000.0)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        span_min.alias("span_minutes"),
+        (F.count("*").cast("double") / span_min).alias("events_per_minute"),
+    )

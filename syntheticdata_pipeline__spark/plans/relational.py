@@ -1,0 +1,448 @@
+"""Core relational queries (SURVEY.md §2.3-§2.6: filters, joins,
+aggregations, dedup/top-k/limits) over the driver testdata.
+
+Every query aliases computed columns identically in the Spark plan and the
+DuckDB oracle — the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.determinism import davg, davg_sql, dstddev, dstddev_sql, dsum, dsum_sql
+from ..operators.aggregates import max_by_deterministic, split_mean, status_pivot
+from ..operators.dedup import anti_join_state, first_wins, top_k_per_group
+from ..operators.joins import cross_pair_budget, merge_with_precedence
+from . import register
+from .common import T
+
+# --------------------------------------------------------------------------
+# Flagship: the "FINAL SCRAPING REPORT" (A1-A3) recast as scan → join →
+# agg → derived rates (test_kimono.py:63-74, 732-782).
+# --------------------------------------------------------------------------
+
+_REPORT_ORACLE = f"""
+SELECT
+  o.o_orderpriority AS priority,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+  COUNT(*) AS n_items,
+  {dsum_sql('l.l_quantity')} AS sum_qty,
+  {dsum_sql('l.l_extendedprice')} AS gross_revenue,
+  {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))', scale=4)} AS net_revenue,
+  (CAST(COUNT(DISTINCT CASE WHEN o.o_orderstatus = 'F' THEN o.o_orderkey END) AS DOUBLE)
+     / CAST(COUNT(DISTINCT o.o_orderkey) AS DOUBLE) * 100.0) AS fulfilled_rate,
+  {davg_sql('l.l_extendedprice')} AS avg_item_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("report_order_fulfillment", oracle=_REPORT_ORACLE, bench=True, tags=("A1", "A2", "A3", "J2"))
+def report_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-report aggregation: counters + derived rates per priority class.
+
+    Scale notes: equi-join shuffles both sides on orderkey; partial
+    aggregation precedes the final 5-group shuffle. count(DISTINCT) is a
+    two-phase expand — fine for one distinct column.
+    """
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    dec2 = "decimal(18,2)"
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("gross_revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast(dec2) * (F.lit(1) - F.col("l_discount")).cast(dec2)
+        )
+        .cast("double")
+        .alias("net_revenue"),
+        (
+            F.countDistinct(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+            ).cast("double")
+            / F.countDistinct("o_orderkey").cast("double")
+            * 100.0
+        ).alias("fulfilled_rate"),
+        davg(F.col("l_extendedprice")).alias("avg_item_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: category × status pivot (test_website_accessibility.py:390-447).
+# --------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+  COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_F,
+  COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_O,
+  COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS n_P
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("pivot_segment_status", oracle=_PIVOT_ORACLE, tags=("A4", "J2"))
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional categorized summary as a wide pivot."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderstatus"
+    )
+    return status_pivot(j, "segment", "o_orderstatus", ["F", "O", "P"])
+
+
+# --------------------------------------------------------------------------
+# A4 superset: cube over segment × status.
+# --------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT coalesce(c.c_mktsegment, 'ALL') AS segment,
+       coalesce(o.o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+"""
+
+
+@register("cube_segment_status", oracle=_CUBE_ORACLE, tags=("A4",))
+def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup (idiomatic superset of the reference's two-level
+    categorizer, SURVEY §2.5 note)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .count()
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.col("count").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: max-by with deterministic tiebreak (largest image variant,
+# any_scraper.py:364-368).
+# --------------------------------------------------------------------------
+
+_MAXBY_ORACLE = """
+SELECT p_brand, p_name AS largest_part, sz AS variant_size FROM (
+  SELECT p_brand, p_name, CAST(p_size AS BIGINT) * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sz,
+         row_number() OVER (PARTITION BY p_brand ORDER BY CAST(p_size AS BIGINT) * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC, p_partkey) rn
+  FROM part) WHERE rn = 1
+"""
+
+
+@register("largest_variant_per_brand", oracle=_MAXBY_ORACLE, tags=("A6", "D8"))
+def largest_variant_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the largest variant per brand; integer metric (size × cents)
+    keeps the comparison exact."""
+    p = T(spark, sf_dir, "part")
+    metric = F.col("p_size").cast("bigint") * (
+        F.col("p_retailprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    return max_by_deterministic(
+        p.withColumn("variant_size", metric).withColumn("largest_part", F.col("p_name")),
+        ["p_brand"],
+        F.col("variant_size"),
+        tiebreak=["p_partkey"],
+        keep=["largest_part", "variant_size"],
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: mean/std per group from exact sums (metrics.py:334-345).
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+SELECT l_returnflag, COUNT(l_quantity) AS n,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {dstddev_sql('l_quantity')} AS std_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {dstddev_sql('l_extendedprice')} AS std_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("stats_quantity_by_returnflag", oracle=_STATS_ORACLE, bench=True, tags=("A7",))
+def stats_quantity_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent avg/std (native stddev is sequence-dependent —
+    see functions.determinism)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        dstddev(F.col("l_quantity")).alias("std_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        dstddev(F.col("l_extendedprice")).alias("std_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D1: insertion-order first-wins dedup (any_scraper.py:584-597).
+# --------------------------------------------------------------------------
+
+_FIRSTWINS_ORACLE = """
+SELECT l_partkey, l_orderkey AS first_orderkey, l_linenumber AS first_linenumber,
+       l_extendedprice AS first_price
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber) rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+
+@register("first_wins_dedup_parts", oracle=_FIRSTWINS_ORACLE, bench=True, tags=("D1", "D2"))
+def first_wins_dedup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First occurrence per part in shipdate order — the window-based
+    order-preserving dedup (bare dropDuplicates is nondeterministic)."""
+    li = T(spark, sf_dir, "lineitem")
+    return first_wins(
+        li, ["l_partkey"], [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    ).select(
+        "l_partkey",
+        F.col("l_orderkey").alias("first_orderkey"),
+        F.col("l_linenumber").alias("first_linenumber"),
+        F.col("l_extendedprice").alias("first_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D8: top-k per group (≤6 images per product → top 3 items per order).
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) rn
+  FROM lineitem) WHERE rn <= 3
+"""
+
+
+@register("topk_lineitems_per_order", oracle=_TOPK_ORACLE, tags=("D8", "D7"))
+def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest items per order; Spark's WindowGroupLimit keeps k
+    rows per group during the sort — no full materialization."""
+    li = T(spark, sf_dir, "lineitem")
+    out = top_k_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=3,
+        rank_col="rank",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 + D7/D9: bounded cross pairing (pipeline_orchestrator.py:135-149).
+# --------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_regionkey, n_nationkey, r_name || '/' || n_name AS pair_name
+FROM region CROSS JOIN nation
+ORDER BY r_regionkey, n_nationkey LIMIT 50
+"""
+
+
+@register("cross_pair_budget_q", oracle=_CROSS_ORACLE, tags=("J1", "D7", "D9"))
+def cross_pair_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every region × every nation, budget-cut at 50 deterministically."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    out = cross_pair_budget(r, n, budget=50, order_cols=["r_regionkey", "n_nationkey"])
+    return out.select(
+        "r_regionkey",
+        "n_nationkey",
+        F.concat(F.col("r_name"), F.lit("/"), F.col("n_name")).alias("pair_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3/D4: anti-join vs state (skip already-scraped, any_scraper.py:731).
+# --------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@register("anti_join_new_customers", oracle=_ANTI_ORACLE, tags=("J3", "D4"))
+def anti_join_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — the resume/skip anti-join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join_state(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J4: broadcast dispatch/config lookup (site → selectors).
+# --------------------------------------------------------------------------
+
+_DISPATCH_ORACLE = f"""
+SELECT r.r_name AS region_name, COUNT(*) AS n_orders, {dsum_sql('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("dispatch_rollup_by_region", oracle=_DISPATCH_ORACLE, bench=True, tags=("J4", "J2", "A1"))
+def dispatch_rollup_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → chained broadcast dims (the site-config dispatch join shape,
+    any_scraper.py:346-354): dims broadcast, fact never shuffles until the
+    final 5-group agg."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+    j = j.join(F.broadcast(r), j.n_regionkey == r.r_regionkey)
+    return j.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: merge with precedence ({**medium, **hard}, hard_sampler.py:66-70).
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH lo AS (SELECT c_nationkey AS n_nationkey, COUNT(*) AS n FROM customer GROUP BY 1),
+     hi AS (SELECT s_nationkey AS n_nationkey, COUNT(*) AS n FROM supplier GROUP BY 1)
+SELECT coalesce(lo.n_nationkey, hi.n_nationkey) AS n_nationkey,
+       coalesce(hi.n, lo.n) AS n,
+       CASE WHEN hi.n IS NOT NULL THEN 'hi' ELSE 'lo' END AS winner
+FROM lo FULL OUTER JOIN hi ON lo.n_nationkey = hi.n_nationkey
+"""
+
+
+@register("merge_precedence_nation_counts", oracle=_MERGE_ORACLE, tags=("J5",))
+def merge_precedence_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-side-wins merge as full-outer + coalesce (row form of
+    map_concat LAST_WIN)."""
+    lo = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n"))
+    )
+    hi = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n"))
+    )
+    merged = merge_with_precedence(lo, hi, ["n_nationkey"], ["n"])
+    hi_keys = hi.select("n_nationkey", F.col("n").alias("__hi_n"))
+    return (
+        merged.join(hi_keys, "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            "n",
+            F.when(F.col("__hi_n").isNotNull(), F.lit("hi")).otherwise(F.lit("lo")).alias("winner"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D5: set difference (remaining = all − selected, medium_sampler.py:33).
+# --------------------------------------------------------------------------
+
+_SETDIFF_ORACLE = """
+SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier
+"""
+
+
+@register("set_difference_nations", oracle=_SETDIFF_ORACLE, tags=("D5",))
+def set_difference_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers (DataFrame EXCEPT)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Window analytics: running totals per customer.
+# --------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS run_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER w AS DOUBLE) AS run_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("running_order_totals", oracle=_RUNNING_ORACLE, bench=True, tags=("windows",))
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order count + cumulative spend (decimal-exact
+    prefix sums)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("run_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double").alias("run_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: split-mean (Inception-Score aggregation shape, metrics.py:199-212).
+# --------------------------------------------------------------------------
+
+_SPLITMEAN_ORACLE = f"""
+WITH s AS (
+  SELECT ntile(5) OVER (ORDER BY vec_id) AS split, CAST(label AS DOUBLE) AS v
+  FROM embeddings),
+m AS (SELECT split, {davg_sql('v', scale=6)} AS split_mean FROM s GROUP BY split)
+SELECT {davg_sql('split_mean', scale=12)} AS mean_of_splits,
+       {dstddev_sql('split_mean', scale=12)} AS std_of_splits
+FROM m
+"""
+
+
+@register("split_mean_labels", oracle=_SPLITMEAN_ORACLE, tags=("A9",))
+def split_mean_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(5) splits over embeddings → per-split mean label → mean/std of
+    splits. Global-order ntile is driver-data-sized here; at scale IS
+    splits come pre-assigned (documented in operators.aggregates)."""
+    e = T(spark, sf_dir, "embeddings").select("vec_id", F.col("label").cast("double").alias("v"))
+    return split_mean(e, "vec_id", F.col("v"), n_splits=5)
+
+
+# --------------------------------------------------------------------------
+# A11: exact state cardinality (len(seen sets), test_kimono_ec2.py:358).
+# --------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("state_cardinality_by_type", oracle=_CARD_ORACLE, tags=("A11",))
+def state_cardinality_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (the oracle-checkable form; at 100 TB swap in
+    approx_count_distinct — same plan minus the exact expand)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

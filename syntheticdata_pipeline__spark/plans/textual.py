@@ -1,0 +1,413 @@
+"""Scalar-function and sampling queries (SURVEY.md §2.7-§2.8: T-family,
+M4-M6, F9/F10, U6/U7, S8).
+
+URL-shaped inputs are synthesized deterministically from testdata keys so
+the id-extraction/rewrite rules (T1-T3) run against the same shapes the
+reference handles (FIXTURES.md §B1 generator hints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    extract_image_id,
+    extract_image_id_sql,
+    extract_product_id,
+    extract_product_id_sql,
+    format_duration,
+    format_duration_sql,
+    matches_blocklist,
+    matches_blocklist_sql,
+    page_url,
+    page_url_sql,
+    slugify,
+    slugify_sql,
+    to_hires_url,
+    to_hires_url_sql,
+    url_host,
+    url_host_sql,
+    url_path,
+    url_path_sql,
+)
+from ..operators.sampling import (
+    category_gates,
+    hierarchical_sample,
+    hierarchical_sample_sql,
+    weighted_choice,
+    weighted_choice_sql,
+)
+from . import register
+from .common import T
+
+# --------------------------------------------------------------------------
+# T1/T5/T6/T7: product-id extraction over the four URL shapes.
+# --------------------------------------------------------------------------
+
+# Spark-side synthetic URL (same expression mirrored in SQL below).
+_URL_SPARK = """
+CASE o_orderkey % 4
+  WHEN 0 THEN 'https://www.amazon.com/dp/B' || lpad(CAST(o_orderkey AS STRING), 9, '0') || '?ref=sr_1'
+  WHEN 1 THEN 'https://www.zalando.co.uk/item-' || CAST(o_orderkey AS STRING) || '.html'
+  WHEN 2 THEN 'https://www.nykaa.com/p/SKU' || CAST(o_orderkey AS STRING) || '?src=home'
+  ELSE 'https://shop.example.com/products/item-' || CAST(o_orderkey AS STRING)
+END
+"""
+
+_URL_DUCK = """
+CASE o_orderkey % 4
+  WHEN 0 THEN 'https://www.amazon.com/dp/B' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') || '?ref=sr_1'
+  WHEN 1 THEN 'https://www.zalando.co.uk/item-' || CAST(o_orderkey AS VARCHAR) || '.html'
+  WHEN 2 THEN 'https://www.nykaa.com/p/SKU' || CAST(o_orderkey AS VARCHAR) || '?src=home'
+  ELSE 'https://shop.example.com/products/item-' || CAST(o_orderkey AS VARCHAR)
+END
+"""
+
+_IDS_ORACLE = f"""
+WITH u AS (SELECT o_orderkey, {_URL_DUCK} AS url FROM orders)
+SELECT o_orderkey, url,
+  {extract_product_id_sql('url')} AS product_id,
+  {url_host_sql('url')} AS host,
+  {url_path_sql('url')} AS path,
+  {page_url_sql('url', '2')} AS page2_url
+FROM u
+"""
+
+
+@register("extract_ids_from_urls", oracle=_IDS_ORACLE, bench=True, tags=("T1", "T5", "T6", "T7"))
+def extract_ids_from_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIN / .html-slug / /p/SKU / last-segment id extraction with md5
+    fallback (any_scraper.py:161-196), plus host/path parse and pagination
+    URL build — all codegen expressions, zero UDFs."""
+    o = T(spark, sf_dir, "orders")
+    u = o.select("o_orderkey", F.expr(_URL_SPARK).alias("url"))
+    return u.select(
+        "o_orderkey",
+        "url",
+        extract_product_id(F.col("url")).alias("product_id"),
+        url_host(F.col("url")).alias("host"),
+        url_path(F.col("url")).alias("path"),
+        page_url(F.col("url"), F.lit(2)).alias("page2_url"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T2/T3/T14/F3: thumbnail→hi-res rewrite, image-id, blocklist.
+# --------------------------------------------------------------------------
+
+_IMG_SPARK = """
+CASE p_partkey % 5
+  WHEN 0 THEN 'https://m.media-imgs.test/images/I/61abcDEF._SX300_.jpg'
+  WHEN 1 THEN 'https://img.test/spp-media-p1/' || md5(CAST(p_partkey AS STRING)) || '/thumb/item.jpg'
+  WHEN 2 THEN 'https://cdn.test/tr:h-200,w-200/catalog/' || CAST(p_partkey AS STRING) || '_600x600.jpg?v=2'
+  WHEN 3 THEN 'https://cdn.test/w_100,h_150/banner_' || CAST(p_partkey AS STRING) || '.png'
+  ELSE 'https://cdn.test/products/photo_' || CAST(p_partkey * 1000 + 111111 AS STRING) || '_main.webp'
+END
+"""
+
+_IMG_DUCK = _IMG_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_HIRES_ORACLE = f"""
+WITH u AS (SELECT p_partkey, {_IMG_DUCK} AS src FROM part)
+SELECT p_partkey, src,
+  {to_hires_url_sql('src')} AS hires_url,
+  {extract_image_id_sql('src')} AS image_id,
+  {matches_blocklist_sql('src')} AS blocked
+FROM u
+"""
+
+
+@register("hires_url_rewrite", oracle=_HIRES_ORACLE, tags=("T2", "T3", "T14", "F3", "D1"))
+def hires_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-rule URL upgrades (any_scraper.py:224-265) + dedup-key
+    extraction + blocklist predicate (F3)."""
+    p = T(spark, sf_dir, "part")
+    u = p.select("p_partkey", F.expr(_IMG_SPARK).alias("src"))
+    return u.select(
+        "p_partkey",
+        "src",
+        to_hires_url(F.col("src")).alias("hires_url"),
+        extract_image_id(F.col("src")).alias("image_id"),
+        matches_blocklist(F.col("src")).alias("blocked"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T4/T15/D10: slugify + duration formatting + truncation.
+# --------------------------------------------------------------------------
+
+_SLUG_ORACLE = f"""
+SELECT p_partkey,
+  {slugify_sql('p_name')} AS slug,
+  substr(p_name, 1, 12) AS short_title,
+  {format_duration_sql('p_retailprice')} AS pretty_duration
+FROM part
+"""
+
+
+@register("slugify_titles", oracle=_SLUG_ORACLE, tags=("T4", "T15", "D10"))
+def slugify_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filesystem-safe slugs (people_western_keyword_extractor.py:44-49),
+    title truncation (D10), s/min/h formatting (test_kimono.py:700-710)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        slugify(F.col("p_name")).alias("slug"),
+        F.substring(F.col("p_name"), 1, 12).alias("short_title"),
+        format_duration(F.col("p_retailprice")).alias("pretty_duration"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T10/T11 + S1: tolerant JSON field extraction with corrupt-record fallback
+# (qwen_vl_processor.py:177-187 free-text JSON rescue).
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'garbage ' || props ELSE props END AS payload
+  FROM events)
+SELECT event_id,
+  CASE WHEN json_valid(payload) THEN CAST(json_extract(payload, '$.k') AS INTEGER) END AS k,
+  CASE WHEN json_valid(payload) THEN NULL ELSE payload END AS raw_response
+FROM raw
+"""
+
+
+@register("parse_props_json", oracle=_JSON_ORACLE, tags=("T10", "T11", "S1", "F8"))
+def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON parsing: valid payloads yield k, corrupt ones fall
+    back to a raw_response column (the reference's escape hatch)."""
+    ev = T(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.concat(F.lit("garbage "), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = raw.withColumn(
+        "k_struct", F.from_json(F.col("payload"), "k int", {"mode": "PERMISSIVE"})
+    )
+    return parsed.select(
+        "event_id",
+        F.when(F.col("payload").startswith("garbage"), F.lit(None).cast("int"))
+        .otherwise(F.col("k_struct.k"))
+        .alias("k"),
+        F.when(F.col("payload").startswith("garbage"), F.col("payload"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("raw_response"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F9/F10: default-fill + rule-based correction
+# (mllm_to_vlm_converter.py:9-85).
+# --------------------------------------------------------------------------
+
+_GARMENT_TYPES = ["t-shirt", "sari", "kurta", "dress", "kimono"]
+
+_NORMALIZE_ORACLE = """
+WITH g AS (
+  SELECT p_partkey,
+    CASE p_partkey % 2 WHEN 0 THEN 'male' ELSE 'female' END AS gender,
+    CASE p_partkey % 5 WHEN 0 THEN 't-shirt' WHEN 1 THEN 'sari' WHEN 2 THEN 'kurta'
+                       WHEN 3 THEN 'dress' ELSE 'kimono' END AS garment_type_raw,
+    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE string_split(p_name, ' ')[1] END AS color_raw,
+    CASE p_partkey % 3 WHEN 0 THEN 'blouse' WHEN 1 THEN 'shirt' ELSE 'top' END AS top_type,
+    CASE p_partkey % 4 WHEN 0 THEN 'shorts-length' ELSE 'regular' END AS length_raw
+  FROM part)
+SELECT p_partkey, gender, garment_type_raw,
+  CASE WHEN gender = 'male' AND garment_type_raw IN ('sari', 'dress', 'kimono')
+       THEN 'kurta' ELSE garment_type_raw END AS garment_type,
+  coalesce(color_raw, 'white') AS color,
+  CASE WHEN top_type = 'blouse' AND length_raw = 'shorts-length'
+       THEN 'regular' ELSE length_raw END AS length
+FROM g
+"""
+
+
+@register("normalize_correct_garments", oracle=_NORMALIZE_ORACLE, tags=("F9", "F10", "U7"))
+def normalize_correct_garments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-fill (coalesce-to-default, F9) + implausible-combination
+    rewrites (male+sari→kurta; blouse+shorts-length→regular, F10)."""
+    p = T(spark, sf_dir, "part")
+    g = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("male")).otherwise(F.lit("female")).alias("gender"),
+        F.element_at(F.array(*[F.lit(t) for t in _GARMENT_TYPES]), (F.col("p_partkey") % 5 + 1).cast("int"))
+        .alias("garment_type_raw"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.split(F.col("p_name"), " ").getItem(0))
+        .alias("color_raw"),
+        F.element_at(
+            F.array(F.lit("blouse"), F.lit("shirt"), F.lit("top")), (F.col("p_partkey") % 3 + 1).cast("int")
+        ).alias("top_type"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("shorts-length")).otherwise(F.lit("regular")).alias(
+            "length_raw"
+        ),
+    )
+    return g.select(
+        "p_partkey",
+        "gender",
+        "garment_type_raw",
+        F.when(
+            (F.col("gender") == "male") & F.col("garment_type_raw").isin("sari", "dress", "kimono"),
+            F.lit("kurta"),
+        )
+        .otherwise(F.col("garment_type_raw"))
+        .alias("garment_type"),
+        F.coalesce(F.col("color_raw"), F.lit("white")).alias("color"),
+        F.when(
+            (F.col("top_type") == "blouse") & (F.col("length_raw") == "shorts-length"),
+            F.lit("regular"),
+        )
+        .otherwise(F.col("length_raw"))
+        .alias("length"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U6/U7/T8/T9: edit-prompt assembly from structured fields
+# (qwen_vl_processor.py:207-231 — pure column expressions, no UDF).
+# --------------------------------------------------------------------------
+
+_PROMPT_ORACLE = """
+WITH g AS (
+  SELECT p_partkey,
+    CASE p_partkey % 5 WHEN 0 THEN 't-shirt' WHEN 1 THEN 'sari' WHEN 2 THEN 'kurta'
+                       WHEN 3 THEN 'dress' ELSE 'kimono' END AS garment_type,
+    coalesce(CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE string_split(p_name, ' ')[1] END, 'white') AS color,
+    lower(p_type) AS material
+  FROM part)
+SELECT p_partkey,
+  'Change the ' || garment_type || ' to a ' || color || ' ' || material ||
+  ' version while preserving the person''s pose and the background.' AS edit_prompt
+FROM g
+"""
+
+
+@register("prompt_assembly", oracle=_PROMPT_ORACLE, tags=("U6", "U7", "T8", "T9"))
+def prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-language edit prompt from struct fields — concat expressions
+    replace the reference's f-string builder."""
+    p = T(spark, sf_dir, "part")
+    g = p.select(
+        "p_partkey",
+        F.element_at(F.array(*[F.lit(t) for t in _GARMENT_TYPES]), (F.col("p_partkey") % 5 + 1).cast("int"))
+        .alias("garment_type"),
+        F.coalesce(
+            F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+                F.split(F.col("p_name"), " ").getItem(0)
+            ),
+            F.lit("white"),
+        ).alias("color"),
+        F.lower(F.col("p_type")).alias("material"),
+    )
+    return g.select(
+        "p_partkey",
+        F.concat(
+            F.lit("Change the "),
+            F.col("garment_type"),
+            F.lit(" to a "),
+            F.col("color"),
+            F.lit(" "),
+            F.col("material"),
+            F.lit(" version while preserving the person's pose and the background."),
+        ).alias("edit_prompt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M4/S9: seeded weighted choice.
+# --------------------------------------------------------------------------
+
+_TIERS = [("easy", 0.5), ("medium", 0.3), ("hard", 0.2)]
+
+_WCHOICE_ORACLE = f"""
+SELECT o_orderkey, {weighted_choice_sql('o_orderkey', _TIERS, 'tier')} AS tier
+FROM orders
+"""
+
+
+@register("weighted_tier_choice", oracle=_WCHOICE_ORACLE, tags=("M4", "S9"))
+def weighted_tier_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One seeded weighted draw per order (the reference's
+    random.choices over (item, prob) lists, keyword_sampler.py:5-14)."""
+    o = T(spark, sf_dir, "orders")
+    return weighted_choice(
+        o.select("o_orderkey"), F.col("o_orderkey"), _TIERS, out_col="tier", salt="tier"
+    )
+
+
+# --------------------------------------------------------------------------
+# M5: independent category gates (easy_sampler.py:26-42).
+# --------------------------------------------------------------------------
+
+_GATES = [("color", 0.9), ("material", 0.7), ("pattern", 0.4), ("surface_detail", 0.2)]
+
+from ..functions.determinism import unit_rand_sql as _urs  # noqa: E402
+
+_GATES_ORACLE = "SELECT " + ", ".join(
+    f"SUM(CASE WHEN {_urs('c_custkey', f'gate|{cat}')} < {prob} THEN 1 ELSE 0 END) AS n_{cat}"
+    for cat, prob in _GATES
+) + ", COUNT(*) AS n_total FROM customer"
+
+
+@register("category_gate_counts", oracle=_GATES_ORACLE, tags=("M5",))
+def category_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category inclusion gates (random.random() < prob) as seeded
+    draws; output = how many rows picked each category."""
+    c = T(spark, sf_dir, "customer")
+    gated = category_gates(c.select("c_custkey"), F.col("c_custkey"), _GATES)
+    return gated.agg(
+        *[
+            F.sum(F.when(F.col(f"pick_{cat}"), 1).otherwise(0)).alias(f"n_{cat}")
+            for cat, _p in _GATES
+        ],
+        F.count("*").alias("n_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S8 + M6: generator source + hierarchical sampling
+# (keyword_sampler.py:16-46 unrolled).
+# --------------------------------------------------------------------------
+
+_GARMENT_TREE = {
+    "children": {
+        "upper": {
+            "prob": 0.6,
+            "children": {
+                "casual": {"prob": 0.7, "keywords": [("t-shirt", 0.6), ("hoodie", 0.4)]},
+                "formal": {"prob": 0.3, "keywords": [("shirt", 0.7), ("blazer", 0.3)]},
+            },
+        },
+        "lower": {"prob": 0.25, "keywords": [("jeans", 0.5), ("skirt", 0.3), ("shorts", 0.2)]},
+        "full": {"prob": 0.15, "keywords": [("dress", 0.6), ("kimono", 0.2), ("sari", 0.2)]},
+    }
+}
+
+_SCENES = [("studio", 0.4), ("street", 0.3), ("beach", 0.2), ("garden", 0.1)]
+
+_GEN_N = 2000
+
+_GEN_ORACLE = f"""
+SELECT CAST(range AS BIGINT) AS sample_id,
+  {hierarchical_sample_sql('range', _GARMENT_TREE, 'garment')} AS garment,
+  {weighted_choice_sql('range', _SCENES, 'scene')} AS scene
+FROM range({_GEN_N})
+"""
+
+
+@register("sample_prompt_generator", oracle=_GEN_ORACLE, tags=("S8", "M6", "M4"))
+def sample_prompt_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 2000 seeded prompt-attribute rows: two-level weighted
+    descent for garment, flat draw for scene — the reference's recursive
+    sampler unrolled into one codegen stage."""
+    from ..operators.sampling import generator_source
+
+    g = generator_source(spark, _GEN_N)
+    g = hierarchical_sample(g, F.col("sample_id"), _GARMENT_TREE, out_col="garment", salt="garment")
+    return weighted_choice(g, F.col("sample_id"), _SCENES, out_col="scene", salt="scene")

@@ -1,0 +1,177 @@
+"""Embedding/similarity queries (SURVEY.md §2.11 + M8/M10 metric math)
+over the ``embeddings`` table (array<float>, unit-normalized, dim 64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import (
+    dot_sql,
+    l2_norm,
+    l2_norm_sql,
+    mae,
+    mae_sql,
+    mse,
+    mse_sql,
+    psnr,
+    psnr_sql,
+)
+from ..operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_bucket_sql,
+    lsh_bucketed_topk,
+)
+from . import register
+from .common import T
+
+_N_QUERIES = 10
+_K = 5
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (correctness baseline for ANN).
+# --------------------------------------------------------------------------
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {dot_sql('q.qv', 'c.cv')} AS score
+  FROM c CROSS JOIN q WHERE c.neighbor_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_K}
+"""
+
+
+@register("ann_brute_topk", oracle=_BRUTE_ORACLE, bench=True, tags=("similarity", "J1"))
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries × one
+    corpus scan; sequential-fold dot products keep ranks bit-stable."""
+    e = T(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path).
+# --------------------------------------------------------------------------
+
+_N_PLANES = 4
+_DIM = 64
+_planes = hyperplanes(_N_PLANES, _DIM)
+
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {lsh_bucket_sql('embedding', _planes)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {dot_sql('q.qv', 'c.cv')} AS score
+  FROM c JOIN q USING (bucket) WHERE c.neighbor_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_K}
+"""
+
+
+@register("ann_lsh_topk", oracle=_LSH_ORACLE, tags=("similarity", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 4 deterministic planes → 16 sign buckets;
+    top-k within the query's bucket only. Same recall/speed trade as a
+    production ANN pre-filter; bucket equi-join replaces the cross join."""
+    e = T(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        e, e.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_planes=_N_PLANES, dim=_DIM
+    )
+
+
+# --------------------------------------------------------------------------
+# M8/M10: MAE / MSE / PSNR between consecutive vectors.
+# --------------------------------------------------------------------------
+
+_ERR_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+SELECT vec_id,
+  {mae_sql('va', 'vb')} AS mae,
+  {mse_sql('va', 'vb')} AS mse,
+  round({psnr_sql(mse_sql('va', 'vb'))}, 9) AS psnr
+FROM p
+"""
+# psnr is rounded to 9 decimals on both sides: log10 is not correctly
+# rounded and differs by 1 ulp between the JVM and DuckDB's libm.
+
+
+@register("array_error_metrics", oracle=_ERR_ORACLE, tags=("M8", "M10", "A7"))
+def array_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MSE (metrics.py:99-120) and PSNR (metrics.py:13-33) over vector
+    pairs — the pixel-array math on embedding fixtures."""
+    e = T(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
+    p = a.join(b, "vec_id")
+    m = mse(F.col("va"), F.col("vb"))
+    return p.select(
+        "vec_id",
+        mae(F.col("va"), F.col("vb")).alias("mae"),
+        m.alias("mse"),
+        F.round(psnr(m), 9).alias("psnr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8: per-dimension moments (FID-style feature statistics).
+# --------------------------------------------------------------------------
+
+# scale 9 (not 18): DuckDB converts DECIMAL→DOUBLE as (double)int / 10^s,
+# which is only correctly rounded while the scaled integer fits in 2^53 —
+# above that it can differ from Java's BigDecimal.doubleValue by 1 ulp.
+_MOMENTS_ORACLE = """
+WITH flat AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings)
+SELECT dim, COUNT(*) AS n,
+  CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mean_v
+FROM flat GROUP BY dim
+"""
+
+
+@register("embedding_moments", oracle=_MOMENTS_ORACLE, tags=("A8",))
+def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature mean vector (the FID μ term, metrics.py:254-274) via
+    posexplode + exact decimal sums; covariance follows the same plan with
+    pair columns."""
+    e = T(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("v")
+    )
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("v").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("mean_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Norm validation (unit-norm corpus invariant).
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+SELECT vec_id, {l2_norm_sql('embedding')} AS norm, label
+FROM embeddings
+"""
+
+
+@register("embedding_norms", oracle=_NORM_ORACLE, tags=("similarity",))
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector (validates the cosine≡dot shortcut the ANN
+    queries rely on)."""
+    e = T(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm(F.col("embedding")).alias("norm"), "label")

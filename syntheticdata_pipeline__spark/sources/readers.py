@@ -1,0 +1,109 @@
+"""Source adapters (SURVEY.md §2.1 S1-S10) and sinks (§2.2 K1-K6).
+
+The driver testdata is parquet; these readers cover the reference's other
+wire formats. All are schema-first with PERMISSIVE corrupt-record escape
+hatches (the reference's tolerant-parse idiom, AsyncImageGen/src/parser.py:5-45
+and qwen_vl_processor.py:177-187).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import PROMPT_JSONL
+
+
+def read_jsonl_tolerant(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType = PROMPT_JSONL,
+    require_col: str | None = "prompt_number",
+) -> DataFrame:
+    """S1: stream JSONL, keep corrupt lines in ``_corrupt``, drop rows
+    missing the required key (parser.py:27-36; prompts_parser.py:35-86).
+
+    PERMISSIVE mode is Spark's native form of the reference's
+    skip-and-continue loop; blank lines are dropped by the JSON reader
+    itself.
+    """
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(paths)
+    )
+    if require_col:
+        df = df.filter(F.col(require_col).isNotNull() | F.col("_corrupt").isNotNull())
+    return df
+
+
+def read_json_docs(spark: SparkSession, path_glob: str, schema: StructType) -> DataFrame:
+    """S2: directory of whole-file JSON documents
+    (edit_model_pipeline.py:98-110 globs vl_analysis_*.json)."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .json(path_glob)
+        .withColumn("_src_file", F.input_file_name())
+    )
+
+
+def read_pairs_txt(spark: SparkSession, path: str) -> DataFrame:
+    """S10: 'person cloth' per line (experiments/standard_vton/dataloader.py:184-192)."""
+    return (
+        spark.read.option("sep", " ")
+        .schema("person string, cloth string")
+        .csv(path)
+    )
+
+
+def scan_listing_ids(files_df: DataFrame, pattern: str = r"prompt_(\d+)") -> DataFrame:
+    """S7: resume scan — extract processed ids from a file listing
+    (s3_uploader.py:40-79), as anti-join input."""
+    return (
+        files_df.select(F.regexp_extract(F.col("path"), pattern, 1).alias("id"))
+        .filter(F.col("id") != "")
+        .select(F.col("id").cast("long").alias("prompt_number"))
+        .dropDuplicates(["prompt_number"])
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read ns as BIGINT and expose integer microseconds
+    (``ts_us``) + a TIMESTAMP column (``ts``) derived by integer DIV.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        df.withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+# --- sinks --------------------------------------------------------------------
+
+
+def write_keyed_json(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """K1: logical equivalent of json-file-per-record (any_scraper.py:776-778)
+    — one row per product, JSON lines, partitioned; file-per-record is an
+    anti-pattern at scale."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
+def write_text_rendered(df: DataFrame, text_col: str, path: str) -> None:
+    """K2: formatted text per record (prompts_parser.py:63-73)."""
+    df.select(F.col(text_col).alias("value")).write.mode("overwrite").text(path)
+
+
+def write_summary_json(df: DataFrame, path: str) -> None:
+    """K6: small aggregate → single JSON (edit_model_pipeline.py:181-187)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
