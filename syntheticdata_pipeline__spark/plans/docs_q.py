@@ -293,6 +293,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Term frequency: top-k tokens per language (tf via explode+count,
+# SURVEY §2.11 text-analysis family + D8 top-k).
+# --------------------------------------------------------------------------
+
+_TOPTOK_ORACLE = f"""
+WITH tf AS (
+  SELECT lang, unnest({tokens_sql('text')}) AS token FROM documents),
+counted AS (
+  SELECT lang, token, COUNT(*) AS n FROM tf GROUP BY lang, token),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) rn
+  FROM counted)
+SELECT lang, token, n, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+"""
+
+
+@register("top_tokens_per_lang", oracle=_TOPTOK_ORACLE, bench=True, tags=("text-analysis", "D8"))
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency top-10 per language: explode → two-level aggregation
+    (partial map-side combine makes the token shuffle carry counts, not
+    tokens) → windowed top-k."""
+    d = T(spark, sf_dir, "documents")
+    tf = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counted = tf.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    from ..operators.dedup import top_k_per_group
+
+    out = top_k_per_group(
+        counted, ["lang"], [F.col("n").desc(), F.col("token")], k=10, rank_col="rank"
+    )
+    return out.select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
+
+
+# --------------------------------------------------------------------------
 # F5: token-overlap predicate (shares >3-char token, test_kimono.py:354).
 # --------------------------------------------------------------------------
 

@@ -428,6 +428,91 @@ def split_mean_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A4 list part: grouped membership lists (categorizer's per-category site
+# lists, test_website_accessibility.py:449-498) — string-joined for a
+# representation-stable oracle compare.
+# --------------------------------------------------------------------------
+
+_GROUPLIST_ORACLE = """
+SELECT c_mktsegment AS segment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_list,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("grouped_nation_lists", oracle=_GROUPLIST_ORACLE, tags=("A4",))
+def grouped_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sort → join: deterministic grouped lists (bare
+    collect_list order is partition-dependent)."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nation_list"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 + T12: max numeric pagination button
+# (zalando_gallery_scraper_s3.py:378-386).
+# --------------------------------------------------------------------------
+
+_MAXPAGE_ORACLE = """
+WITH buttons AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber % 7 = 0 THEN 'Next'
+              ELSE CAST(l_linenumber * 3 AS VARCHAR) END AS label
+  FROM lineitem)
+SELECT l_orderkey, MAX(CAST(label AS INTEGER)) AS max_page
+FROM buttons WHERE regexp_matches(label, '^[0-9]+$')
+GROUP BY l_orderkey
+"""
+
+
+@register("max_page_number", oracle=_MAXPAGE_ORACLE, tags=("A5", "T12"))
+def max_page_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-test filter (T12) then max of the numeric buttons per page
+    (A5) — the pagination-depth probe."""
+    from ..functions.text import is_digits
+
+    li = T(spark, sf_dir, "lineitem")
+    buttons = li.select(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("Next"))
+        .otherwise((F.col("l_linenumber") * 3).cast("string"))
+        .alias("label"),
+    )
+    return (
+        buttons.filter(is_digits(F.col("label")))
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("label").cast("int")).alias("max_page"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 over the event stream: per-type value stats.
+# --------------------------------------------------------------------------
+
+_EVSTATS_ORACLE = f"""
+SELECT event_type, COUNT(value) AS n,
+  {davg_sql('value', scale=9)} AS avg_value,
+  {dstddev_sql('value', scale=6)} AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("event_value_stats", oracle=_EVSTATS_ORACLE, tags=("A7", "R7"))
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sum mean/std of the event value stream per type."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        davg(F.col("value"), scale=9).alias("avg_value"),
+        dstddev(F.col("value"), scale=6).alias("std_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A11: exact state cardinality (len(seen sets), test_kimono_ec2.py:358).
 # --------------------------------------------------------------------------
 

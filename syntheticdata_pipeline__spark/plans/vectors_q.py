@@ -163,6 +163,97 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Norm validation (unit-norm corpus invariant).
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (extension dedup family).
+# --------------------------------------------------------------------------
+
+_COS_THRESH = 0.4
+
+_COS_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         (a.label = b.label) AS same_label,
+         {dot_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim, same_label FROM p WHERE cos_sim >= {_COS_THRESH}
+"""
+
+
+@register("embedding_cosine_neardup", oracle=_COS_NEARDUP_ORACLE, tags=("dedup-cosine", "similarity"))
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.4 (unit norms ⇒ dot): the embedding near-dup
+    verification kernel. At corpus scale the candidate set comes from the
+    LSH bucketer (ann_lsh_topk plan); this exact form is the oracle-able
+    verifier."""
+    e = T(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb"))
+    from ..functions.vectors import dot
+
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dot(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .filter(F.col("cos_sim") >= _COS_THRESH)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# A8 full: covariance matrix entries (FID Σ term) over the first 16 dims.
+# --------------------------------------------------------------------------
+
+_COV_DIMS = 16
+
+_COV_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+f AS (SELECT * FROM flat WHERE dim <= {_COV_DIMS}),
+p AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, a.v AS x, b.v AS y
+  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+SELECT dim_i, dim_j, COUNT(*) AS n,
+  ((CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE)
+     - CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)
+       * CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*))
+    / (COUNT(*) - 1)) AS cov
+FROM p GROUP BY dim_i, dim_j
+"""
+
+
+@register("embedding_covariance", oracle=_COV_ORACLE, tags=("A8",))
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance entries (upper triangle, dims 1..16) from exact
+    decimal sums — the FID Σ statistic (metrics.py:254-274) as a
+    posexplode self-join + one aggregation. The full-matrix scale path is
+    a mapInPandas partial Xᵀ X (partition-local numpy) + driver combine;
+    this SQL form is the oracle-checkable kernel."""
+    e = T(spark, sf_dir, "embeddings")
+    flat = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("v"))
+        .filter(F.col("dim") <= _COV_DIMS)
+    )
+    a = flat.select("vec_id", F.col("dim").alias("dim_i"), F.col("v").alias("x"))
+    b = flat.select("vec_id", F.col("dim").alias("dim_j"), F.col("v").alias("y"))
+    p = a.join(b, ["vec_id"]).filter(F.col("dim_i") <= F.col("dim_j"))
+    n = F.count("*")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double")
+    sx = F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+    sy = F.sum(F.col("y").cast("decimal(38,9)")).cast("double")
+    return p.groupBy("dim_i", "dim_j").agg(
+        n.alias("n"),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("cov"),
+    )
+
+
 _NORM_ORACLE = f"""
 SELECT vec_id, {l2_norm_sql('embedding')} AS norm, label
 FROM embeddings
