@@ -1,0 +1,89 @@
+"""Physical-plan audit: for each catalog query, record scan pushdown
+(PushedFilters/ReadSchema), join strategies, shuffle count, and
+whole-stage-codegen coverage. Usage::
+
+    python tools/explain_audit.py [query ...] > PLANS_AUDIT.md
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, txt: str) -> dict:
+    # AQE repeats the tree under "== Initial Plan ==" — audit only the
+    # final plan section.
+    txt = txt.split("== Initial Plan ==")[0]
+    # Formatted explain prints each node twice (tree line "Name (id)" +
+    # detail header "(id) Name") — count only the detail headers.
+    def nodes(pattern: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {pattern}", txt, re.MULTILINE))
+
+    return {
+        "name": name,
+        "exchanges": nodes("Exchange"),
+        "bhj": nodes("BroadcastHashJoin"),
+        "smj": nodes("SortMergeJoin"),
+        "nlj": nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
+        "wscg": len(set(re.findall(r"codegen id : (\d+)", txt))),
+        "scans": nodes("Scan parquet"),
+        "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", txt),
+        "readschema": re.findall(r"ReadSchema: ([^\n]*)", txt),
+    }
+
+
+def main() -> None:
+    from syntheticdata_pipeline__spark.plans import load_all
+    from syntheticdata_pipeline__spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    registry = load_all()
+    spark = get_spark("explain-audit", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# Physical-plan audit\n")
+    print(f"sf_dir: {SF_DIR}\n")
+    print("| query | exchanges | BHJ | SMJ | NLJ/cart | WSCG | scans |")
+    print("|---|---|---|---|---|---|---|")
+    details = []
+    for name in sorted(registry):
+        if only and name not in only:
+            continue
+        if "stream" in name:
+            continue  # streaming plans need execution to materialize
+        try:
+            df = registry[name].build(spark, SF_DIR)
+            txt = plan_text(df)
+        except Exception as exc:  # noqa: BLE001
+            print(f"| {name} | ERROR {exc} | | | | | |")
+            continue
+        a = audit(name, txt)
+        print(
+            f"| {a['name']} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['nlj']} "
+            f"| {a['wscg']} | {a['scans']} |"
+        )
+        details.append((name, a))
+    print("\n## Scan details (pushdown / pruning)\n")
+    for name, a in details:
+        interesting = [p for p in a["pushed"] if p.strip()]
+        print(f"- **{name}**: ReadSchema={a['readschema']}; PushedFilters={interesting or '[]'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
