@@ -97,6 +97,28 @@ def max_by_deterministic(
     )
 
 
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """A8 closure: Fréchet distance between two Gaussians
+    (metrics.py:254-274) — the driver-side scalar once per-dim means
+    (embedding_moments query) and covariance entries
+    (embedding_covariance query) are aggregated distributedly.
+
+    ||μ₁−μ₂||² + Tr(Σ₁ + Σ₂ − 2(Σ₁Σ₂)^½), numpy on small d×d matrices.
+    """
+    import numpy as np
+
+    mu1 = np.asarray(mu1, dtype=np.float64)
+    mu2 = np.asarray(mu2, dtype=np.float64)
+    cov1 = np.asarray(cov1, dtype=np.float64)
+    cov2 = np.asarray(cov2, dtype=np.float64)
+    diff = float(((mu1 - mu2) ** 2).sum())
+    # symmetric PSD sqrt via eigendecomposition of cov1 @ cov2
+    prod = cov1 @ cov2
+    eigvals = np.linalg.eigvals(prod)
+    covmean_trace = float(np.sqrt(np.clip(eigvals.real, 0, None)).sum())
+    return diff + float(np.trace(cov1) + np.trace(cov2)) - 2.0 * covmean_trace
+
+
 def split_mean(
     df: DataFrame, order_col: str, value: Column, n_splits: int = 5
 ) -> DataFrame:

@@ -122,6 +122,57 @@ def hierarchical_sample(
     return df.withColumn(out_col, build(tree, "root"))
 
 
+def gates_with_backfill(
+    df: DataFrame,
+    key: Column,
+    gates: Sequence[tuple[str, float]],
+    min_count: int,
+    key_out: str = "key",
+) -> DataFrame:
+    """M5 full semantics: independent per-category gates, then backfill
+    from the unselected categories until ``min_count`` picks per key
+    (medium_sampler.py:24-50, MIN=4; hard_sampler.py:31-59).
+
+    Returns one row per (key, category) with ``selected``. Backfill order
+    is a seeded per-(key, category) draw — distributionally equivalent to
+    the reference's weighted-without-replacement fill, bitwise-seeded for
+    replay. Columnar plan: explode to (key × category) rows, rank the
+    unselected per key, admit ranks up to the deficit — two window
+    functions, one shuffle on the key.
+    """
+    cats = F.array(*[F.lit(c) for c, _ in gates])
+    exploded = df.select(key.alias(key_out), F.explode(cats).alias("category"))
+    prob_col = F.lit(None).cast("double")
+    for c, p in gates:
+        prob_col = F.when(F.col("category") == c, F.lit(p)).otherwise(prob_col)
+    marked = exploded.select(
+        key_out,
+        "category",
+        prob_col.alias("prob"),
+        unit_rand(F.concat(F.col(key_out).cast("string"), F.lit("|"), F.col("category")), "gate").alias(
+            "r_gate"
+        ),
+        unit_rand(F.concat(F.col(key_out).cast("string"), F.lit("|"), F.col("category")), "fill").alias(
+            "r_fill"
+        ),
+    ).withColumn("gated", F.col("r_gate") < F.col("prob"))
+    from pyspark.sql import Window
+
+    w_cnt = Window.partitionBy(key_out)
+    w_rank = Window.partitionBy(key_out, "gated").orderBy("r_fill", "category")
+    ranked = marked.withColumn(
+        "n_gated", F.sum(F.when(F.col("gated"), 1).otherwise(0)).over(w_cnt)
+    ).withColumn("fill_rank", F.row_number().over(w_rank))
+    return ranked.select(
+        key_out,
+        "category",
+        (
+            F.col("gated")
+            | ((~F.col("gated")) & (F.col("fill_rank") <= F.greatest(F.lit(min_count) - F.col("n_gated"), F.lit(0))))
+        ).alias("selected"),
+    )
+
+
 def hierarchical_sample_sql(key_sql: str, tree: dict, salt: str = "hier") -> str:
     """DuckDB twin of :func:`hierarchical_sample` — same salts, same
     unrolled nested CASE, bit-identical draws."""
@@ -144,6 +195,25 @@ def hierarchical_sample_sql(key_sql: str, tree: dict, salt: str = "hier") -> str
         return f"(CASE {cases} ELSE {tail} END)" if cases else tail
 
     return build(tree, "root")
+
+
+def reference_dict_to_tree(weighted_dict: dict) -> dict:
+    """Convert a reference-style nested probability dictionary
+    (keywords_dictionary.py:3-45 shape: ``{key: {"prob": p, "keywords":
+    [(name, w), ...]}}`` or nested sub-dicts) into the sampler tree format
+    consumed by :func:`hierarchical_sample`."""
+    children = {}
+    for name, node in weighted_dict.items():
+        prob = float(node.get("prob", 1.0))
+        if "keywords" in node:
+            children[name] = {
+                "prob": prob,
+                "keywords": [(str(k), float(w)) for k, w in node["keywords"]],
+            }
+        else:
+            sub = {k: v for k, v in node.items() if isinstance(v, dict)}
+            children[name] = {"prob": prob, **reference_dict_to_tree(sub)}
+    return {"children": children}
 
 
 def generator_source(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:

@@ -46,6 +46,6 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all plan modules (idempotent) and return the registry."""
-    from . import docs_q, events_q, relational, textual, vectors_q  # noqa: F401
+    from . import docs_q, events_q, pipeline_q, relational, textual, vectors_q  # noqa: F401
 
     return REGISTRY

@@ -103,6 +103,34 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sliding windows (width 10 min, slide 5 min): each event lands in 2
+# panes — batch twin of the streaming sliding_counts.
+# --------------------------------------------------------------------------
+
+_SLIDE_ORACLE = f"""
+WITH panes AS (
+  SELECT unnest([ (epoch_us(ts) // {_W_US}) * {_W_US},
+                  (epoch_us(ts) // {_W_US}) * {_W_US} - {_W_US} ]) AS window_start_us
+  FROM events)
+SELECT window_start_us, COUNT(*) AS n_events
+FROM panes GROUP BY window_start_us
+"""
+
+
+@register("sliding_event_counts", oracle=_SLIDE_ORACLE, tags=("R7",))
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding by 5: pane membership via explode of the two
+    candidate starts (integer µs arithmetic — same panes as window(ts,
+    '10 minutes', '5 minutes'))."""
+    ev = T(spark, sf_dir, "events")
+    bucket = F.col("ts_us") - F.col("ts_us") % F.lit(_W_US)
+    panes = ev.select(
+        F.explode(F.array(bucket, bucket - F.lit(_W_US))).alias("window_start_us")
+    )
+    return panes.groupBy("window_start_us").agg(F.count("*").alias("n_events"))
+
+
+# --------------------------------------------------------------------------
 # A real Structured Streaming run, oracle-checked: readStream → watermark →
 # tumbling window by type → availableNow → memory sink.
 # --------------------------------------------------------------------------

@@ -320,6 +320,53 @@ def prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F1/F2/F4: image validity predicates (image_utils.py:12-29,
+# any_scraper.py:301-318) over synthesized asset dimensions.
+# --------------------------------------------------------------------------
+
+_ASSET_ORACLE = """
+WITH assets AS (
+  SELECT p_partkey,
+    400 + (p_partkey * 37) % 1200 AS w,
+    400 + (p_partkey * 53) % 1500 AS h,
+    CASE p_partkey % 11 WHEN 0 THEN 'text/html' ELSE 'image/jpeg' END AS content_type
+  FROM part)
+SELECT p_partkey, w, h,
+  (w >= 512 AND h >= 512) AS res_ok,
+  (abs(CAST(w AS DOUBLE)/CAST(h AS DOUBLE) - 0.75)  < 0.05 OR
+   abs(CAST(w AS DOUBLE)/CAST(h AS DOUBLE) - 0.8)   < 0.05 OR
+   abs(CAST(w AS DOUBLE)/CAST(h AS DOUBLE) - 1.0)   < 0.05) AS aspect_ok,
+  (content_type NOT LIKE 'text/html%') AS content_ok
+FROM assets
+"""
+
+
+@register("image_validity_predicates", oracle=_ASSET_ORACLE, tags=("F1", "F2", "F4"))
+def image_validity_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-resolution (F1, 512px spec), allowed aspect ratios {3:4, 4:5,
+    1:1} ±0.05 (F2), and content-type rejection (F4) as one projection."""
+    from ..operators.multimodal import aspect_ratio_ok, min_resolution_ok
+
+    p = T(spark, sf_dir, "part")
+    assets = p.select(
+        "p_partkey",
+        (F.lit(400) + (F.col("p_partkey") * 37) % 1200).cast("int").alias("w"),
+        (F.lit(400) + (F.col("p_partkey") * 53) % 1500).cast("int").alias("h"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit("text/html"))
+        .otherwise(F.lit("image/jpeg"))
+        .alias("content_type"),
+    )
+    return assets.select(
+        "p_partkey",
+        "w",
+        "h",
+        min_resolution_ok(F.col("w"), F.col("h"), 512).alias("res_ok"),
+        aspect_ratio_ok(F.col("w"), F.col("h")).alias("aspect_ok"),
+        (~F.col("content_type").startswith("text/html")).alias("content_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # M4/S9: seeded weighted choice.
 # --------------------------------------------------------------------------
 
@@ -353,6 +400,43 @@ _GATES_ORACLE = "SELECT " + ", ".join(
     f"SUM(CASE WHEN {_urs('c_custkey', f'gate|{cat}')} < {prob} THEN 1 ELSE 0 END) AS n_{cat}"
     for cat, prob in _GATES
 ) + ", COUNT(*) AS n_total FROM customer"
+
+
+_MIN_PICKS = 2
+
+_cats_values = ", ".join(f"('{c}', {p})" for c, p in _GATES)
+_gate_r = _urs("CAST(c_custkey AS VARCHAR) || '|' || category", "gate")
+_fill_r = _urs("CAST(c_custkey AS VARCHAR) || '|' || category", "fill")
+
+_BACKFILL_ORACLE = f"""
+WITH cats(category, prob) AS (VALUES {_cats_values}),
+rows_ AS (
+  SELECT c_custkey, category, prob,
+         {_gate_r} AS r_gate, {_fill_r} AS r_fill
+  FROM customer CROSS JOIN cats),
+marked AS (SELECT *, (r_gate < prob) AS gated FROM rows_),
+ranked AS (
+  SELECT *,
+    SUM(CASE WHEN gated THEN 1 ELSE 0 END) OVER (PARTITION BY c_custkey) AS n_gated,
+    row_number() OVER (PARTITION BY c_custkey, gated ORDER BY r_fill, category) AS fill_rank
+  FROM marked)
+SELECT c_custkey AS key, category,
+  (gated OR (NOT gated AND fill_rank <= greatest({_MIN_PICKS} - n_gated, 0))) AS selected
+FROM ranked
+"""
+
+
+@register("category_backfill_selection", oracle=_BACKFILL_ORACLE, tags=("M5",))
+def category_backfill_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-then-backfill-to-minimum category selection
+    (medium_sampler.py:24-50): every key ends with ≥ MIN picks, fills
+    drawn seeded from the unselected pool."""
+    from ..operators.sampling import gates_with_backfill
+
+    c = T(spark, sf_dir, "customer")
+    return gates_with_backfill(
+        c.select("c_custkey"), F.col("c_custkey"), _GATES, min_count=_MIN_PICKS
+    )
 
 
 @register("category_gate_counts", oracle=_GATES_ORACLE, tags=("M5",))
