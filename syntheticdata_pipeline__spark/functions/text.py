@@ -242,6 +242,25 @@ def format_duration_sql(seconds: str) -> str:
     )
 
 
+# --- T16: HTML text extraction -------------------------------------------------
+# The reference uses BeautifulSoup getText (any_scraper.py:529-535); the
+# engine's column-native form strips tags/entities by regex — sufficient
+# for title/text extraction from product pages, and a bs4 UDF can be
+# swapped in where full DOM semantics matter.
+
+
+def strip_html(s: Column) -> Column:
+    out = F.regexp_replace(s, r"<[^>]*>", " ")
+    out = F.regexp_replace(out, r"&(amp|lt|gt|nbsp|quot);", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html_sql(s: str) -> str:
+    out = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '&(amp|lt|gt|nbsp|quot);', ' ', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
 # --- tokenization (shared by text-analysis operators) ---------------------------
 
 

@@ -139,6 +139,48 @@ def resize_stub(df: DataFrame, target: int = 512, content_col: str = "content") 
     return df.mapInPandas(kernel, schema=df.schema)
 
 
+def ssim_pairs(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    side: int = 8,
+    out_col: str = "ssim",
+) -> DataFrame:
+    """M9: SSIM between paired pixel arrays (metrics.py:36-96), computed
+    as the global (single-window) SSIM over side×side images via an
+    Arrow-batched numpy kernel — the gaussian-window variant drops in by
+    replacing the window weights. Columns ``a_col``/``b_col`` are flat
+    float arrays of length side².
+    """
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, DoubleType())]
+    )
+    c1, c2 = (0.01 * 2) ** 2, (0.03 * 2) ** 2  # L=2 for [-1,1] data
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            vals = []
+            for a, b in zip(pdf[a_col], pdf[b_col]):
+                x = np.asarray(a, dtype=np.float64)
+                y = np.asarray(b, dtype=np.float64)
+                mx, my = x.mean(), y.mean()
+                vx, vy = x.var(), y.var()
+                cxy = ((x - mx) * (y - my)).mean()
+                vals.append(
+                    ((2 * mx * my + c1) * (2 * cxy + c2))
+                    / ((mx * mx + my * my + c1) * (vx + vy + c2))
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def min_resolution_ok(width, height, min_px: int = 512):
     """F1 predicate (image_utils.py:24-29; 512 per config.py:105-106)."""
     return (width >= min_px) & (height >= min_px)

@@ -455,6 +455,99 @@ def category_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T16 + D10: HTML title extraction with truncation
+# (extract_product_title, any_scraper.py:509-535).
+# --------------------------------------------------------------------------
+
+from ..functions.text import strip_html, strip_html_sql  # noqa: E402
+
+_HTML_ORACLE = f"""
+WITH pages AS (
+  SELECT p_partkey,
+         '<div class="product"><h1> ' || p_name ||
+         ' </h1>&nbsp;<span>' || p_brand || '</span></div>' AS html
+  FROM part)
+SELECT p_partkey, substr({strip_html_sql('html')}, 1, 60) AS title
+FROM pages
+"""
+
+
+@register("html_title_extract", oracle=_HTML_ORACLE, tags=("T16", "D10"))
+def html_title_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag/entity-stripped page text, truncated to the reference's 60-char
+    display cap (any_scraper.py:533)."""
+    p = T(spark, sf_dir, "part")
+    pages = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit('<div class="product"><h1> '),
+            F.col("p_name"),
+            F.lit(" </h1>&nbsp;<span>"),
+            F.col("p_brand"),
+            F.lit("</span></div>"),
+        ).alias("html"),
+    )
+    return pages.select(
+        "p_partkey", F.substring(strip_html(F.col("html")), 1, 60).alias("title")
+    )
+
+
+# --------------------------------------------------------------------------
+# F7 + D3 + D11 + M12: gallery assembly — build the nested images array of
+# product_metadata (any_scraper.py:764-774), gate on gallery size, cap at
+# 6, re-explode with index.
+# --------------------------------------------------------------------------
+
+_GALLERY_ORACLE = """
+WITH imgs AS (
+  SELECT l_orderkey AS product_key,
+         'img_' || CAST(l_partkey % 40 AS VARCHAR) AS image_id
+  FROM lineitem),
+dedup AS (SELECT DISTINCT product_key, image_id FROM imgs),
+gallery AS (
+  SELECT product_key, list_sort(list(image_id)) AS images
+  FROM dedup GROUP BY product_key),
+gated AS (
+  SELECT product_key, images[1:6] AS kept, len(images) AS total_found
+  FROM gallery WHERE len(images) >= 2)
+SELECT product_key, total_found,
+       generate_subscripts(kept, 1) AS idx, unnest(kept) AS image_id
+FROM gated
+"""
+
+
+@register("gallery_assembly", oracle=_GALLERY_ORACLE, tags=("F7", "D3", "D11", "M12", "K1"))
+def gallery_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product image gallery: in-page dedup (D3) → sorted collect →
+    min-gallery gate len≥2 (F7, any_scraper.py:559) → first-6 cap (D11,
+    zalando_production_scraper.py:142) → posexplode with index (M12, the
+    image index assignment)."""
+    li = T(spark, sf_dir, "lineitem")
+    imgs = li.select(
+        F.col("l_orderkey").alias("product_key"),
+        F.concat(F.lit("img_"), (F.col("l_partkey") % 40).cast("string")).alias("image_id"),
+    ).dropDuplicates(["product_key", "image_id"])
+    gallery = imgs.groupBy("product_key").agg(
+        F.sort_array(F.collect_list("image_id")).alias("images")
+    )
+    gated = gallery.filter(F.size("images") >= 2).select(
+        "product_key",
+        F.slice(F.col("images"), 1, 6).alias("kept"),
+        F.size("images").cast("bigint").alias("total_found"),
+    )
+    return gated.select(
+        "product_key",
+        "total_found",
+        F.posexplode("kept").alias("idx0", "image_id"),
+    ).select(
+        "product_key",
+        "total_found",
+        (F.col("idx0") + 1).cast("bigint").alias("idx"),
+        "image_id",
+    )
+
+
+# --------------------------------------------------------------------------
 # S8 + M6: generator source + hierarchical sampling
 # (keyword_sampler.py:16-46 unrolled).
 # --------------------------------------------------------------------------
