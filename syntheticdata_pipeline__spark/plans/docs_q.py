@@ -170,6 +170,93 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Chained corpus dedup: exact → minhash-LSH candidates → jaccard verify →
+# drop losers — the full near-dup pipeline a pretraining corpus runs.
+# --------------------------------------------------------------------------
+
+_DP_JAC = 0.5
+
+_sig12 = minhash_signature_sql("shingles", _MH_HASHES)
+_dp_bands_select = ", ".join(
+    f"array_to_string(sig[{b * 2 + 1}:{(b + 1) * 2}], '') AS bh{b}" for b in range(_MH_BANDS)
+)
+_dp_bands_union = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM banded" for b in range(_MH_BANDS)
+)
+
+_DEDUP_PIPE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+  FROM documents),
+exact_survivors AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id) rn FROM keyed)
+  WHERE rn = 1),
+sh AS (SELECT doc_id, lang, {word_shingles_sql('text')} AS shingles FROM exact_survivors),
+sigs AS (SELECT doc_id, {_sig12} AS sig, shingles FROM sh),
+banded AS (SELECT doc_id, {_dp_bands_select} FROM sigs),
+long_bands AS ({_dp_bands_union}),
+cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM long_bands l JOIN long_bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE {jaccard_sql('sa.shingles', 'sb.shingles')} >= {_DP_JAC}),
+final_survivors AS (
+  SELECT s.doc_id, s.lang FROM exact_survivors s
+  WHERE s.doc_id NOT IN (SELECT id_b FROM verified))
+SELECT lang,
+  (SELECT COUNT(*) FROM keyed k2 WHERE k2.lang = f.lang) AS n_input,
+  COUNT(*) AS n_survivors
+FROM final_survivors f GROUP BY lang
+"""
+
+
+@register("corpus_dedup_pipeline", oracle=_DEDUP_PIPE_ORACLE, bench=True, tags=("dedup-pipeline", "E2E"))
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash dedup → MinHash-LSH candidates on the survivors →
+    Jaccard ≥ 0.5 verification → drop the higher id of each verified pair
+    → per-lang survivor counts. The chained plan a 100 TB corpus dedup
+    actually runs (each stage shrinks the next stage's input)."""
+    from ..operators.dedup import anti_join_state, first_wins
+    from ..operators.neardup import minhash_lsh_pairs
+
+    d = T(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("ck"),
+    )
+    survivors = first_wins(keyed, ["ck"], [F.col("doc_id")]).select("doc_id", "lang", "text")
+
+    cand = minhash_lsh_pairs(
+        survivors, id_col="doc_id", text_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    sh = survivors.select("doc_id", word_shingles(F.col("text")).alias("shingles")).repartition(
+        "doc_id"
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= _DP_JAC)
+        .select(F.col("id_b").alias("doc_id"))
+    )
+    final = anti_join_state(survivors, verified, ["doc_id"])
+    n_input = keyed.groupBy("lang").agg(F.count("*").alias("n_input"))
+    return (
+        final.groupBy("lang")
+        .agg(F.count("*").alias("n_survivors"))
+        .join(n_input, "lang")
+        .select("lang", "n_input", "n_survivors")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures.
 # --------------------------------------------------------------------------
 

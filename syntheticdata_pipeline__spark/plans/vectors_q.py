@@ -93,6 +93,80 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-style ANN: coarse cells via deterministic centroids, search within
+# the query's cell (the inverted-file pre-filter; complements the LSH
+# variant). Centroids are the first _N_CELLS corpus vectors — a
+# deterministic stand-in for a k-means codebook (the assignment/probe
+# plan is identical; swap the codebook source for trained centroids).
+# --------------------------------------------------------------------------
+
+_N_CELLS = 8
+
+_IVF_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_N_CELLS}),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM cells),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {dot_sql('q.qv', 'c.cv')} AS score
+  FROM c JOIN q USING (cell) WHERE c.neighbor_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (argmax centroid dot, deterministic tiebreak)
+    → top-k within the query's cell. Cell join replaces the cross join;
+    at 100 TB the codebook broadcasts and assignment is map-side only."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = e.crossJoin(F.broadcast(cents)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                dot(F.col("embedding"), F.col("cv")).desc(), F.col("cid")
+            )
+        ),
+    )
+    cells = assign.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", F.col("cid").alias("cell")
+    )
+    q = cells.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
 # M8/M10: MAE / MSE / PSNR between consecutive vectors.
 # --------------------------------------------------------------------------
 
