@@ -46,6 +46,14 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all plan modules (idempotent) and return the registry."""
-    from . import docs_q, events_q, pipeline_q, relational, textual, vectors_q  # noqa: F401
+    from . import (  # noqa: F401
+        dataset_q,
+        docs_q,
+        events_q,
+        pipeline_q,
+        relational,
+        textual,
+        vectors_q,
+    )
 
     return REGISTRY

@@ -1,0 +1,144 @@
+"""Training-dataset preparation queries over ``documents`` — the
+post-dedup stages of a pretraining corpus build (split → sample → pack →
+mix), all seeded/deterministic and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import unit_rand_sql
+from ..functions.text import tokens, tokens_sql
+from ..operators.datasetprep import (
+    deterministic_split,
+    mixture_expand,
+    pack_sequences,
+    sample_k_per_group,
+)
+from . import register
+from .common import T
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split.
+# --------------------------------------------------------------------------
+
+_r = unit_rand_sql("doc_id", "split")
+_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+from ..operators.datasetprep import split_bounds  # noqa: E402
+
+_bounds = split_bounds(_FRACTIONS)
+_split_cases = " ".join(f"WHEN {_r} < {hi!r} THEN '{name}'" for name, hi in _bounds[:-1])
+
+_SPLIT_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+    CASE {_split_cases} ELSE '{_bounds[-1][0]}' END AS split
+  FROM documents)
+SELECT lang, split, COUNT(*) AS n FROM s GROUP BY lang, split
+"""
+
+
+@register("dataset_split_counts", oracle=_SPLIT_ORACLE, tags=("dataset-prep",))
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on doc_id — stable under any partitioning
+    (randomSplit is not)."""
+    d = T(spark, sf_dir, "documents")
+    out = deterministic_split(d, F.col("doc_id"), _FRACTIONS)
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Fixed-size per-group sample.
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {unit_rand_sql('doc_id', 'sample')}, doc_id) AS rk
+  FROM documents)
+SELECT lang, doc_id FROM ranked WHERE rk <= {_SAMPLE_K}
+"""
+
+
+@register("sample_per_lang", oracle=_SAMPLE_ORACLE, tags=("dataset-prep", "D8"))
+def sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-doc sample per language (distributed reservoir
+    shape: seeded rank + top-k)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_k_per_group(d, ["lang"], F.col("doc_id"), k=_SAMPLE_K).select(
+        "lang", "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing into token-budget bins.
+# --------------------------------------------------------------------------
+
+_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({tokens_sql('text')}) AS n_tok FROM documents),
+packed AS (
+  SELECT lang, doc_id, n_tok,
+    CAST(floor(coalesce(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_BUDGET}) AS BIGINT) AS bin_id
+  FROM toks)
+SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+FROM packed GROUP BY lang, bin_id
+"""
+
+
+@register("pack_token_bins", oracle=_PACK_ORACLE, bench=True, tags=("dataset-prep",))
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (doc_id order per language) into 512-token bins via
+    one window cumsum — the packed-example layout step."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"))
+    packed = pack_sequences(
+        toks, ["lang"], F.col("doc_id"), F.col("n_tok"), budget=_BUDGET
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture epoch expansion.
+# --------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH weighted AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 3
+              WHEN source IN ('src2', 'src3') THEN 2
+              ELSE 1 END AS w
+  FROM documents),
+expanded AS (
+  SELECT doc_id, source, unnest(range(1, w + 1)) AS epoch_copy FROM weighted)
+SELECT source, COUNT(*) AS n_examples, COUNT(DISTINCT doc_id) AS n_docs
+FROM expanded GROUP BY source
+"""
+
+
+@register("mixture_expansion", oracle=_MIX_ORACLE, tags=("dataset-prep",))
+def mixture_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights as epoch expansion: high-value sources repeat 3×,
+    mid 2×, rest 1× — explode(sequence), fully JVM-side."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    weighted = d.withColumn(
+        "w",
+        F.when(F.col("source").isin("src0", "src1"), F.lit(3))
+        .when(F.col("source").isin("src2", "src3"), F.lit(2))
+        .otherwise(F.lit(1)),
+    )
+    out = mixture_expand(weighted, F.col("w"))
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_examples"), F.countDistinct("doc_id").alias("n_docs")
+    )
