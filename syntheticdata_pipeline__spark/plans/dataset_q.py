@@ -110,6 +110,54 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distribution reporting: percentiles (filter-threshold selection) and
+# fixed-bin histograms — the corpus profiling pass before setting quality
+# cutoffs.
+# --------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT lang,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 9) AS p25,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 9) AS p50,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 9) AS p95
+FROM documents GROUP BY lang
+"""
+
+
+@register("doc_length_percentiles", oracle=_PCT_ORACLE, tags=("dataset-prep", "A7"))
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language
+    (rounded to 9 decimals — interpolation arithmetic differs by 1 ulp
+    across engines). Cluster swap-in: approx_percentile over t-digest."""
+    d = T(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.round(F.percentile(c, F.lit(0.25)), 9).alias("p25"),
+        F.round(F.percentile(c, F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile(c, F.lit(0.95)), 9).alias("p95"),
+    )
+
+
+_HIST_ORACLE = """
+SELECT event_type,
+  CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+  COUNT(*) AS n
+FROM events GROUP BY event_type, bucket
+"""
+
+
+@register("event_value_histogram", oracle=_HIST_ORACLE, tags=("A4", "R7"))
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (floor-bucketing is one
+    codegen expression; no two-pass min/max needed)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
 # Source-mixture epoch expansion.
 # --------------------------------------------------------------------------
 
