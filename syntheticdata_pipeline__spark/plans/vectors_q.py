@@ -205,15 +205,18 @@ def array_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A8: per-dimension moments (FID-style feature statistics).
 # --------------------------------------------------------------------------
 
-# scale 9 (not 18): DuckDB converts DECIMAL→DOUBLE as (double)int / 10^s,
-# which is only correctly rounded while the scaled integer fits in 2^53 —
-# above that it can differ from Java's BigDecimal.doubleValue by 1 ulp.
+# Truncate-scaled-integer sums, NOT decimal casts: float32-derived doubles
+# can land exactly half-way on a decimal grid (e.g. odd multiples of 2^-10
+# at scale 9), where Spark rounds HALF_UP but DuckDB half-to-even — one
+# such tie flipped a sum at sf0.1. trunc(v·10^9) has no tie: both engines
+# perform the identical IEEE multiply and truncation, and the bigint sums
+# are exact and order-independent.
 _MOMENTS_ORACLE = """
 WITH flat AS (
   SELECT generate_subscripts(embedding, 1) AS dim, CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings)
 SELECT dim, COUNT(*) AS n,
-  CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mean_v
+  (CAST(SUM(CAST(trunc(v * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*) AS mean_v
 FROM flat GROUP BY dim
 """
 
@@ -227,9 +230,10 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = e.select(F.posexplode("embedding").alias("pos", "x")).select(
         (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("v")
     )
+    scaled = F.expr("CAST(v * 1000000000.0 AS BIGINT)")  # ANSI cast truncates
     return flat.groupBy("dim").agg(
         F.count("*").alias("n"),
-        (F.sum(F.col("v").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("mean_v"),
+        ((F.sum(scaled).cast("double") / F.lit(1e9)) / F.count("*")).alias("mean_v"),
     )
 
 
@@ -284,6 +288,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_DIMS = 16
 
+# trunc-scaled-integer sums (see embedding_moments note: decimal casts of
+# float32-derived doubles can tie on the rounding grid).
 _COV_ORACLE = f"""
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -294,9 +300,9 @@ p AS (
   SELECT a.dim AS dim_i, b.dim AS dim_j, a.v AS x, b.v AS y
   FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
 SELECT dim_i, dim_j, COUNT(*) AS n,
-  ((CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE)
-     - CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)
-       * CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*))
+  ((CAST(SUM(CAST(trunc(x * y * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000.0
+     - (CAST(SUM(CAST(trunc(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+       * (CAST(SUM(CAST(trunc(y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*))
     / (COUNT(*) - 1)) AS cov
 FROM p GROUP BY dim_i, dim_j
 """
@@ -319,9 +325,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = flat.select("vec_id", F.col("dim").alias("dim_j"), F.col("v").alias("y"))
     p = a.join(b, ["vec_id"]).filter(F.col("dim_i") <= F.col("dim_j"))
     n = F.count("*")
-    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).cast("double")
-    sx = F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
-    sy = F.sum(F.col("y").cast("decimal(38,9)")).cast("double")
+    sxy = F.sum(F.expr("CAST(x * y * 1000000000000.0 AS BIGINT)")).cast("double") / F.lit(1e12)
+    sx = F.sum(F.expr("CAST(x * 1000000000.0 AS BIGINT)")).cast("double") / F.lit(1e9)
+    sy = F.sum(F.expr("CAST(y * 1000000000.0 AS BIGINT)")).cast("double") / F.lit(1e9)
     return p.groupBy("dim_i", "dim_j").agg(
         n.alias("n"),
         ((sxy - sx * sy / n) / (n - F.lit(1))).alias("cov"),
