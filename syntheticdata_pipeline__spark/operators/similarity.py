@@ -20,8 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import unit_rand_sql
-from ..functions.vectors import dot, dot_sql
+from ..functions.vectors import dot
 
 
 def brute_force_topk(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import tokens
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Deliberately deterministic and engine-portable.

@@ -12,7 +12,6 @@ from ..functions.text import tokens, tokens_sql
 from ..operators.neardup import (
     jaccard,
     jaccard_sql,
-    minhash_signature,
     minhash_signature_sql,
     simhash_bits,
     simhash_bits_sql,
@@ -24,7 +23,6 @@ from ..operators.textops import (
     LANG_STOPWORDS,
     fingerprint,
     fingerprint_sql,
-    lang_scores,
     predict_lang,
     quality_score,
     token_stats,
@@ -232,7 +230,14 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("ck"),
     )
-    survivors = first_wins(keyed, ["ck"], [F.col("doc_id")]).select("doc_id", "lang", "text")
+    # barrier: survivors feed three consumers (minhash, shingle verify,
+    # final anti-join) — the exchange is computed once and reused instead
+    # of re-running the dedup window per consumer
+    survivors = (
+        first_wins(keyed, ["ck"], [F.col("doc_id")])
+        .select("doc_id", "lang", "text")
+        .repartition("doc_id")
+    )
 
     cand = minhash_lsh_pairs(
         survivors, id_col="doc_id", text_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS

@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import unit_rand_sql
 from ..functions.text import extract_product_id, extract_product_id_sql
 from ..operators.sampling import weighted_choice, weighted_choice_sql
 from . import register

@@ -50,7 +50,6 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 def main() -> int:
     import duckdb
-    from pyspark.sql import SparkSession
 
     from syntheticdata_pipeline__spark.session import get_spark
 
