@@ -110,6 +110,73 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Decontamination: drop training documents that share any word-5-gram
+# with the held-out test split (the benchmark-leakage guard every
+# pretraining corpus runs).
+# --------------------------------------------------------------------------
+
+from ..operators.neardup import word_shingles, word_shingles_sql  # noqa: E402
+
+_DECON_N = 5
+
+def _split_sql() -> str:
+    return f"CASE {_split_cases} ELSE '{_bounds[-1][0]}' END"
+
+
+_DECON_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, text, {_split_sql()} AS split FROM documents),
+test_grams AS (
+  SELECT DISTINCT unnest({word_shingles_sql('text', _DECON_N)}) AS gram
+  FROM s WHERE split = 'test'),
+train AS (SELECT doc_id, lang, {word_shingles_sql('text', _DECON_N)} AS grams
+          FROM s WHERE split = 'train'),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+  JOIN test_grams g ON t.gram = g.gram)
+SELECT lang,
+  COUNT(*) AS n_train,
+  SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+FROM train LEFT JOIN contaminated c USING (doc_id)
+GROUP BY lang
+"""
+
+
+@register("decontaminate_train", oracle=_DECON_ORACLE, tags=("dataset-prep", "dedup-exact"))
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word-5-gram
+    with the test split are flagged. Plan: the test side's distinct grams
+    are small → broadcast semi-join against exploded train postings (one
+    corpus scan, no quadratic step)."""
+    d = T(spark, sf_dir, "documents")
+    s = deterministic_split(d, F.col("doc_id"), _FRACTIONS)
+    test_grams = (
+        s.filter(F.col("split") == "test")
+        .select(F.explode(word_shingles(F.col("text"), _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    train = s.filter(F.col("split") == "train").select(
+        "doc_id", "lang", word_shingles(F.col("text"), _DECON_N).alias("grams")
+    ).repartition("doc_id")
+    contaminated = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(test_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("n_contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Distribution reporting: percentiles (filter-threshold selection) and
 # fixed-bin histograms — the corpus profiling pass before setting quality
 # cutoffs.
