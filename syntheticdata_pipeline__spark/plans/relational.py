@@ -513,6 +513,43 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew-safe two-phase aggregation: salt → partial agg → final agg.
+# Result is value-identical to the direct groupBy (which is the oracle) —
+# the plan, not the answer, changes.
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT l_returnflag, COUNT(*) AS n_items, {dsum_sql('l_extendedprice')} AS revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("salted_skew_aggregate", oracle=_SALTED_ORACLE, tags=("skew", "A1"))
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via salting: phase 1 groups on (key, salt
+    bucket) spreading a skewed key over 16 reducers; phase 2 merges the
+    partials. Decimal partials make the merge exact — the result hashes
+    identically to the one-shot groupBy oracle. This is the manual form
+    of what AQE skew-split does for joins, needed for skewed groupBys."""
+    from ..functions.determinism import hash_bucket
+
+    li = T(spark, sf_dir, "lineitem")
+    dec = "decimal(38,2)"
+    phase1 = (
+        li.withColumn("__salt", hash_bucket(F.col("l_orderkey"), 16))
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("psum"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_items"),
+        F.sum("psum").cast("double").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A11: exact state cardinality (len(seen sets), test_kimono_ec2.py:358).
 # --------------------------------------------------------------------------
 

@@ -88,6 +88,36 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension (the site-config dispatch J4 in streaming form). The static
+    side is re-resolved per micro-batch — config updates flow in without
+    restarting the query."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks + a bounded time condition
+    — both state stores evict beyond watermark+interval, keeping state
+    finite (the join the reference's batch loops can't express)."""
+    l_w = left.withWatermark(left_ts, watermark)
+    r_w = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_w[on] == r_w[on])
+        & (r_w[right_ts] >= l_w[left_ts] - F.expr(f"INTERVAL {within}"))
+        & (r_w[right_ts] <= l_w[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l_w.join(r_w, cond)
+
+
 def run_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     """Execute a streaming query with availableNow + memory sink and return
     the materialized result table (synchronous; used by correctness
