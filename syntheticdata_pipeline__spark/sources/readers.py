@@ -104,6 +104,31 @@ def write_text_rendered(df: DataFrame, text_col: str, path: str) -> None:
     df.select(F.col(text_col).alias("value")).write.mode("overwrite").text(path)
 
 
+def write_keyed_overwrite(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Idempotent keyed sink (SURVEY §7.4): re-writing records for the
+    same keys REPLACES them instead of duplicating — the property that
+    makes Spark task retries + non-idempotent upstream side effects safe
+    (the reference gets this by overwriting files keyed by product_id,
+    any_scraper.py:776).
+
+    Implementation: dynamic partition overwrite on a stable hash bucket
+    of the key — a batch touches only the partitions it contains, other
+    buckets are untouched. Readers dedup by key (first_wins) in case a
+    batch itself carried duplicates.
+    """
+    from ..functions.determinism import hash_bucket
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.withColumn("__bucket", hash_bucket(F.col(key_col), n_buckets))
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
 def write_summary_json(df: DataFrame, path: str) -> None:
     """K6: small aggregate → single JSON (edit_model_pipeline.py:181-187)."""
     df.coalesce(1).write.mode("overwrite").json(path)
