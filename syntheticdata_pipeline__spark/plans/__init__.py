@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         events_q,
         pipeline_q,
         relational,
+        sketches_q,
         temporal_q,
         textual,
         vectors_q,

@@ -1,0 +1,80 @@
+"""Sketch queries: deterministic (md5-based) approximate aggregates with
+exact oracle twins — the sketches themselves are reproducible across
+engines, so even the approximation error is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import unit_rand_sql
+from ..operators.sketches import countmin_estimate, countmin_tables, kmv_distinct, kmv_distinct_sql
+from . import register
+from .common import T
+
+_K = 64
+
+
+_KMV_ORACLE = f"""
+WITH est AS ({kmv_distinct_sql('events', 'event_type', 'user_id', _K)}),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT e.event_type, e.distinct_est, x.n_exact
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+@register("kmv_distinct_users", oracle=_KMV_ORACLE, tags=("sketch", "A11"))
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV(64) distinct-user estimate per event type, alongside the exact
+    count — a reproducible (md5-hashed) alternative to HLL with fixed
+    k·group memory and mergeable partials."""
+    ev = T(spark, sf_dir, "events")
+    est = kmv_distinct(ev, ["event_type"], F.col("user_id"), k=_K)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
+_CM_DEPTH, _CM_WIDTH = 3, 64
+
+_cm_hash = lambda d: (  # noqa: E731 - shared by the oracle string below
+    f"CAST(CAST('0x' || substr(md5('cm{d}|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CM_WIDTH} AS INTEGER)"
+)
+
+_cm_union = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_cm_hash(d)} AS bucket FROM events" for d in range(_CM_DEPTH)
+)
+_cm_probe_union = " UNION ALL ".join(
+    f"SELECT user_id, {d} AS d, {_cm_hash(d)} AS bucket FROM probe_keys" for d in range(_CM_DEPTH)
+)
+
+_CM_ORACLE = f"""
+WITH sketch AS (
+  SELECT d, bucket, COUNT(*) AS n FROM ({_cm_union}) GROUP BY d, bucket),
+probe_keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+probes AS ({_cm_probe_union}),
+joined AS (
+  SELECT p.user_id, coalesce(s.n, 0) AS n
+  FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket),
+exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events WHERE user_id < 20 GROUP BY user_id)
+SELECT j.user_id, MIN(j.n) AS freq_est, ANY_VALUE(x.n_exact) AS n_exact
+FROM joined j JOIN exact x USING (user_id)
+GROUP BY j.user_id
+"""
+
+
+@register("countmin_user_freq", oracle=_CM_ORACLE, tags=("sketch", "A1"))
+def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min(3×64) event-frequency estimates for 20 probe users,
+    alongside exact counts — the CM tables are a tiny mergeable state
+    (d·w counters) however large the stream."""
+    ev = T(spark, sf_dir, "events")
+    sketch = countmin_tables(ev, F.col("user_id"), depth=_CM_DEPTH, width=_CM_WIDTH)
+    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = countmin_estimate(sketch, probes, "user_id", depth=_CM_DEPTH, width=_CM_WIDTH)
+    exact = (
+        ev.filter(F.col("user_id") < 20).groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    )
+    return est.withColumnRenamed("freq_est", "freq_est").join(exact, "user_id").select(
+        "user_id", F.col("freq_est").cast("bigint").alias("freq_est"), "n_exact"
+    )
