@@ -139,6 +139,77 @@ def resize_stub(df: DataFrame, target: int = 512, content_col: str = "content") 
     return df.mapInPandas(kernel, schema=df.schema)
 
 
+def extract_features(
+    df: DataFrame, content_col: str = "content", dim: int = 16, out_col: str = "features"
+) -> DataFrame:
+    """Feature-extraction kernel: binary payload → fixed-dim float vector
+    via mapInPandas. Without a vision model in the container, the
+    deterministic stand-in derives features from the payload digest — the
+    schema (array<float>), batching, and downstream joinability (feeds
+    operators/similarity.py) are the real tested surface."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[content_col]:
+                h = hashlib.md5(bytes(payload or b"")).digest()
+                raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+                v = (raw.astype(np.float64) / 2**32) - 0.5
+                v /= np.linalg.norm(v) or 1.0
+                feats.append(v.astype(np.float32).tolist())
+            out = pdf.drop(columns=[content_col])
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    n_frames: int = 4,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Frame-sampling kernel: one binary "video" row → n evenly-spaced
+    frame rows (asset_id, frame_index, frame_bytes). The fan-out happens
+    inside mapInPandas (no driver involvement); a real decoder slots into
+    the byte-slicing stand-in."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(payload or b"")
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(data[i * step : (i + 1) * step])
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_bytes": frames})
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def ssim_pairs(
     df: DataFrame,
     a_col: str,

@@ -73,6 +73,36 @@ def test_resize_stub_schema_preserved(spark):
     assert out.schema == df.schema and out.count() == 1
 
 
+def test_extract_features_deterministic_unit_vectors(spark):
+    from syntheticdata_pipeline__spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, bytearray(b"payload-b"))],
+        "asset_id long, content binary",
+    )
+    out = {r.asset_id: r.features for r in extract_features(df, dim=16).collect()}
+    assert len(out[1]) == 16
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    again = {r.asset_id: r.features for r in extract_features(df, dim=16).collect()}
+    assert out == again  # deterministic
+    assert out[1] != out[2]
+
+
+def test_sample_frames_fanout(spark):
+    from syntheticdata_pipeline__spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(64))))], "asset_id long, content binary"
+    )
+    frames = sample_frames(df, n_frames=4).collect()
+    assert len(frames) == 4
+    assert sorted(r.frame_index for r in frames) == [0, 1, 2, 3]
+    assert all(len(r.frame_bytes) == 16 for r in frames)
+    # frames reassemble the prefix of the payload in order
+    assert b"".join(bytes(r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_index)) == bytes(range(64))
+
+
 def test_resolution_and_aspect_predicates(spark):
     """F1/F2 on the reference's spec values (image_utils.py:12-29)."""
     df = spark.createDataFrame(
