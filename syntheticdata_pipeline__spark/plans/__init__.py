@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         sketches_q,
         temporal_q,
+        tpch_q,
         textual,
         vectors_q,
     )
