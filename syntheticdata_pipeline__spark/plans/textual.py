@@ -134,6 +134,84 @@ def hires_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D2: filename-keyed dedup — first occurrence per extracted image id
+# (test_kimono.py:374-386).
+# --------------------------------------------------------------------------
+
+_FNAME_DEDUP_ORACLE = f"""
+WITH u AS (SELECT p_partkey, {_IMG_DUCK} AS src FROM part),
+keyed AS (SELECT p_partkey, src, {extract_image_id_sql('src')} AS image_id FROM u),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY p_partkey) rn
+  FROM keyed)
+SELECT image_id, p_partkey AS first_partkey FROM ranked WHERE rn = 1
+"""
+
+
+@register("filename_dedup", oracle=_FNAME_DEDUP_ORACLE, tags=("D2", "D1", "T3"))
+def filename_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by extracted base-filename/image id, first occurrence wins —
+    the D2 variant of the order-preserving window dedup."""
+    from ..operators.dedup import first_wins
+
+    p = T(spark, sf_dir, "part")
+    keyed = p.select(
+        "p_partkey",
+        extract_image_id(F.expr(_IMG_SPARK)).alias("image_id"),
+    )
+    return first_wins(keyed, ["image_id"], [F.col("p_partkey")]).select(
+        "image_id", F.col("p_partkey").alias("first_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 + implicit union (SURVEY §2.6): multi-selector link accumulation with
+# nav-link exclusion (test_kimono.py:330-335, 589-595).
+# --------------------------------------------------------------------------
+
+_NAV_ORACLE = """
+WITH sel1 AS (
+  SELECT o_orderkey, '/products/item-' || CAST(o_orderkey AS VARCHAR) AS href FROM orders
+  WHERE o_orderkey % 3 = 0),
+sel2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '/cart/add-' || CAST(o_orderkey AS VARCHAR)
+              WHEN o_orderkey % 5 = 1 THEN '/account/settings'
+              WHEN o_orderkey % 5 = 2 THEN '/search?q=' || CAST(o_orderkey AS VARCHAR)
+              ELSE '/products/item-' || CAST(o_orderkey AS VARCHAR) END AS href
+  FROM orders WHERE o_orderkey % 2 = 0),
+unioned AS (SELECT href FROM sel1 UNION SELECT href FROM sel2)
+SELECT href FROM unioned
+WHERE NOT regexp_matches(href, '/cart|/account|/search')
+"""
+
+
+@register("nav_link_exclusion", oracle=_NAV_ORACLE, tags=("F6", "D3", "union"))
+def nav_link_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two selector passes accumulate candidate links (implicit union →
+    unionByName + distinct), then nav routes are excluded (F6)."""
+    o = T(spark, sf_dir, "orders")
+    sel1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("/products/item-"), F.col("o_orderkey").cast("string")).alias("href")
+    )
+    sel2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(F.lit("/cart/add-"), F.col("o_orderkey").cast("string")),
+        )
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("/account/settings"))
+        .when(
+            F.col("o_orderkey") % 5 == 2,
+            F.concat(F.lit("/search?q="), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/products/item-"), F.col("o_orderkey").cast("string")))
+        .alias("href")
+    )
+    unioned = sel1.unionByName(sel2).distinct()
+    return unioned.filter(~F.col("href").rlike("/cart|/account|/search"))
+
+
+# --------------------------------------------------------------------------
 # T4/T15/D10: slugify + duration formatting + truncation.
 # --------------------------------------------------------------------------
 
