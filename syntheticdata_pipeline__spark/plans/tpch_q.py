@@ -144,6 +144,108 @@ def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- Q4-shape: order-priority checking (EXISTS ⇒ left-semi join) -------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", oracle=_Q4_ORACLE, tags=("tpch", "J3", "A1"))
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 item shipped >90 days after order —
+    EXISTS as a left-semi join (adapted: no commit/receipt dates in the
+    fixture, lateness vs orderdate instead)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- Q6-shape: forecasting revenue change (pure range-filter agg) ------------
+
+_Q6_ORACLE = f"""
+SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))', scale=4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("tpch", "F1"))
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate pushes to the scan; one global decimal
+    sum — the minimal scan-dominated query."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# --- Q18-shape: large-volume customers (HAVING + join back) ------------------
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 150)
+SELECT c.c_name, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("tpch_q18_large_orders", oracle=_Q18_ORACLE, tags=("tpch", "A1", "J2"))
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-filter (HAVING) then join the surviving
+    keys back to the dims."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey", F.col("__q").cast("double").alias("total_qty"))
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
+    return j.select(
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_totalprice",
+        "total_qty",
+    )
+
+
 # --- Q10-shape: returned-item reporting --------------------------------------
 
 _Q10_ORACLE = f"""
