@@ -238,6 +238,94 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# M11/A9: full Inception-Score computation — softmax over the first 10
+# dims as class probabilities, per-row KL vs the split's mean
+# distribution, IS = exp(mean KL) per split (metrics.py:199-212).
+# All sequential folds + trunc-scaled integer sums; exp/log libm noise
+# (≤1 ulp/element) is absorbed by round(·, 6) at the output.
+# --------------------------------------------------------------------------
+
+_IS_DIMS = 10
+_IS_SPLITS = 4
+
+
+def _softmax_sql(vec: str) -> str:
+    head = f"list_transform({vec}[1:{_IS_DIMS}], x -> exp(CAST(x AS DOUBLE)))"
+    total = f"list_reduce(list_prepend(0.0::DOUBLE, {head}), (a, b) -> a + b)"
+    return f"list_transform({head}, e -> e / {total})"
+
+
+_IS_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, ntile({_IS_SPLITS}) OVER (ORDER BY vec_id) AS split,
+         {_softmax_sql('embedding')} AS probs
+  FROM embeddings),
+flat AS (
+  SELECT split, vec_id, generate_subscripts(probs, 1) AS dim, unnest(probs) AS pr
+  FROM p),
+meanp AS (
+  SELECT split, dim,
+    CAST(SUM(CAST(trunc(pr * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0
+      / COUNT(*) AS mp
+  FROM flat GROUP BY split, dim),
+kl AS (
+  SELECT f.split, f.vec_id,
+         SUM(f.pr * ln(f.pr / m.mp)) AS kl_row
+  FROM flat f JOIN meanp m ON f.split = m.split AND f.dim = m.dim
+  GROUP BY f.split, f.vec_id),
+agg AS (
+  SELECT split,
+    CAST(SUM(CAST(trunc(kl_row * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0
+      / COUNT(*) AS mean_kl
+  FROM kl GROUP BY split)
+SELECT split, round(exp(mean_kl), 6) AS inception_score FROM agg
+"""
+
+
+@register("inception_score_splits", oracle=_IS_ORACLE, tags=("M11", "A9"))
+def inception_score_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS per ntile split: softmax(first 10 dims) → KL(p‖p̄_split) per row
+    → exp(mean KL). The KL sum over dims is a grouped aggregation of
+    per-(row, dim) terms — the same trunc-scaled determinism as the
+    moment queries."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    head = F.transform(
+        F.slice(F.col("embedding"), 1, _IS_DIMS), lambda x: F.exp(x.cast("double"))
+    )
+    total = F.aggregate(head, F.lit(0.0), lambda a, b: a + b)
+    p = e.select(
+        "vec_id",
+        F.ntile(_IS_SPLITS).over(Window.orderBy("vec_id")).alias("split"),
+        F.transform(head, lambda ex: ex / total).alias("probs"),
+    )
+    flat = p.select(
+        "split", "vec_id", F.posexplode("probs").alias("pos", "pr")
+    ).select("split", "vec_id", (F.col("pos") + 1).alias("dim"), "pr")
+    meanp = flat.groupBy("split", "dim").agg(
+        (
+            F.sum(F.expr("CAST(pr * 1000000000.0 AS BIGINT)")).cast("double")
+            / F.lit(1e9)
+            / F.count("*")
+        ).alias("mp")
+    )
+    kl = (
+        flat.join(meanp, ["split", "dim"])
+        .groupBy("split", "vec_id")
+        .agg(F.sum(F.col("pr") * F.log(F.col("pr") / F.col("mp"))).alias("kl_row"))
+    )
+    agg = kl.groupBy("split").agg(
+        (
+            F.sum(F.expr("CAST(kl_row * 1000000000.0 AS BIGINT)")).cast("double")
+            / F.lit(1e9)
+            / F.count("*")
+        ).alias("mean_kl")
+    )
+    return agg.select("split", F.round(F.exp("mean_kl"), 6).alias("inception_score"))
+
+
+# --------------------------------------------------------------------------
 # Norm validation (unit-norm corpus invariant).
 # --------------------------------------------------------------------------
 
