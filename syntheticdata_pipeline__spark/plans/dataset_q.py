@@ -90,7 +90,7 @@ packed AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                / {_BUDGET}) AS BIGINT) AS bin_id
   FROM toks)
-SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
 FROM packed GROUP BY lang, bin_id
 """
 
@@ -137,7 +137,7 @@ contaminated AS (
   JOIN test_grams g ON t.gram = g.gram)
 SELECT lang,
   COUNT(*) AS n_train,
-  SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
 FROM train LEFT JOIN contaminated c USING (doc_id)
 GROUP BY lang
 """

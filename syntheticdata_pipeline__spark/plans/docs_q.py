@@ -45,7 +45,7 @@ ranked AS (
   FROM keyed)
 SELECT lang,
        COUNT(*) AS n_unique,
-       SUM(grp_n - 1) AS n_dropped
+       CAST(SUM(grp_n - 1) AS BIGINT) AS n_dropped
 FROM ranked WHERE rn = 1
 GROUP BY lang
 """
@@ -72,7 +72,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_unique"),
-            F.sum(F.col("grp_n") - 1).alias("n_dropped"),
+            F.sum(F.col("grp_n") - 1).cast("bigint").alias("n_dropped"),
         )
     )
 
@@ -291,9 +291,9 @@ WITH s AS (
          len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_pieces
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars_m) AS total_chars,
-       SUM(n_bpe_pieces) AS total_bpe_pieces
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
+       CAST(SUM(n_bpe_pieces) AS BIGINT) AS total_bpe_pieces
 FROM s GROUP BY source
 """
 

@@ -83,7 +83,7 @@ generated AS (
 SELECT tier, garment_type,
   COUNT(*) AS n_items,
   COUNT(DISTINCT o_orderpriority) AS n_priorities,
-  SUM(length(edit_prompt)) AS total_prompt_chars
+  CAST(SUM(length(edit_prompt)) AS BIGINT) AS total_prompt_chars
 FROM generated
 GROUP BY tier, garment_type
 """

@@ -475,7 +475,7 @@ _GATES = [("color", 0.9), ("material", 0.7), ("pattern", 0.4), ("surface_detail"
 from ..functions.determinism import unit_rand_sql as _urs  # noqa: E402
 
 _GATES_ORACLE = "SELECT " + ", ".join(
-    f"SUM(CASE WHEN {_urs('c_custkey', f'gate|{cat}')} < {prob} THEN 1 ELSE 0 END) AS n_{cat}"
+    f"CAST(SUM(CASE WHEN {_urs('c_custkey', f'gate|{cat}')} < {prob} THEN 1 ELSE 0 END) AS BIGINT) AS n_{cat}"
     for cat, prob in _GATES
 ) + ", COUNT(*) AS n_total FROM customer"
 

@@ -26,6 +26,7 @@ TABLES = (
 
 
 def norm_value(v):
+    import decimal
     import math
 
     if v is None:
@@ -36,9 +37,56 @@ def norm_value(v):
         return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        # Keep Decimal visibly distinct from int/float: the driver's typed
+        # normalizer renders DuckDB HUGEINT/DECIMAL differently from Spark
+        # BIGINT (the r1 hash-FAIL root cause), so the local gate must too.
+        return f"dec:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return str(v)
+
+
+def canon_type(t: str) -> str:
+    """Coarse cross-engine type class. Integer widths and timestamp units
+    collapse; DECIMAL stays distinct so a DuckDB HUGEINT (decimal128(38,0)
+    in Arrow) vs Spark BIGINT divergence is a visible type mismatch."""
+    t = t.strip().lower()
+    if t.startswith(("list<", "array<")):
+        inner = t[t.index("<") + 1 : t.rindex(">")]
+        # arrow spells it "list<item: int64>"
+        if ":" in inner:
+            inner = inner.split(":", 1)[1]
+        return f"array<{canon_type(inner)}>"
+    if t.startswith("decimal"):
+        return "decimal"
+    for cls, names in (
+        ("int", ("tinyint", "smallint", "int", "bigint", "integer", "hugeint")),
+        ("float", ("float", "double", "halffloat", "real")),
+        ("str", ("string", "varchar", "large_string", "utf8", "large_utf8")),
+        ("bool", ("bool", "boolean")),
+        ("date", ("date",)),
+        ("timestamp", ("timestamp",)),
+        ("binary", ("binary", "large_binary", "blob")),
+    ):
+        for n in names:
+            if t == n or t.startswith(n):
+                return cls
+    return t
+
+
+def fetch_duck(res):
+    """Fetch a DuckDB result via Arrow so type divergences survive into the
+    hash (HUGEINT → decimal128(38,0) → decimal.Decimal values)."""
+    tbl = res.fetch_arrow_table()
+    types = {f.name: canon_type(str(f.type)) for f in tbl.schema}
+    cols = tbl.schema.names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows, types
+
+
+def type_map_spark(sdf) -> dict[str, str]:
+    return {f.name: canon_type(f.dataType.simpleString()) for f in sdf.schema.fields}
 
 
 def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
@@ -90,16 +138,21 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows, dtypes = fetch_duck(res)
             dhash, dn = frame_hash(dcols, drows)
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")
             traceback.print_exc(limit=4)
             n_fail += 1
             continue
+        stypes = type_map_spark(sdf)
         ok_cols = sorted(scols) == sorted(dcols)
-        ok = ok_cols and sn == dn and shash == dhash
+        type_mism = {
+            c: (stypes.get(c), dtypes.get(c))
+            for c in scols
+            if ok_cols and stypes.get(c) != dtypes.get(c)
+        }
+        ok = ok_cols and sn == dn and shash == dhash and not type_mism
         status = "PASS" if ok else "FAIL"
         n_pass += ok
         n_fail += not ok
@@ -107,6 +160,8 @@ def main() -> int:
         if not ok:
             if not ok_cols:
                 extra = f" cols spark={sorted(scols)} duck={sorted(dcols)}"
+            elif type_mism:
+                extra = f" types {type_mism}"
             elif sn != dn:
                 extra = f" rows spark={sn} duck={dn}"
             else:
