@@ -35,14 +35,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["report_order_fulfillment"].build(spark, _SMOKE_SF_DIR)
 
 
+# Queries whose implementation changed since the last driver round: verify
+# them right after the never-checked ones even if previously green.
+_CHANGED_THIS_ROUND = (
+    "token_overlap_pairs",
+    "split_mean_labels",
+    "inception_score_splits",
+)
+
+
+def _catalog_order(names: list[str]) -> list[str]:
+    """Order the catalog so the driver's (possibly capped) verification pass
+    covers the queries with the least evidence first: never-driver-checked,
+    then changed-this-round, then checked-but-not-green, then green.
+    Within a tier, registry (module import) order is kept."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    green: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for k, v in rows.items():
+            ok = bool(
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            )
+            green[k] = ok or green.get(k, False)
+
+    def tier(name: str) -> int:
+        if name not in green:
+            return 0
+        if name in _CHANGED_THIS_ROUND:
+            return 1
+        return 2 if not green[name] else 3
+
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (tier(n), idx[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator/query from SURVEY.md §2."""
+    """One entry per implemented operator/query from SURVEY.md §2, ordered
+    least-verified-first (see _catalog_order)."""
     registry = load_all()
-    return {name: spec.build for name, spec in registry.items()}
+    return {name: registry[name].build for name in _catalog_order(list(registry))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle twin for every SQL-expressible query (same column
     aliases — the driver hashes values after sorting columns by name)."""
     registry = load_all()
-    return {name: spec.oracle for name, spec in registry.items() if spec.oracle is not None}
+    return {
+        name: registry[name].oracle
+        for name in _catalog_order(list(registry))
+        if registry[name].oracle is not None
+    }
