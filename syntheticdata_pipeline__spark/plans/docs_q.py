@@ -436,18 +436,35 @@ WHERE len(list_intersect(a.big_toks, b.big_toks)) > 0
 @register("token_overlap_pairs", oracle=_OVERLAP_ORACLE, tags=("F5",))
 def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-source doc pairs sharing at least one >3-char token (the
-    filename/handle token-match predicate F5)."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.filter(F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3).alias(
-            "big_toks"
-        ),
+    filename/handle token-match predicate F5).
+
+    Inverted-index shape (same as operators.neardup.jaccard_pairs_inverted):
+    explode distinct big tokens into postings, equi-join postings on
+    (source, token), distinct the surviving pairs. Pairs sharing no token
+    never materialize — the self-join-then-arrays_overlap form is O(n² per
+    source block) and dies at scale. The repartition on the join keys is a
+    barrier so tokenize+explode runs once and ReuseExchange feeds both join
+    sides from the same exchange."""
+    posts = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3)
+            ).alias("token"),
+        )
+        .repartition("source", "token")
     )
-    a = d.alias("a")
-    b = d.alias("b")
+    a = posts.alias("a")
+    b = posts.alias("b")
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(F.arrays_overlap(F.col("a.big_toks"), F.col("b.big_toks")))
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
