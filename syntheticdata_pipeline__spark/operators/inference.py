@@ -108,4 +108,4 @@ def accept_reject_filter(
             yield pdf
 
     out = df.mapInPandas(kernel, schema=out_schema)
-    return out.filter(F.col("accepted") == keep_accepted) if keep_accepted else out
+    return out.filter(F.col("accepted") == F.lit(keep_accepted))

@@ -35,20 +35,30 @@ def asof_join(
     units as the time columns) drops matches older than the window.
     """
     key_cols = list(on)
+    # Timestamp and values travel in ONE struct built only from right rows,
+    # so last(ignorenulls) can never pair a stale value with a newer right
+    # timestamp (a right row whose value column is NULL still advances the
+    # carried timestamp, matching merge-asof row semantics).
+    rrow_type = (
+        "struct<__rt: long, "
+        + ", ".join(f"__rv_{v}: {right.schema[v].dataType.simpleString()}" for v in right_values)
+        + ">"
+    )
     l_tag = left.select(
         *key_cols,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__rv_{v}") for v in right_values],
-        F.lit(None).cast("long").alias("__rt"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
     )
     r_tag = right.select(
         *key_cols,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(v).alias(f"__rv_{v}") for v in right_values],
-        F.col(right_time).cast("long").alias("__rt"),
+        F.struct(
+            F.col(right_time).cast("long").alias("__rt"),
+            *[F.col(v).alias(f"__rv_{v}") for v in right_values],
+        ).alias("__rrow"),
         F.lit(None).cast(
             "struct<" + ", ".join(f"{c}: {left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
         ).alias("__lrow"),
@@ -63,11 +73,11 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__rv_{v}", ignorenulls=True).over(w).alias(f"__c_{v}")
-            for v in right_values
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__crow"),
+    ).select(
+        "*",
+        *[F.col(f"__crow.__rv_{v}").alias(f"__c_{v}") for v in right_values],
+        F.col("__crow.__rt").alias("__c_rt"),
     )
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
@@ -101,17 +111,22 @@ def range_join_buckets(
 
     A naive theta-join degenerates to per-key cross products; here both
     sides are bucketed by ``bucket`` (default = radius) and the left side
-    explodes into its 3 candidate buckets — the join becomes an equi-join
-    on (key, bucket) with a final exact filter. Cost is O(pairs within
-    ±bucket), the canonical scalable range-join plan.
+    explodes into its 2k+1 candidate buckets, k = ceil(radius / bucket) —
+    the join becomes an equi-join on (key, bucket) with a final exact
+    filter. Cost is O(pairs within ±k·bucket), the canonical scalable
+    range-join plan; bucket < radius trades wider fan-out for smaller
+    bucket populations under skew.
     """
     b = bucket or radius
+    if b <= 0:
+        raise ValueError(f"bucket must be positive, got {b}")
+    k = -(-radius // b)  # ceil: bucket < radius needs a wider fan-out or pairs are missed
     # internal renames so identical time-column names on both sides can't
     # collide after the join
     l_r = left.withColumnRenamed(left_time, "__lt")
     r_r = right.withColumnRenamed(right_time, "__rt")
     lb = F.floor(F.col("__lt").cast("long") / F.lit(b)).cast("long")
-    l_b = l_r.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
+    l_b = l_r.withColumn("__b", F.explode(F.array(*[lb + i for i in range(-k, k + 1)])))
     r_b = r_r.withColumn(
         "__b", F.floor(F.col("__rt").cast("long") / F.lit(b)).cast("long")
     )

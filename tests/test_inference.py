@@ -66,3 +66,17 @@ def test_accept_reject_filter(spark):
     )
     kept = sorted(r.image for r in out.collect())
     assert kept == [f"img{i}" for i in range(0, 10, 2)]
+
+
+def test_accept_reject_filter_keep_rejected(spark):
+    """keep_accepted=False returns ONLY rejected rows (was: unfiltered)."""
+    df = spark.createDataFrame([(f"img{i}",) for i in range(10)], "image string")
+    out = accept_reject_filter(
+        df,
+        "image",
+        model_factory=lambda: (lambda x: int(x[3:]) % 2 == 0),
+        model_key="fake-rubric-neg",
+        keep_accepted=False,
+    )
+    kept = sorted(r.image for r in out.collect())
+    assert kept == [f"img{i}" for i in range(1, 10, 2)]

@@ -72,3 +72,31 @@ def test_multi_resolution_rollup_consistency(spark):
     assert n_1m == n_5m == 600
     assert len([r for r in rows if r.resolution == "1m"]) == 10
     assert len([r for r in rows if r.resolution == "5m"]) == 2
+
+
+def test_asof_join_null_right_value_advances_timestamp(spark):
+    """A newer right row whose value column is NULL must win as-of (row
+    semantics): the carried value is that row's NULL, not an older non-null
+    value, and the tolerance clock advances with it."""
+    trades = spark.createDataFrame([("A", 30, 1)], "sym string, t long, trade_id long")
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 28, None)], "sym string, t long, px double"
+    )
+    out = asof_join(trades, quotes, ["sym"], "t", "t", ["px"])
+    assert out.collect()[0].asof_px is None
+    # With tolerance 5 the match is the t=28 row (Δ2 ≤ 5) — still NULL px,
+    # NOT the stale 100.0 from t=10 (Δ20 would fail the tolerance anyway).
+    tol = asof_join(trades, quotes, ["sym"], "t", "t", ["px"], tolerance=5)
+    assert tol.collect()[0].asof_px is None
+
+
+def test_range_join_bucket_smaller_than_radius(spark):
+    """bucket < radius widens the explode fan-out (ceil(radius/bucket))
+    instead of silently missing pairs more than one bucket apart."""
+    left = spark.createDataFrame([("u", 100, 1)], "k string, t long, lid long")
+    right = spark.createDataFrame(
+        [("u", 75, 10), ("u", 124, 11), ("u", 131, 12)], "k string, t long, rid long"
+    )
+    out = range_join_buckets(left, right, ["k"], "t", "t", radius=25, bucket=10)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11)]  # Δ25 and Δ24 in; Δ31 out
