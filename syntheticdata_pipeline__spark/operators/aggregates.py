@@ -120,16 +120,22 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
 
 
 def split_mean(
-    df: DataFrame, order_col: str, value: Column, n_splits: int = 5
+    df: DataFrame, key_col: str, value: Column, n_splits: int = 5
 ) -> DataFrame:
-    """A9 (Inception-Score shape): ntile splits → per-split mean →
-    mean/std over splits (metrics.py:199-212). Deterministic via total
-    order on ``order_col``."""
-    from pyspark.sql import Window
+    """A9 (Inception-Score shape): deterministic splits → per-split mean →
+    mean/std over splits (metrics.py:199-212, which chunks a shuffled
+    array into N splits).
 
-    w = Window.orderBy(order_col)
+    Split assignment is a seeded md5 bucket of ``key_col`` — a map-side
+    expression, so the plan is two ordinary shuffled aggregations with no
+    global-order window (a single-partition ntile sort would serialize the
+    whole table through one task at scale). Same statistical intent as the
+    reference's shuffle-then-chunk: a uniform, data-independent partition
+    of rows into N groups."""
+    from ..functions.determinism import hash_bucket
+
     per_split = (
-        df.withColumn("split", F.ntile(n_splits).over(w))
+        df.withColumn("split", hash_bucket(F.col(key_col), n_splits, salt="is-split") + F.lit(1))
         .groupBy("split")
         .agg(davg(value, scale=6).alias("split_mean"))
     )

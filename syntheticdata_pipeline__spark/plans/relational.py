@@ -10,7 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg, davg_sql, dstddev, dstddev_sql, dsum, dsum_sql
+from ..functions.determinism import (
+    davg,
+    davg_sql,
+    dstddev,
+    dstddev_sql,
+    dsum,
+    dsum_sql,
+    hash_bucket_sql,
+)
 from ..operators.aggregates import max_by_deterministic, split_mean, status_pivot
 from ..operators.dedup import anti_join_state, first_wins, top_k_per_group
 from ..operators.joins import cross_pair_budget, merge_with_precedence
@@ -409,7 +417,8 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLITMEAN_ORACLE = f"""
 WITH s AS (
-  SELECT ntile(5) OVER (ORDER BY vec_id) AS split, CAST(label AS DOUBLE) AS v
+  SELECT {hash_bucket_sql('vec_id', 5, salt='is-split')} + 1 AS split,
+         CAST(label AS DOUBLE) AS v
   FROM embeddings),
 m AS (SELECT split, {davg_sql('v', scale=6)} AS split_mean FROM s GROUP BY split)
 SELECT {davg_sql('split_mean', scale=12)} AS mean_of_splits,
@@ -420,9 +429,10 @@ FROM m
 
 @register("split_mean_labels", oracle=_SPLITMEAN_ORACLE, tags=("A9",))
 def split_mean_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(5) splits over embeddings → per-split mean label → mean/std of
-    splits. Global-order ntile is driver-data-sized here; at scale IS
-    splits come pre-assigned (documented in operators.aggregates)."""
+    """md5-bucket splits over embeddings → per-split mean label → mean/std
+    of splits. The split id is a map-side seeded hash of vec_id (the
+    cluster form of the reference's shuffle-then-chunk, metrics.py:199-212)
+    — no global-order ntile window, so no single-partition sort at scale."""
     e = T(spark, sf_dir, "embeddings").select("vec_id", F.col("label").cast("double").alias("v"))
     return split_mean(e, "vec_id", F.col("v"), n_splits=5)
 

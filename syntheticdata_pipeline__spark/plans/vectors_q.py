@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.determinism import hash_bucket_sql
 from ..functions.vectors import (
     dot_sql,
     l2_norm,
@@ -257,7 +258,7 @@ def _softmax_sql(vec: str) -> str:
 
 _IS_ORACLE = f"""
 WITH p AS (
-  SELECT vec_id, ntile({_IS_SPLITS}) OVER (ORDER BY vec_id) AS split,
+  SELECT vec_id, {hash_bucket_sql('vec_id', _IS_SPLITS, salt='is-split')} + 1 AS split,
          {_softmax_sql('embedding')} AS probs
   FROM embeddings),
 flat AS (
@@ -284,11 +285,13 @@ SELECT split, round(exp(mean_kl), 6) AS inception_score FROM agg
 
 @register("inception_score_splits", oracle=_IS_ORACLE, tags=("M11", "A9"))
 def inception_score_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IS per ntile split: softmax(first 10 dims) → KL(p‖p̄_split) per row
-    → exp(mean KL). The KL sum over dims is a grouped aggregation of
+    """IS per md5-bucket split: softmax(first 10 dims) → KL(p‖p̄_split) per
+    row → exp(mean KL). Split assignment is a map-side seeded hash (the
+    cluster form of the reference's shuffle-then-chunk) — no global-order
+    ntile window. The KL sum over dims is a grouped aggregation of
     per-(row, dim) terms — the same trunc-scaled determinism as the
     moment queries."""
-    from pyspark.sql import Window
+    from ..functions.determinism import hash_bucket
 
     e = T(spark, sf_dir, "embeddings")
     head = F.transform(
@@ -297,7 +300,7 @@ def inception_score_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.aggregate(head, F.lit(0.0), lambda a, b: a + b)
     p = e.select(
         "vec_id",
-        F.ntile(_IS_SPLITS).over(Window.orderBy("vec_id")).alias("split"),
+        (hash_bucket(F.col("vec_id"), _IS_SPLITS, salt="is-split") + F.lit(1)).alias("split"),
         F.transform(head, lambda ex: ex / total).alias("probs"),
     )
     flat = p.select(
