@@ -261,6 +261,99 @@ def strip_html_sql(s: str) -> str:
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
 
 
+# --- T6b: relative-URL resolution (urljoin) -------------------------------------
+# Every scraped href goes through urljoin(product_url, src) in the reference
+# (any_scraper.py:284,444). This is the same resolution as a pure Spark
+# column expression (CPython urllib.parse.urljoin semantics, verified by
+# tests/test_functions.py parity grid): JVM-side, codegen-friendly, no UDF.
+# Base must be an absolute http(s)-style URL (the scraper invariant).
+
+_P_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+_P_ORIGIN = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+
+
+def _pop(acc: Column) -> Column:
+    """CPython's ``resolved_path.pop()`` with IndexError ignored."""
+    return (
+        F.when(F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1))
+        .when(F.size(acc) == 1, F.array().cast("array<string>"))
+        .otherwise(acc)
+    )
+
+
+def _drop_mid_empties(segs: Column) -> Column:
+    """CPython urljoin: ``segments[1:-1] = filter(None, segments[1:-1])`` —
+    interior empty segments (``a//b``) are collapsed; first/last kept."""
+    n = F.size(segs)
+    return F.when(n <= 2, segs).otherwise(
+        F.concat(
+            F.slice(segs, 1, 1),
+            F.filter(F.slice(segs, 2, n - 2), lambda x: x != ""),
+            F.slice(segs, -1, 1),
+        )
+    )
+
+
+def _resolve_segments(raw_segs: Column) -> Column:
+    """CPython urljoin's dot-segment resolution over a segment array:
+    interior empties collapsed, '.' dropped, '..' pops (ignoring
+    underflow), trailing '.'/'..' leaves a trailing slash; empty result
+    coerces to '/'; leading '/' is restored (urlunsplit inserts it when a
+    netloc is present)."""
+    segs = _drop_mid_empties(raw_segs)
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(x == ".", acc)
+        .when(x == "..", _pop(acc))
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    last = F.element_at(segs, -1)
+    resolved = F.when(
+        (last == ".") | (last == ".."), F.concat(resolved, F.array(F.lit("")))
+    ).otherwise(resolved)
+    path = F.array_join(resolved, "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(path.startswith("/"), path).otherwise(F.concat(F.lit("/"), path))
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """urljoin(base, href) as a Column expression (any_scraper.py:284,444)."""
+    h_scheme = F.regexp_extract(href, _P_SCHEME, 1)
+    b_scheme = F.regexp_extract(base, _P_SCHEME, 1)
+    origin = F.regexp_extract(base, _P_ORIGIN, 1)
+    b_path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    b_query = F.regexp_extract(base, r"^[^#?]*(\?[^#]*)", 1)  # '?...' or ''
+
+    # href components: path, then everything after it (query + fragment)
+    h_path = F.regexp_extract(href, r"^([^?#]*)", 1)
+    h_rest = F.substring(href, F.length(h_path) + F.lit(1), F.length(href))
+
+    rooted = _resolve_segments(F.split(h_path, "/"))
+    b_dir_segs = F.slice(
+        F.split(b_path, "/"), 1, F.size(F.split(b_path, "/")) - 1
+    )  # CPython: bpath.split('/')[:-1]
+    merged = _resolve_segments(F.concat(b_dir_segs, F.split(h_path, "/")))
+
+    return (
+        # different scheme, or same scheme with explicit netloc → href as-is
+        F.when((h_scheme != "") & (h_scheme != b_scheme), href)
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        # scheme-relative: inherit base scheme, no dot resolution
+        .when(href.startswith("//"), F.concat(b_scheme, F.lit(":"), href))
+        # empty → base verbatim (CPython keeps query AND fragment)
+        .when(href == "", base)
+        # fragment-only → base minus fragment, plus new fragment
+        .when(href.startswith("#"), F.concat(origin, b_path, b_query, href))
+        # query(+fragment) → base path with replaced query
+        .when(href.startswith("?"), F.concat(origin, b_path, href))
+        # rooted path → dot-resolved against origin
+        .when(h_path.startswith("/"), F.concat(origin, rooted, h_rest))
+        # relative path → merged with base dir, dot-resolved
+        .otherwise(F.concat(origin, merged, h_rest))
+    )
+
+
 # --- tokenization (shared by text-analysis operators) ---------------------------
 
 

@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         dataset_q,
         docs_q,
         events_q,
+        html_q,
         pipeline_q,
         relational,
         sketches_q,
