@@ -100,7 +100,10 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
             widths, heights, oks = [], [], []
             for payload in pdf[content_col]:
                 try:
-                    if _HAVE_PIL:
+                    arr = decode_ppm(bytes(payload or b""))
+                    if arr is not None:  # real container-native codec
+                        h, w = arr.shape[:2]
+                    elif _HAVE_PIL:
                         import io
 
                         from PIL import Image as _I
@@ -125,18 +128,137 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(kernel, schema=out_schema)
 
 
-def resize_stub(df: DataFrame, target: int = 512, content_col: str = "content") -> DataFrame:
-    """Resize kernel stub: real implementation needs PIL — the plumbing
-    (schema-preserving mapInPandas pass over binary) is exercised in tests
-    with the passthrough fake."""
-    if _HAVE_PIL:  # pragma: no cover - codec not in container
-        raise NotImplementedError("PIL present: wire the real resize kernel here")
+# --- real resize kernel ------------------------------------------------------
+# The netpbm P6 (PPM) codec below is a REAL image codec implemented with
+# numpy only — no external library — so resize is genuinely exercised in
+# this container. When PIL is present, non-PPM payloads (JPEG/PNG/WebP)
+# take the reference's path: Image.resize(..., LANCZOS)
+# (image_utils.py:31-36, any_scraper.py:301-318).
+
+
+def decode_ppm(data: bytes):
+    """Decode a binary PPM (P6, maxval 255) → (H, W, 3) uint8 array, or
+    None if the payload is not a well-formed P6."""
+    import re as _re
+
+    import numpy as np
+
+    if not data or not data.startswith(b"P6"):
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    m = _re.match(rb"P6\s+(?:#[^\n]*\n\s*)?(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    raster = data[m.end() : m.end() + w * h * 3]
+    if len(raster) != w * h * 3:
+        return None
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """(H, W, 3) uint8 array → binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def bilinear_resize(arr, out_w: int, out_h: int):
+    """Vectorized bilinear resample of an (H, W, C) uint8 array (numpy
+    only; half-pixel centers, the OpenCV/PIL convention)."""
+    import numpy as np
+
+    in_h, in_w = arr.shape[:2]
+    # sample positions: half-pixel-center mapping, clamped at borders
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = np.clip(xs, 0, in_w - 1)
+    ys = np.clip(ys, 0, in_h - 1)
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    wx = (xs - x0)[None, :, None]
+    wy = (ys - y0)[:, None, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 512,
+    height: int = 512,
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize binary image payloads to (width, height) via mapInPandas.
+
+    Per payload: PPM/P6 → numpy bilinear (real, container-native);
+    other formats with PIL present → ``Image.resize(LANCZOS)``
+    (image_utils.py:31-36); otherwise ``resize_ok='unsupported'`` with the
+    payload passed through untouched. Binary bytes never visit the driver;
+    batch memory is bounded by Arrow's maxRecordsPerBatch."""
+    fields = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(
+        fields
+        + [
+            StructField(content_col, BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resize_ok", StringType()),
+        ]
+    )
 
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
-            yield pdf  # passthrough fake; schema unchanged
+            contents, widths, heights, oks = [], [], [], []
+            for payload in pdf[content_col]:
+                data = bytes(payload or b"")
+                arr = decode_ppm(data)
+                if arr is not None:
+                    resized = bilinear_resize(arr, width, height)
+                    contents.append(encode_ppm(resized))
+                    widths.append(width)
+                    heights.append(height)
+                    oks.append("ok")
+                elif _HAVE_PIL:  # pragma: no cover - codec not in container
+                    import io
 
-    return df.mapInPandas(kernel, schema=df.schema)
+                    from PIL import Image as _I
+
+                    try:
+                        with _I.open(io.BytesIO(data)) as im:
+                            fmt = im.format or "PNG"
+                            resized = im.resize((width, height), _I.LANCZOS)
+                            buf = io.BytesIO()
+                            resized.save(buf, format=fmt)
+                        contents.append(buf.getvalue())
+                        widths.append(width)
+                        heights.append(height)
+                        oks.append("ok")
+                    except Exception:
+                        contents.append(data)
+                        widths.append(None)
+                        heights.append(None)
+                        oks.append("corrupt")
+                else:
+                    contents.append(data)
+                    widths.append(None)
+                    heights.append(None)
+                    oks.append("unsupported")
+            import pandas as pd
+
+            out = pdf.drop(columns=[content_col])
+            out[content_col] = contents
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["resize_ok"] = oks
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def extract_features(

@@ -7,9 +7,12 @@ import pyspark.sql.functions as F
 
 from syntheticdata_pipeline__spark.operators.multimodal import (
     aspect_ratio_ok,
+    bilinear_resize,
     decode_images,
+    decode_ppm,
+    encode_ppm,
     min_resolution_ok,
-    resize_stub,
+    resize_images,
 )
 from syntheticdata_pipeline__spark.sources.readers import (
     read_jsonl_tolerant,
@@ -67,10 +70,74 @@ def test_decode_images_fake_kernel(spark):
     assert (rows[1].width, rows[1].height) == (again[1].width, again[1].height)
 
 
-def test_resize_stub_schema_preserved(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, content binary")
-    out = resize_stub(df)
-    assert out.schema == df.schema and out.count() == 1
+def _gradient_ppm(w: int, h: int) -> bytes:
+    """Real P6 image: R ramps left→right, G ramps top→bottom, B constant."""
+    import numpy as np
+
+    x = np.linspace(0, 255, w, dtype=np.float64)
+    y = np.linspace(0, 255, h, dtype=np.float64)
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.rint(np.tile(x, (h, 1)))
+    arr[:, :, 1] = np.rint(np.tile(y[:, None], (1, w)))
+    arr[:, :, 2] = 77
+    return encode_ppm(arr)
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    data = _gradient_ppm(8, 6)
+    arr = decode_ppm(data)
+    assert arr.shape == (6, 8, 3)
+    assert decode_ppm(encode_ppm(arr)).tobytes() == arr.tobytes()
+    assert decode_ppm(b"nope") is None
+    assert decode_ppm(b"P6\n2 2\n255\nshort") is None  # truncated raster
+    solid = np.full((3, 3, 3), 9, dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(solid)) == 9).all()
+
+
+def test_bilinear_resize_math():
+    import numpy as np
+
+    # solid image stays exactly solid at any scale
+    solid = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert (bilinear_resize(solid, 512, 512) == 123).all()
+    # identity scale is exact
+    grad = decode_ppm(_gradient_ppm(16, 16))
+    assert (bilinear_resize(grad, 16, 16) == grad).all()
+    # 2x2 checkerboard downsampled to 1x1 = average of the four pixels
+    quad = np.array(
+        [[[0, 0, 0], [100, 100, 100]], [[200, 200, 200], [50, 50, 50]]], dtype=np.uint8
+    )
+    assert (bilinear_resize(quad, 1, 1)[0, 0] == 88).all()  # rint(87.5) → banker's 88
+    # monotone ramp stays monotone after resize
+    r = bilinear_resize(grad, 9, 9)[:, :, 0]
+    assert (np.diff(r.astype(int), axis=1) >= 0).all()
+
+
+def test_resize_images_kernel(spark):
+    """Real resize end-to-end: P6 in → P6 out at target dims; non-image
+    payloads pass through marked unsupported (no PIL in container)."""
+    rows = [
+        (1, bytearray(_gradient_ppm(64, 48))),
+        (2, bytearray(b"not-an-image")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    out = {r.asset_id: r for r in resize_images(df, width=16, height=16).collect()}
+    assert out[1].resize_ok == "ok" and (out[1].width, out[1].height) == (16, 16)
+    arr = decode_ppm(bytes(out[1].content))
+    assert arr.shape == (16, 16, 3)
+    assert (arr[:, :, 2] == 77).all()  # constant channel survives resampling
+    assert out[2].resize_ok == "unsupported" and bytes(out[2].content) == b"not-an-image"
+    assert out[2].width is None
+
+
+def test_decode_images_real_ppm_branch(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_gradient_ppm(40, 30)))], "asset_id long, content binary"
+    )
+    row = decode_images(df).collect()[0]
+    assert (row.width, row.height, row.decode_ok) == (40, 30, "ok")
 
 
 def test_extract_features_deterministic_unit_vectors(spark):
