@@ -18,8 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import resolve_url
+from ..functions.text import resolve_url, to_hires_url, to_hires_url_sql
 from ..operators.htmlx import HtmlSpec, html_extract
+from ..sources.browser import FakeBrowser, fetch_pages
 from . import register
 from .common import T
 
@@ -136,6 +137,59 @@ SELECT doc_id, href,
   END AS resolved
 FROM u
 """
+
+
+# --------------------------------------------------------------------------
+# browser_gallery_pipeline: S5 end-to-end — browse → DOM-select → hi-res
+# --------------------------------------------------------------------------
+# FakeBrowser pages are md5(url)-deterministic, so DuckDB can predict every
+# extraction: the oracle rebuilds the gallery srcs from md5(url) and applies
+# the same _WxH→1800x1800 rewrite (T2). This makes the S5 source + DOM
+# kernel + rewrite chain (the reference's whole acquisition loop:
+# fetch any_scraper.py:332-460, select :509-535, convert_to_high_res
+# :224-265) a driver-hash-checked unit.
+
+_PURL_SPARK = "concat('https://shop.test/products/item-', CAST(c_custkey AS STRING))"
+_PURL_DUCK = "'https://shop.test/products/item-' || CAST(c_custkey AS VARCHAR)"
+
+_BROWSE_ORACLE = f"""
+WITH u AS (SELECT c_custkey, {_PURL_DUCK} AS url FROM customer WHERE c_custkey % 20 = 0),
+page AS (
+  SELECT c_custkey, url,
+         'item ' || CAST(c_custkey AS VARCHAR) AS page_title,
+         'https://cdn.test/' || substr(md5(url), 1, 8) || '/main_600x600.jpg' AS src0,
+         'https://cdn.test/' || substr(md5(url), 1, 8) || '/alt_600x600.jpg' AS src1
+  FROM u)
+SELECT c_custkey, page_title,
+  {to_hires_url_sql('src0')} || '|' || {to_hires_url_sql('src1')} AS hires_gallery
+FROM page
+"""
+
+
+@register("browser_gallery_pipeline", oracle=_BROWSE_ORACLE, tags=("S5", "T16", "T2", "F6"))
+def browser_gallery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 acquisition loop end-to-end on Spark: per-executor browser fetch
+    (FakeBrowser — deterministic page render), DOM selector harvest with
+    CDN filter (logo excluded by the [src*=] predicate), thumbnail→hi-res
+    rewrite. One mapInPandas stage; html dropped before the project."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    urls = c.select("c_custkey", F.expr(_PURL_SPARK).alias("url"))
+    pages = fetch_pages(urls, FakeBrowser, adapter_key="browser_gallery_pipeline")
+    ext = html_extract(
+        pages,
+        [
+            HtmlSpec("page_title", "#productTitle, h1.product-title, h1", "text_ladder"),
+            HtmlSpec("srcs", ".product-gallery img[src*='cdn.test']", "attr_all", "src"),
+        ],
+    )
+    hires = ext.select(
+        "c_custkey",
+        "page_title",
+        F.array_join(
+            F.transform(F.col("srcs"), lambda s: to_hires_url(s)), "|"
+        ).alias("hires_gallery"),
+    )
+    return hires
 
 
 @register("resolve_relative_urls", oracle=_RESOLVE_ORACLE, tags=("T6", "T6b"))
