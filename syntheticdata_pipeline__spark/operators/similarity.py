@@ -134,6 +134,53 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-dup PAIRS via LSH buckets — the scale path for the
+    quadratic ``embedding_cosine_neardup`` verifier: candidates are only
+    same-sign-bucket pairs (equi-join on bucket id), then exact dot ≥
+    threshold. Both join sides consume ONE pre-partitioned bucket exchange
+    (ReuseExchange), so cost is Σ_bucket |b|² instead of n² — with 2^b
+    buckets and multi-probe off, recall trades against b exactly as in the
+    top-k variant. Sign-adjacent misses are the documented recall cost;
+    production tuning = more planes + band OR-ing (as in minhash LSH)."""
+    planes = hyperplanes(n_planes, dim)
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(label_col)] if label_col else [])
+    # No explicit repartition: at oracle scale AQE broadcasts the smaller
+    # side (one scan, zero shuffles on the probe side); at cluster scale
+    # the bucket equi-join hash-partitions both sides on bucket — either
+    # way the candidate set is Σ|bucket|², never n².
+    b = df.select(*cols, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    a_side = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        *( [F.col(label_col).alias("__la")] if label_col else [] ),
+        "bucket",
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        *( [F.col(label_col).alias("__lb")] if label_col else [] ),
+        "bucket",
+    )
+    pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    out_cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        dot(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+    ]
+    if label_col:
+        out_cols.append((F.col("__la") == F.col("__lb")).alias("same_label"))
+    return pairs.select(*out_cols).filter(F.col("cos_sim") >= threshold)
+
+
 def topk_pandas_kernel(
     corpus: DataFrame,
     queries_pd,

@@ -374,6 +374,38 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup, LSH-bucketed (the 100 TB path for the above).
+# --------------------------------------------------------------------------
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding', _planes)} AS bucket
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {dot_sql('a.embedding', 'b2.embedding')} AS cos_sim,
+         (a.label = b2.label) AS same_label
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cos_sim, same_label FROM p WHERE cos_sim >= {_COS_THRESH}
+"""
+
+
+@register("cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE, tags=("dedup-cosine", "lsh"))
+def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs: candidates restricted to shared
+    sign-buckets (equi-join, one reused exchange), exact dot verification
+    inside the bucket. This is the non-quadratic production form of
+    embedding_cosine_neardup — Σ|bucket|² work, tunable recall via plane
+    count; the oracle runs the identical bucket join in DuckDB."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    e = T(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(
+        e, threshold=_COS_THRESH, n_planes=_N_PLANES, dim=_DIM, label_col="label"
+    )
+
+
+# --------------------------------------------------------------------------
 # A8 full: covariance matrix entries (FID Σ term) over the first 16 dims.
 # --------------------------------------------------------------------------
 

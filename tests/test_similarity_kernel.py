@@ -23,3 +23,29 @@ def test_pandas_kernel_matches_fold_baseline(spark):
     b = sorted((r.query_id, r.rank, r.neighbor_id) for r in baseline.collect())
     k = sorted((r.query_id, r.rank, r.neighbor_id) for r in kernel.collect())
     assert b == k
+
+
+def test_lsh_neardup_pairs_subset_of_exact(spark):
+    """LSH-bucketed near-dup pairs are a strict candidate-restricted
+    subset of the exact all-pairs result (same threshold, same dot), and
+    every emitted pair really clears the threshold."""
+    from syntheticdata_pipeline__spark.functions.vectors import dot
+    from syntheticdata_pipeline__spark.operators.similarity import lsh_neardup_pairs
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_neardup_pairs(corpus, threshold=0.3, label_col="label").collect()
+    }
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(abs(lsh[k] - exact[k]) < 1e-12 for k in lsh)
+    assert all(v >= 0.3 for v in lsh.values())
