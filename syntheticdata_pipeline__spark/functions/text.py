@@ -294,13 +294,14 @@ def _drop_mid_empties(segs: Column) -> Column:
     )
 
 
-def _resolve_segments(raw_segs: Column) -> Column:
+def _resolve_segments(raw_segs: Column, filter_mid: bool = False) -> Column:
     """CPython urljoin's dot-segment resolution over a segment array:
-    interior empties collapsed, '.' dropped, '..' pops (ignoring
-    underflow), trailing '.'/'..' leaves a trailing slash; empty result
-    coerces to '/'; leading '/' is restored (urlunsplit inserts it when a
-    netloc is present)."""
-    segs = _drop_mid_empties(raw_segs)
+    '.' dropped, '..' pops (ignoring underflow), trailing '.'/'..' leaves
+    a trailing slash; empty result coerces to '/'; leading '/' is restored
+    (urlunsplit inserts it when a netloc is present). ``filter_mid``
+    collapses interior empty segments — CPython does this ONLY on the
+    relative-merge branch, never on rooted hrefs."""
+    segs = _drop_mid_empties(raw_segs) if filter_mid else raw_segs
     resolved = F.aggregate(
         segs,
         F.array().cast("array<string>"),
@@ -325,15 +326,24 @@ def resolve_url(base: Column, href: Column) -> Column:
     b_path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     b_query = F.regexp_extract(base, r"^[^#?]*(\?[^#]*)", 1)  # '?...' or ''
 
-    # href components: path, then everything after it (query + fragment)
+    # href components: path, then query/fragment REBUILT from parsed parts
+    # (CPython drops an empty query — 'a?' → 'a' — and an empty fragment)
     h_path = F.regexp_extract(href, r"^([^?#]*)", 1)
-    h_rest = F.substring(href, F.length(h_path) + F.lit(1), F.length(href))
+    h_rest_raw = F.substring(href, F.length(h_path) + F.lit(1), F.length(href))
+    h_query = F.regexp_extract(h_rest_raw, r"^\?([^#]*)", 1)
+    h_frag = F.regexp_extract(h_rest_raw, r"(#.+)$", 1)
+    h_rest = F.concat(
+        F.when(h_query != "", F.concat(F.lit("?"), h_query)).otherwise(F.lit("")),
+        h_frag,
+    )
 
     rooted = _resolve_segments(F.split(h_path, "/"))
     b_dir_segs = F.slice(
         F.split(b_path, "/"), 1, F.size(F.split(b_path, "/")) - 1
-    )  # CPython: bpath.split('/')[:-1]
-    merged = _resolve_segments(F.concat(b_dir_segs, F.split(h_path, "/")))
+    )  # CPython: bpath.split('/') minus the non-directory last item
+    merged = _resolve_segments(
+        F.concat(b_dir_segs, F.split(h_path, "/")), filter_mid=True
+    )
 
     return (
         # different scheme, or same scheme with explicit netloc → href as-is
@@ -343,13 +353,22 @@ def resolve_url(base: Column, href: Column) -> Column:
         .when(href.startswith("//"), F.concat(b_scheme, F.lit(":"), href))
         # empty → base verbatim (CPython keeps query AND fragment)
         .when(href == "", base)
-        # fragment-only → base minus fragment, plus new fragment
-        .when(href.startswith("#"), F.concat(origin, b_path, b_query, href))
-        # query(+fragment) → base path with replaced query
-        .when(href.startswith("?"), F.concat(origin, b_path, href))
-        # rooted path → dot-resolved against origin
+        # fragment-only → base minus fragment, plus new fragment (a bare
+        # '#' drops cleanly; empty query falls back to the base query)
+        .when(href.startswith("#"), F.concat(origin, b_path, b_query, h_frag))
+        # query(+fragment) → base path; empty '?' keeps the base query
+        .when(
+            href.startswith("?"),
+            F.concat(
+                origin,
+                b_path,
+                F.when(h_query != "", F.concat(F.lit("?"), h_query)).otherwise(b_query),
+                h_frag,
+            ),
+        )
+        # rooted path → dot-resolved against origin (NO mid-empty filter)
         .when(h_path.startswith("/"), F.concat(origin, rooted, h_rest))
-        # relative path → merged with base dir, dot-resolved
+        # relative path → merged with base dir, dot-resolved, mid-filtered
         .otherwise(F.concat(origin, merged, h_rest))
     )
 

@@ -178,3 +178,37 @@ class TestBs4Parity:  # pragma: no cover - exercised only where bs4 exists
             ours = [(n.tag, n.get("src"), n.get("href")) for n in select(root, sel)]
             theirs = [(n.name, n.get("src"), n.get("href")) for n in soup.select(sel)]
             assert ours == theirs, sel
+
+
+class TestParserRobustness:
+    """The kernel parses arbitrary scraped bytes — it must never raise."""
+
+    def test_hypothesis_fuzz_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tagish = st.sampled_from(
+            ["<div", "<p>", "</p>", "<img src='", "'>", "<![CDATA[", "<!--", "-->",
+             "<a href=", "</", ">", "&amp;", "&#x27;", "&bogus;", "<sCrIpT>", "\x00"]
+        )
+        soup_text = st.lists(st.one_of(tagish, st.text(max_size=8)), max_size=30).map("".join)
+
+        @given(soup_text)
+        @settings(max_examples=200, deadline=None)
+        def run(html):
+            root = parse_html(html)
+            select(root, "div a, img[src*='x'], #i, .c > p")
+            node = select_one(root, "*")
+            if node is not None:
+                get_text(node, strip=True)
+
+        run()
+
+    def test_pathological_nesting(self):
+        deep = "<div>" * 400 + "x" + "</div>" * 400
+        root = parse_html(deep)
+        assert get_text(select_one(root, "div"), strip=True) == "x"
+
+    def test_unclosed_everything(self):
+        root = parse_html("<html><body><div class='a'><p>one<div><p>two")
+        assert len(select(root, "p")) == 2

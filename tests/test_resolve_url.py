@@ -85,3 +85,42 @@ def test_resolve_url_reference_shapes(spark):
     df = spark.createDataFrame([(base, h) for h, _ in cases], "base string, href string")
     out = df.select(resolve_url(F.col("base"), F.col("href")).alias("r")).collect()
     assert [r["r"] for r in out] == [want for _, want in cases]
+
+
+def test_resolve_url_randomized_sweep(spark):
+    """300 seeded-random (base, href) pairs from a component grammar —
+    broader than the fixed grid; one Spark job."""
+    import random
+
+    rng = random.Random(20260813)
+    seg = lambda: rng.choice(["a", "bb", "c-1", "..", ".", "", "img_2"])
+    def rand_href():
+        kind = rng.randrange(7)
+        if kind == 0:
+            return "https://x.test/" + "/".join(seg() for _ in range(rng.randrange(3)))
+        if kind == 1:
+            return "//h.test/" + seg()
+        if kind == 2:
+            return "/" + "/".join(seg() for _ in range(rng.randrange(1, 4)))
+        if kind == 3:
+            return "?" + rng.choice(["a=1", "b=2&c=3", ""])
+        if kind == 4:
+            return "#" + rng.choice(["top", "s1"])
+        path = "/".join(seg() for _ in range(rng.randrange(1, 4)))
+        return path + rng.choice(["", "?q=1", "#f", "?q=1#f"])
+
+    def rand_base():
+        host = rng.choice(["https://s.test", "http://w.test:8080"])
+        depth = rng.randrange(4)
+        path = "/" + "/".join(rng.choice(["p", "cat", "x9"]) for _ in range(depth))
+        return host + (path if depth else "") + rng.choice(["", "/", "?k=v", "#z"])
+
+    cases = [(rand_base(), rand_href()) for _ in range(300)]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = df.withColumn("resolved", resolve_url(F.col("base"), F.col("href"))).collect()
+    bad = [
+        (r["base"], r["href"], r["resolved"], urljoin(r["base"], r["href"]))
+        for r in got
+        if r["resolved"] != urljoin(r["base"], r["href"])
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 5: {bad[:5]}"
