@@ -66,8 +66,20 @@ def html_extract(
     specs: list[HtmlSpec],
     html_col: str = "html",
     drop_html: bool = True,
+    fanout: bool | str = False,
 ) -> DataFrame:
-    """Parse ``html_col`` once per row and emit one column per spec."""
+    """Parse ``html_col`` once per row and emit one column per spec.
+
+    ``fanout``: parsing is CPU-bound Python — when the upstream is a few
+    fat partitions (one parquet file, a single fetched listing), the
+    kernel would run serially. ``fanout=True`` hash-repartitions to
+    ``spark.sparkContext.defaultParallelism`` first (pass a column name to
+    partition by that key); the small pre-parse rows make this shuffle
+    cheap relative to the parse it parallelizes. Leave False when the
+    input is already well-partitioned (the 100 TB case)."""
+    if fanout:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, fanout) if isinstance(fanout, str) else df.repartition(n)
     for spec in specs:
         if spec.mode not in _MODE_TYPE:
             raise ValueError(f"unknown mode: {spec.mode}")

@@ -142,15 +142,17 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Cosine near-dup PAIRS via LSH buckets — the scale path for the
     quadratic ``embedding_cosine_neardup`` verifier: candidates are only
     same-sign-bucket pairs (equi-join on bucket id), then exact dot ≥
-    threshold. Both join sides consume ONE pre-partitioned bucket exchange
-    (ReuseExchange), so cost is Σ_bucket |b|² instead of n² — with 2^b
-    buckets and multi-probe off, recall trades against b exactly as in the
-    top-k variant. Sign-adjacent misses are the documented recall cost;
-    production tuning = more planes + band OR-ing (as in minhash LSH)."""
+    threshold. Cost is Σ_bucket |b|² instead of n²; recall trades against
+    the plane count. ``multi_probe`` additionally probes every Hamming-1
+    bucket from one side (the classic multi-probe LSH recall lever:
+    near-threshold pairs usually differ in exactly one plane sign) — a
+    (n_planes+1)× fan-out on the probe side only, still never quadratic;
+    duplicate candidates are dropped before the threshold filter."""
     planes = hyperplanes(n_planes, dim)
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(label_col)] if label_col else [])
     # No explicit repartition: at oracle scale AQE broadcasts the smaller
@@ -158,12 +160,19 @@ def lsh_neardup_pairs(
     # the bucket equi-join hash-partitions both sides on bucket — either
     # way the candidate set is Σ|bucket|², never n².
     b = df.select(*cols, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    a_side = b.select(
+    a_cols = [
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        *( [F.col(label_col).alias("__la")] if label_col else [] ),
-        "bucket",
-    )
+        *([F.col(label_col).alias("__la")] if label_col else []),
+    ]
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)],
+        )
+        a_side = b.select(*a_cols, F.explode(probes).alias("bucket"))
+    else:
+        a_side = b.select(*a_cols, "bucket")
     b_side = b.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
@@ -171,6 +180,9 @@ def lsh_neardup_pairs(
         "bucket",
     )
     pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    if multi_probe:
+        # a pair can meet in its home bucket AND a probed one
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     out_cols = [
         F.col("id_a"),
         F.col("id_b"),

@@ -68,7 +68,7 @@ FROM documents
 """
 
 
-@register("html_selector_extract", oracle=_HTML_SEL_ORACLE, tags=("T16", "S4", "F6", "U1"))
+@register("html_selector_extract", oracle=_HTML_SEL_ORACLE, bench=True, tags=("T16", "S4", "F6", "U1"))
 def html_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-DOM selector extraction: title ladder, gallery ``img[src*=]``
     harvest with CDN filter, ``[data-testid=]`` lookup, element counts and
@@ -85,6 +85,7 @@ def html_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             HtmlSpec("cart_href", "#nav a[href^='/cart']", "attr_first", "href"),
         ],
         html_col="html",
+        fanout="doc_id",  # documents ships as one fat file at small SF
     )
     return extracted.select(
         "doc_id",
@@ -173,7 +174,11 @@ def browser_gallery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDN filter (logo excluded by the [src*=] predicate), thumbnail→hi-res
     rewrite. One mapInPandas stage; html dropped before the project."""
     c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
-    urls = c.select("c_custkey", F.expr(_PURL_SPARK).alias("url"))
+    # fan out BEFORE the fetch: browsers live per executor, so URL
+    # partitioning IS the fetch parallelism (and the politeness budget)
+    urls = c.select("c_custkey", F.expr(_PURL_SPARK).alias("url")).repartition(
+        spark.sparkContext.defaultParallelism, "c_custkey"
+    )
     pages = fetch_pages(urls, FakeBrowser, adapter_key="browser_gallery_pipeline")
     ext = html_extract(
         pages,

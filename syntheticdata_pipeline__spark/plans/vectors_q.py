@@ -390,7 +390,7 @@ SELECT id_a, id_b, cos_sim, same_label FROM p WHERE cos_sim >= {_COS_THRESH}
 """
 
 
-@register("cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE, tags=("dedup-cosine", "lsh"))
+@register("cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE, bench=True, tags=("dedup-cosine", "lsh"))
 def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs: candidates restricted to shared
     sign-buckets (equi-join, one reused exchange), exact dot verification

@@ -49,3 +49,31 @@ def test_lsh_neardup_pairs_subset_of_exact(spark):
     assert set(lsh) <= set(exact)
     assert all(abs(lsh[k] - exact[k]) < 1e-12 for k in lsh)
     assert all(v >= 0.3 for v in lsh.values())
+
+
+def test_lsh_multi_probe_recall_monotone(spark):
+    """Multi-probe (Hamming-1) candidates are a superset of single-bucket
+    candidates and still a subset of the exact pairs."""
+    from syntheticdata_pipeline__spark.functions.vectors import dot
+    from syntheticdata_pipeline__spark.operators.similarity import lsh_neardup_pairs
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    single = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(corpus, threshold=0.25).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(corpus, threshold=0.25, multi_probe=True).collect()
+    }
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+        .collect()
+    }
+    assert single <= probed <= exact
+    print(f"recall: single {len(single)}/{len(exact)}, probed {len(probed)}/{len(exact)}")
