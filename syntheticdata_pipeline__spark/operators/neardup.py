@@ -254,5 +254,70 @@ def hamming16(a: Column, b: Column) -> Column:
 
 
 def hamming16_sql(a: str, b: str) -> str:
-    terms = [f"CASE WHEN xor({a}, {b}) & {1 << b} != 0 THEN 1 ELSE 0 END" for b in range(16)]
+    # NB: loop variable must not shadow the operand names
+    terms = [
+        f"CASE WHEN xor({a}, {b}) & {1 << bit} != 0 THEN 1 ELSE 0 END" for bit in range(16)
+    ]
     return "(" + " + ".join(terms) + ")"
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    salt: str = "sh",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded.
+
+    The signature is split into ``bands`` equal bit-slices; candidate
+    pairs match on at least one slice (equi-join), then the exact Hamming
+    distance filters to ≤ ``max_hamming``. By pigeonhole this is EXACT
+    (zero recall loss) whenever ``max_hamming < bands``: a pair differing
+    in ≤ bands−1 bits cannot differ in every band. Cost is the banded
+    join's Σ|bucket|², never n² — the same scale shape as MinHash LSH but
+    for the Hamming metric (the classic Google near-dup crawl design).
+
+    Returns (id_a, id_b, hamming), id_a < id_b, each pair once.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding is only exact for max_hamming < bands (got {max_hamming} >= {bands})"
+        )
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    # barrier staging as in minhash_lsh_pairs: compute the (expensive,
+    # n_bits-aggregate) signature exactly once before the band fan-out
+    sigs = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .repartition("id")
+        .select("id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig"))
+        .repartition("id")
+    )
+    stack_args = ", ".join(
+        f"{b}, shiftright(sig, {b * bits_per_band}) & {mask}" for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "id", "sig", f"stack({bands}, {stack_args}) AS (band, bv)"
+    ).repartition("band", "bv")
+    # explicit renames (not .alias views): a self-join on the same lineage
+    # silently resolves l.sig/r.sig to one side, making xor(sig,sig)=0
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming16(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
+        )
+        .distinct()  # a close pair can collide on several bands
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
 from ..operators.neardup import (
+    hamming16_sql,
     jaccard,
     jaccard_sql,
     minhash_signature_sql,
@@ -277,6 +278,37 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing is a groupBy on the signature — constant-cost vs corpus)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", simhash_bits(F.col("text"), 16, "sh").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# SimHash banded Hamming pairs — the complete near-dup finder for the
+# Hamming metric (pigeonhole-exact for distance < bands).
+# --------------------------------------------------------------------------
+
+_SH_PAIRS_ORACLE = f"""
+WITH s AS (SELECT doc_id AS id, {simhash_bits_sql('text', 16, 'sh')} AS sig FROM documents),
+banded AS (
+  SELECT id, sig, band, (sig >> (band * 4)) & 15 AS bv
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST({hamming16_sql('a.sig', 'b.sig')} AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+@register("simhash_hamming_pairs_q", oracle=_SH_PAIRS_ORACLE, tags=("dedup-simhash", "lsh"))
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup pairs (Hamming ≤ 3 over 16 bits, 4 bands):
+    band equi-join → exact popcount(xor) verify. Exact by pigeonhole for
+    distance < bands — the Google near-dup-crawl design as one Spark plan;
+    signature computed once behind a barrier (operators/neardup.py)."""
+    from ..operators.neardup import simhash_hamming_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(d, n_bits=16, bands=4, max_hamming=3)
 
 
 # --------------------------------------------------------------------------

@@ -160,3 +160,38 @@ def test_state_table_resume_equals_fresh(spark, tmp_path):
     st.compact()
     assert st.count() == 10
     assert st.filter_new(work).count() == 0
+
+
+def test_simhash_hamming_pairs_pigeonhole_complete(spark):
+    """Banding is EXACT for max_hamming < bands: the banded join finds
+    every pair with Hamming <= 3, not an approximation (verified against
+    the brute-force pair set over the same signatures)."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.operators.neardup import (
+        hamming16,
+        simhash_bits,
+        simhash_hamming_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(d, n_bits=16, bands=4, max_hamming=3).collect()
+    }
+    sigs = d.select(F.col("doc_id").alias("id"), simhash_bits(F.col("text"), 16, "sh").alias("sig"))
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b): r.h
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming16(F.col("sa"), F.col("sb")).cast("int").alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute  # complete AND distance-correct
+
+    import pytest
+
+    with pytest.raises(ValueError, match="only exact"):
+        simhash_hamming_pairs(d, bands=4, max_hamming=4)
