@@ -118,13 +118,18 @@ def fetch_pages(
     url_col: str = "url",
     requests_per_minute: float | None = None,
     adapter_key: str | None = None,
+    max_retries: int = 0,
+    backoff_base_s: float = 0.3,
 ) -> DataFrame:
     """Fetch every URL through a per-executor browser → (.. , html, fetch_ok).
 
     Failures yield html=NULL / fetch_ok='error' instead of failing the job
     (the reference's per-URL try/except, robust_scraper.py:157-162);
     ``requests_per_minute`` applies the reference's politeness TokenBucket
-    (vton_scraper/config.py:74-78: 20 rpm) per executor."""
+    (vton_scraper/config.py:74-78: 20 rpm) per executor; ``max_retries``
+    applies the reference's bounded exponential backoff per URL
+    (config.py:162-163 — 3 retries, 0.3·2^n — via streaming/throttle.py's
+    call_with_retry, so tests can inject a fake clock)."""
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField("html", StringType()), StructField("fetch_ok", StringType())]
@@ -133,23 +138,23 @@ def fetch_pages(
     key = adapter_key or getattr(adapter_factory, "__qualname__", repr(adapter_factory))
 
     def kernel(batches: Iterator) -> Iterator:
-        browser = _get_adapter(adapter_factory, key)
-        bucket = None
-        if requests_per_minute is not None:
-            from ..streaming.throttle import ThrottleConfig, TokenBucket
+        from ..streaming.throttle import ThrottleConfig, TokenBucket, call_with_retry
 
-            bucket = TokenBucket(ThrottleConfig(requests_per_minute=requests_per_minute))
+        browser = _get_adapter(adapter_factory, key)
+        cfg = ThrottleConfig(
+            requests_per_minute=requests_per_minute or 1e9,
+            max_retries=max_retries,
+            backoff_base_s=backoff_base_s,
+        )
+        bucket = TokenBucket(cfg) if requests_per_minute is not None else None
         for pdf in batches:
             htmls, oks = [], []
             for url in pdf[url_col]:
                 if bucket is not None:
                     bucket.acquire()
-                try:
-                    htmls.append(browser.fetch(url))
-                    oks.append("ok")
-                except Exception:
-                    htmls.append(None)
-                    oks.append("error")
+                ok, result, _attempts = call_with_retry(browser.fetch, url, cfg)
+                htmls.append(result if ok else None)
+                oks.append("ok" if ok else "error")
             out = pdf.copy()
             out["html"] = htmls
             out["fetch_ok"] = oks

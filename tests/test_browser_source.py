@@ -57,3 +57,32 @@ def test_fetch_then_dom_select_pipeline(spark):
     # deterministic: same URL renders the same page
     again = {r.url: r for r in out.collect()}
     assert again[r0.url].gallery == r0.gallery
+
+
+def test_fetch_retry_backoff(spark):
+    """Reference retry semantics (config.py:162-163): transient failures
+    are retried with backoff; success within budget yields a clean row."""
+
+    class EventuallyUpBrowser(FakeBrowser):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def fetch(self, url: str) -> str:
+            self.calls += 1
+            if self.calls < 3:
+                raise RuntimeError("transient 503")
+            return super().fetch(url)
+
+    one = spark.createDataFrame([("https://shop.test/products/item-9",)], "url string")
+    ok_row = fetch_pages(
+        one, EventuallyUpBrowser, adapter_key="t-retry-ok",
+        max_retries=3, backoff_base_s=0.001,
+    ).collect()[0]
+    assert ok_row.fetch_ok == "ok" and "<html>" in ok_row.html
+
+    err_row = fetch_pages(
+        one, EventuallyUpBrowser, adapter_key="t-retry-none",
+        max_retries=0,
+    ).collect()[0]
+    assert err_row.fetch_ok == "error" and err_row.html is None
