@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         events_q,
         html_q,
         pipeline_q,
+        quality_q,
         relational,
         sketches_q,
         temporal_q,

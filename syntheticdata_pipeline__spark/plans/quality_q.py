@@ -1,0 +1,281 @@
+"""Corpus-curation queries beyond the reference's own filters: a
+Gopher/C4-style quality-rule battery, repetition (top-bigram) detection,
+PII redaction, and per-domain quota sampling — the standard pretraining
+data-pipeline passes (SURVEY.md §2.11 extensions).
+
+The reference's closest analogue is its per-item validity battery
+(any_scraper.py:267-330 image checks, test_kimono.py rule filters); these
+queries generalize that shape to corpus curation. All thresholds were
+tuned on the testdata distributions so every rule fires on a non-trivial
+subset (no vacuous flags).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+from ..operators.textops import LANG_STOPWORDS, quality_score
+from . import register
+from .common import T
+
+# --------------------------------------------------------------------------
+# Gopher-style quality-rule battery.
+#
+# Rules (documents are single-line lowercase word salad, so the line-based
+# Gopher rules are re-expressed on the word stream):
+#   short      — fewer than MIN_WORDS words
+#   wordlen    — mean word length outside [WLEN_LO, WLEN_HI]
+#   lowstop    — English stopword token fraction below STOP_FRAC
+# All arithmetic is integer sums + one IEEE double division → identical in
+# Spark and DuckDB; flag counts aggregate per lang (bounded output).
+# --------------------------------------------------------------------------
+
+_MIN_WORDS = 30
+_WLEN_LO = 3.8
+_WLEN_HI = 5.0
+_STOP_FRAC = 0.03
+_EN_STOPS = LANG_STOPWORDS["en"]
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT lang, {tokens_sql('text')} AS toks FROM documents),
+s AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mwl,
+         CAST(len(list_filter(toks, x -> x IN {_EN_STOPS!r})) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stopfrac
+  FROM t),
+f AS (
+  SELECT lang,
+         (n_words < {_MIN_WORDS}) AS flag_short,
+         (mwl < {_WLEN_LO} OR mwl > {_WLEN_HI}) AS flag_wordlen,
+         (stopfrac < {_STOP_FRAC}) AS flag_lowstop
+  FROM s)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN flag_short THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_short,
+  CAST(SUM(CASE WHEN flag_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_wordlen,
+  CAST(SUM(CASE WHEN flag_lowstop THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_lowstop,
+  CAST(SUM(CASE WHEN NOT (flag_short OR flag_wordlen OR flag_lowstop)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY lang
+"""
+
+
+@register("gopher_quality_flags", oracle=_GOPHER_ORACLE, bench=True, tags=("quality", "F1"))
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule battery rolled up per lang. One scan, all
+    rules evaluated JVM-side in a single projection, partial-agg shuffle
+    on ~languages keys — a pure map-side pass at any scale."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mwl = sum_len.cast("double") / n_words.cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPS)))
+    stopfrac = n_stop.cast("double") / n_words.cast("double")
+    f = d.select(
+        "lang",
+        (n_words < _MIN_WORDS).alias("flag_short"),
+        ((mwl < _WLEN_LO) | (mwl > _WLEN_HI)).alias("flag_wordlen"),
+        (stopfrac < _STOP_FRAC).alias("flag_lowstop"),
+    )
+
+    def _n(c: F.Column) -> F.Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    return f.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        _n(F.col("flag_short")).alias("n_flag_short"),
+        _n(F.col("flag_wordlen")).alias("n_flag_wordlen"),
+        _n(F.col("flag_lowstop")).alias("n_flag_lowstop"),
+        _n(~(F.col("flag_short") | F.col("flag_wordlen") | F.col("flag_lowstop"))).alias(
+            "n_pass"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition detection: fraction of bigram slots taken by the single most
+# frequent word bigram (the Gopher "top 2-gram fraction" rule). Only the
+# max COUNT is output (not the bigram string) so ties need no breaking.
+# --------------------------------------------------------------------------
+
+_REP_THRESH = 0.07
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t),
+c AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+m AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(MAX(cnt) AS BIGINT) AS top_count
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n_bigrams, top_count,
+       round(CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS top_frac,
+       (CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) > {_REP_THRESH}
+         AS repetitive
+FROM m
+"""
+
+
+@register("repetition_top_bigram", oracle=_REPETITION_ORACLE, tags=("quality", "dedup-exact"))
+def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-bigram repetition per doc: explode adjacent-token pairs (linear
+    in tokens, never quadratic), count per (doc, bigram) with map-side
+    partial agg, then a second partial-agg max per doc. Both shuffles key
+    on doc_id — uniform at any scale."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = ex.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    m = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.max("cnt").cast("bigint").alias("top_count"),
+    )
+    frac = F.col("top_count").cast("double") / F.col("n_bigrams").cast("double")
+    return m.select(
+        "doc_id",
+        "n_bigrams",
+        "top_count",
+        F.round(frac, 6).alias("top_frac"),
+        (frac > _REP_THRESH).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction battery. The testdata carries no PII-shaped strings, so the
+# query derives deterministic PII-shaped text from customer fields on BOTH
+# sides (same expressions in Spark and DuckDB), then runs the battery:
+# count + mask emails, phones, and IPv4s with engine-portable regexes (no
+# lookaround — valid in both Java regex and RE2). Redacted strings are
+# output verbatim so the hash check proves byte-identical masking.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey,
+         'contact ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         || CASE WHEN c_custkey % 3 = 0
+                 THEN ' call +1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                      || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 ELSE ' no phone' END
+         || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+         || '.' || CAST(c_nationkey % 256 AS VARCHAR) || '.7'
+         || ' segment ' || c_mktsegment AS line
+  FROM customer WHERE c_custkey < 200)
+SELECT c_custkey,
+  CAST(len(regexp_extract_all(line, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(line, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(line, '{_IP_RE}')) AS INTEGER) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(line, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g'),
+    '{_IP_RE}', '<IP>', 'g') AS redacted
+FROM raw
+"""
+
+
+@register("pii_redact_derived", oracle=_PII_ORACLE, tags=("quality", "T14", "F3"))
+def pii_redact_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + mask as one JVM-side projection (regexp_count /
+    regexp_replace — no Python in the loop). At 100 TB this is a pure
+    map-side pass over the text column; the pushed-down c_custkey filter
+    stands in for whatever partition predicate scopes the scan."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    phone = F.concat(
+        F.lit(" call +1-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    line = F.concat(
+        F.lit("contact "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com"),
+        F.when(F.col("c_custkey") % 3 == 0, phone).otherwise(F.lit(" no phone")),
+        F.lit(" from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_nationkey") % 256).cast("string"),
+        F.lit(".7 segment "),
+        F.col("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(line, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count(line, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(line, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(line, F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain quota: keep the K best-quality docs per source (the
+# common-crawl "domain cap" pass), priority = the proven quality score.
+# --------------------------------------------------------------------------
+
+_QUOTA_K = 10
+
+_QUOTA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {tokens_sql('text')} AS toks, text FROM documents),
+q AS (
+  SELECT doc_id, source,
+    (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
+          WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+    + least(CAST(len(list_intersect(toks, {list(_EN_STOPS)!r})) AS DOUBLE) / 4.0, 1.0) * 0.3
+    + coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                 / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3 AS quality
+  FROM t),
+r AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+  FROM q)
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk, quality
+FROM r WHERE rk <= {_QUOTA_K}
+"""
+
+
+@register("domain_quota_topquality", oracle=_QUOTA_ORACLE, tags=("quality", "D8", "M5"))
+def domain_quota_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the K highest-quality docs per source domain. One shuffle on
+    source + a bounded per-partition top-K window. Testdata has 20 domains;
+    a real crawl has millions, so the partitionBy(source) key is uniform at
+    scale (and a hot domain is exactly what the quota caps)."""
+    q = quality_score(T(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.col("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA_K)
+        .select("source", "doc_id", "rk", "quality")
+    )

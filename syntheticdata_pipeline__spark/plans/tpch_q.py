@@ -283,3 +283,146 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20).select(
         "c_custkey", "c_name", "revenue", "nation"
     )
+
+
+# --- Q12-shape: shipping-class priority split --------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("tpch_q12_ship_priority_split", oracle=_Q12_ORACLE, tags=("tpch", "J2", "A2"))
+def tpch_q12_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (linestatus standing in for shipmode): big-big
+    equi-join with the date range pushed into the lineitem scan, then a
+    conditional-count rollup. Both sides shuffle once on the order key;
+    the CASE aggregation is map-side partial."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q14-shape: promo revenue share ------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT round(
+  100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END", scale=4)}
+  / {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)},
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("tpch_q14_promo_revenue", oracle=_Q14_ORACLE, tags=("tpch", "J4", "A3"))
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one-month lineitem scan (predicate pushed) with the
+    part dim broadcast, then a single global ratio of two exact decimal
+    sums (order-independent; the IEEE division + round(·,6) is identical
+    across engines)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = _rev(j)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(38,4)")).cast("double")
+            / F.sum(rev.cast("decimal(38,4)")).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+# --- Q17-shape: small-quantity-order revenue ---------------------------------
+
+_Q17_ORACLE = f"""
+WITH pa AS (
+  SELECT l_partkey AS pk, {davg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT round({dsum_sql('l_extendedprice')} / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON l_partkey = pa.pk
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("tpch_q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("tpch", "J2", "A7"))
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated AVG subquery decorrelated into a
+    per-part aggregate joined back on the same key — the two lineitem
+    consumers share one shuffle partitioning on l_partkey, and the brand
+    filter broadcasts through the part dim."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        pa, F.col("l_partkey") == F.col("pk")
+    )
+    return j.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+    )
+
+
+# --- Q22-shape: dormant high-balance customers -------------------------------
+
+_Q22_ORACLE = f"""
+WITH ab AS (
+  SELECT {davg_sql('c_acctbal')} AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment,
+  COUNT(*) AS numcust,
+  {dsum_sql('c_acctbal')} AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpch_q22_dormant_customers", oracle=_Q22_ORACLE, tags=("tpch", "J3", "A7"))
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    broadcast as a 1-row cross join, then a left-anti join against recent
+    orders for customers dormant since the cutoff. The anti join shuffles
+    on custkey (the date filter pushed into the orders scan first); the
+    scalar side is a broadcast — no driver-side collect."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+    rich = c.crossJoin(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
