@@ -500,3 +500,54 @@ def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the verified LSH pairs —
+# candidate pairs are only half the dedup story; survivors are picked per
+# transitive component. Oracle computes the same components with a
+# recursive transitive-closure CTE (exact at oracle scale).
+# --------------------------------------------------------------------------
+
+_CLUSTER_JAC = 0.2
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+lab AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src)
+SELECT doc_id, cluster_rep,
+       COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
+@register("neardup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup-minhash", "clusters"))
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: verified LSH pairs → min-label
+    propagation (operators.clusters.connected_components) → per-component
+    sizes. Each round is one node-keyed equi-join + partial-agg min —
+    distributed end-to-end, O(diameter) rounds, lineage truncated per
+    round. The quadratic closure exists only in the DuckDB oracle."""
+    from ..operators.clusters import connected_components
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.filter(F.col("jac") >= _CLUSTER_JAC).select("id_a", "id_b")
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("cluster_rep"),
+            F.col("cluster_size"),
+        )
+    )
