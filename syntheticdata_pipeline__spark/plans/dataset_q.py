@@ -257,3 +257,49 @@ def mixture_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source").agg(
         F.count("*").alias("n_examples"), F.countDistinct("doc_id").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# sqrt-scaled source mixture weights: upweight small sources relative to
+# proportional sampling (the standard multi-source pretraining mix rule).
+# Decimal-exact sqrt sums keep the normalizing total order-independent.
+# --------------------------------------------------------------------------
+
+_SQRT_MIX_ORACLE = f"""
+WITH tt AS (
+  SELECT source, CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source),
+s AS (
+  SELECT source, total_tokens,
+         CAST(round(sqrt(CAST(total_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq
+  FROM tt),
+tot AS (SELECT SUM(sq) AS total_sq FROM s)
+SELECT source, total_tokens,
+       round(CAST(sq AS DOUBLE) / CAST(total_sq AS DOUBLE), 6) AS weight
+FROM s CROSS JOIN tot
+"""
+
+
+@register("source_sqrt_mixture", oracle=_SQRT_MIX_ORACLE, tags=("dataset-prep", "M4"))
+def source_sqrt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sqrt(token-count) mixture weights. The normalizing total
+    is a broadcast 1-row scalar (cross join), NOT a global window — at
+    crawl scale #sources is millions and a single-partition window would
+    serialize; the per-source sqrt is rounded then summed as exact decimal
+    so the total is order-independent."""
+    d = T(spark, sf_dir, "documents")
+    tt = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens")
+    )
+    s = tt.withColumn(
+        "sq",
+        F.round(F.sqrt(F.col("total_tokens").cast("double")), 6).cast("decimal(18,6)"),
+    )
+    tot = s.agg(F.sum("sq").alias("total_sq"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        F.round(
+            F.col("sq").cast("double") / F.col("total_sq").cast("double"), 6
+        ).alias("weight"),
+    )

@@ -507,3 +507,56 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries rely on)."""
     e = T(spark, sf_dir, "embeddings")
     return e.select("vec_id", l2_norm(F.col("embedding")).alias("norm"), "label")
+
+
+# --------------------------------------------------------------------------
+# int8 quantization with per-dimension max-abs scales — the standard
+# pre-ANN compression pass (4× smaller vectors, dot products in int
+# arithmetic downstream). Quantized arrays are output verbatim so the
+# hash check proves bit-identical rounding.
+# --------------------------------------------------------------------------
+
+_Q8_SCALES = f"""
+sc AS (
+  SELECT pos, greatest(max(abs(CAST(embedding[pos] AS DOUBLE))), 1e-12) AS s
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS pos) p
+  GROUP BY pos),
+sarr AS (SELECT list(s ORDER BY pos) AS scales FROM sc)
+"""
+
+_QUANT_ORACLE = f"""
+WITH {_Q8_SCALES}
+SELECT vec_id,
+  list_transform(range(1, {_DIM} + 1),
+    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / scales[i] + 0.5)
+              AS INTEGER)) AS q_arr
+FROM embeddings CROSS JOIN sarr
+"""
+
+
+@register("embedding_int8_quantize", oracle=_QUANT_ORACLE, tags=("similarity", "M7"))
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim max-abs int8 quantization: one posexplode pass computes the
+    64 scales (partial-agg max, order-independent), collected into ONE
+    broadcast row; the quantize itself is a map-side zip_with. floor(x+0.5)
+    rounding (not round()) keeps tie behavior identical across engines."""
+    e = T(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    scales = ex.groupBy("pos").agg(
+        F.greatest(F.max(F.abs(F.col("v").cast("double"))), F.lit(1e-12)).alias("s")
+    )
+    sarr = scales.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+        ).alias("scales")
+    )
+    return e.crossJoin(F.broadcast(sarr)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            "scales",
+            lambda v, s: F.floor(v.cast("double") * F.lit(127.0) / s + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q_arr"),
+    )
