@@ -34,7 +34,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # queries re-run against 10x documents for the growth curve
-STRESS_QUERIES = ("exact_dedup_docs", "minhash_lsh_candidates", "ngram_jaccard_pairs")
+STRESS_QUERIES = (
+    "exact_dedup_docs",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "gopher_quality_flags",
+    "repetition_top_bigram",
+)
 STRESS_FACTOR = 10
 
 

@@ -286,11 +286,14 @@ def source_sqrt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast 1-row scalar (cross join), NOT a global window — at
     crawl scale #sources is millions and a single-partition window would
     serialize; the per-source sqrt is rounded then summed as exact decimal
-    so the total is order-independent."""
+    so the total is order-independent. The per-source aggregate (MBs even
+    at crawl scale) is checkpointed so the corpus is scanned ONCE — without
+    it both the rows and the normalizing total re-derive from the raw scan
+    (verified: two Scan parquet nodes in the un-checkpointed plan)."""
     d = T(spark, sf_dir, "documents")
     tt = d.groupBy("source").agg(
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens")
-    )
+    ).localCheckpoint(eager=True)
     s = tt.withColumn(
         "sq",
         F.round(F.sqrt(F.col("total_tokens").cast("double")), 6).cast("decimal(18,6)"),

@@ -551,3 +551,51 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size"),
         )
     )
+
+
+_CLUSTER_DEDUP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+lab AS (
+  SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+dropped AS (SELECT doc_id FROM lab WHERE doc_id != rep)
+SELECT d.lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("cluster_dedup_stats", oracle=_CLUSTER_DEDUP_ORACLE, tags=("dedup-minhash", "clusters", "D1"))
+def cluster_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transitive dedup: LSH pairs → connected components →
+    keep one survivor (the min-id rep) per component → per-lang kept/
+    dropped counts. The drop set is component-members-minus-reps (tiny),
+    broadcast into a left join against the corpus — the full corpus is
+    never shuffled."""
+    from ..operators.clusters import connected_components
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.filter(F.col("jac") >= _CLUSTER_JAC).select("id_a", "id_b")
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    dropped = labels.filter(F.col("node") != F.col("lab")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
+    )
+    d = T(spark, sf_dir, "documents")
+    j = d.join(F.broadcast(dropped), "doc_id", "left")
+    dup = F.col("is_dup").isNotNull()
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(dup, 0).otherwise(1)).cast("bigint").alias("n_kept"),
+    )

@@ -130,7 +130,7 @@ FROM m
 """
 
 
-@register("repetition_top_bigram", oracle=_REPETITION_ORACLE, tags=("quality", "dedup-exact"))
+@register("repetition_top_bigram", oracle=_REPETITION_ORACLE, bench=True, tags=("quality", "dedup-exact"))
 def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram repetition per doc: explode adjacent-token pairs (linear
     in tokens, never quadratic), count per (doc, bigram) with map-side
