@@ -130,3 +130,28 @@ def fingerprint_sql(text_sql: str, length: int = 64, mod: int = FINGERPRINT_MOD)
         f"list_transform(range(1, len({head}) + 1), i -> ascii(substr({head}, i, 1)))), "
         f"(acc, c) -> (acc * 31 + c) % {mod})"
     )
+
+
+GOPHER_MIN_WORDS = 30
+GOPHER_WLEN_LO = 3.8
+GOPHER_WLEN_HI = 5.0
+GOPHER_STOP_FRAC = 0.03
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style per-doc rule flags (short / word-length band /
+    low-stopword). Integer sums + one IEEE double division per rule —
+    engine-portable and a pure map-side projection at any scale."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mwl = sum_len.cast("double") / n_words.cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    stopfrac = n_stop.cast("double") / n_words.cast("double")
+    return df.withColumns(
+        {
+            "flag_short": n_words < GOPHER_MIN_WORDS,
+            "flag_wordlen": (mwl < GOPHER_WLEN_LO) | (mwl > GOPHER_WLEN_HI),
+            "flag_lowstop": stopfrac < GOPHER_STOP_FRAC,
+        }
+    )

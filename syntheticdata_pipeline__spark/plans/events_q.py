@@ -249,3 +249,36 @@ def event_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_min.alias("span_minutes"),
         (F.count("*").cast("double") / span_min).alias("events_per_minute"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered-frame moving average (time-series smoothing per user). The frame
+# sum is exact decimal so the result is identical for any accumulation
+# order; (user_id, ts_us) is unique in the data so the frame is total-
+# ordered and deterministic.
+# --------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  round(CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+        / (COUNT(*) OVER w), 6) AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("moving_avg_user_value", oracle=_MOVAVG_ORACLE, tags=("A1", "M1"))
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average of event value per user: one shuffle on
+    user_id, then a sorted in-partition frame scan — the partition key is
+    the user, so skew follows user activity (a hot user is still one
+    partition's sort, not a global one)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(-3, 0)
+    mov = F.sum(F.col("value").cast("decimal(28,12)")).over(w).cast("double") / F.count(
+        "*"
+    ).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts_us", F.round(mov, 6).alias("mov_avg")
+    )

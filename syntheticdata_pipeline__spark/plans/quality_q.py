@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
-from ..operators.textops import LANG_STOPWORDS, quality_score
+from ..operators.textops import (
+    GOPHER_MIN_WORDS,
+    GOPHER_STOP_FRAC,
+    GOPHER_WLEN_HI,
+    GOPHER_WLEN_LO,
+    LANG_STOPWORDS,
+    gopher_flags,
+    quality_score,
+)
 from . import register
 from .common import T
 
@@ -32,10 +40,10 @@ from .common import T
 # Spark and DuckDB; flag counts aggregate per lang (bounded output).
 # --------------------------------------------------------------------------
 
-_MIN_WORDS = 30
-_WLEN_LO = 3.8
-_WLEN_HI = 5.0
-_STOP_FRAC = 0.03
+_MIN_WORDS = GOPHER_MIN_WORDS
+_WLEN_LO = GOPHER_WLEN_LO
+_WLEN_HI = GOPHER_WLEN_HI
+_STOP_FRAC = GOPHER_STOP_FRAC
 _EN_STOPS = LANG_STOPWORDS["en"]
 
 _GOPHER_ORACLE = f"""
@@ -72,18 +80,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules evaluated JVM-side in a single projection, partial-agg shuffle
     on ~languages keys — a pure map-side pass at any scale."""
     d = T(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_words = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    mwl = sum_len.cast("double") / n_words.cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPS)))
-    stopfrac = n_stop.cast("double") / n_words.cast("double")
-    f = d.select(
-        "lang",
-        (n_words < _MIN_WORDS).alias("flag_short"),
-        ((mwl < _WLEN_LO) | (mwl > _WLEN_HI)).alias("flag_wordlen"),
-        (stopfrac < _STOP_FRAC).alias("flag_lowstop"),
-    )
+    f = gopher_flags(d).select("lang", "flag_short", "flag_wordlen", "flag_lowstop")
 
     def _n(c: F.Column) -> F.Column:
         return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")

@@ -578,3 +578,43 @@ def state_cardinality_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot → unpivot round trip (wide↔long reshaping, M14 family): the wide
+# per-segment status-count table melted back to long form with zero-fill
+# for absent combinations.
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH cnt AS (
+  SELECT c_mktsegment, o_orderstatus AS status, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderstatus),
+seg AS (SELECT DISTINCT c_mktsegment FROM cnt),
+st AS (SELECT unnest(['F', 'O', 'P']) AS status)
+SELECT seg.c_mktsegment, st.status,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+FROM seg CROSS JOIN st
+LEFT JOIN cnt ON cnt.c_mktsegment = seg.c_mktsegment AND cnt.status = st.status
+"""
+
+
+@register("unpivot_segment_status", oracle=_UNPIVOT_ORACLE, tags=("A2", "M14"))
+def unpivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot table melted back to long with DataFrame.unpivot —
+    missing (segment, status) combos zero-filled so the long form is
+    dense. The pivot agg is one shuffle on segment; unpivot is map-side."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    statuses = ["F", "O", "P"]
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .na.fill(0, statuses)
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], statuses, "status", "n_orders"
+    )
