@@ -426,3 +426,88 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+# --- Q7-shape: bi-nation shipping volume -------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+@register("tpch_q7_binational_volume", oracle=_Q7_ORACLE, tags=("tpch", "J2", "J4"))
+def tpch_q7_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two big tables shuffle-join once on the order
+    key; customer/supplier/nation dims all broadcast, and the bi-nation
+    disjunction is applied after the cheap dim joins (the date range is
+    pushed into the lineitem scan)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(F.sum(_rev(j)).cast("double").alias("revenue"))
+
+
+# --- Q19-shape: disjunctive predicate revenue --------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_disjunctive_revenue", oracle=_Q19_ORACLE, tags=("tpch", "F4", "J4"))
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common sub-predicates it can push (quantity/size bounds
+    union into scan-level ranges); the residual disjunction evaluates
+    post-BHJ. One broadcast join, one global decimal agg."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    f = j.filter(cond)
+    return f.agg(
+        F.sum(_rev(f)).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
