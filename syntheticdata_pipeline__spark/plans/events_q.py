@@ -282,3 +282,40 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts_us", F.round(mov, 6).alias("mov_avg")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gaps (lag-diff per user): the µs-integer deltas aggregate
+# exactly, so mean gap per event type is engine-identical.
+# --------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+  COUNT(gap_us) AS n_gaps,
+  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("event_interarrival_stats", oracle=_INTERARRIVAL_ORACLE, tags=("M2", "A7"))
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-diff (one shuffle on user_id, sorted in-partition),
+    rolled up to integer gap stats per event type — all integer µs
+    arithmetic, no float drift."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

@@ -276,3 +276,40 @@ def domain_quota_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA_K)
         .select("source", "doc_id", "rk", "quality")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-lang length quartiles: ntile over a TOTAL order (n_chars, doc_id) so
+# tile assignment is deterministic at any parallelism — this is the
+# per-group form of the ranking family (the global-order ntile was
+# deliberately removed from IS splits in favor of md5 buckets; HERE the
+# partition key is the group, so each window is one group's sort, which
+# scales with group size, not corpus size).
+# --------------------------------------------------------------------------
+
+_QUARTILE_ORACLE = """
+WITH q AS (
+  SELECT lang, doc_id,
+         ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile,
+         n_chars
+  FROM documents)
+SELECT lang, CAST(quartile AS INTEGER) AS quartile,
+  COUNT(*) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM q GROUP BY lang, quartile
+"""
+
+
+@register("doc_length_quartiles", oracle=_QUARTILE_ORACLE, tags=("dataset-prep", "A7"))
+def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile histogram of doc length per lang (ntile over a total
+    order), rolled up to per-tile count/min/max."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    q = d.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("lang", F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
