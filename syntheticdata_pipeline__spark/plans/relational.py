@@ -618,3 +618,99 @@ def unpivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["c_mktsegment"], statuses, "status", "n_orders"
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: the explicit multi-granularity rollup (detail / per-
+# segment / grand total in ONE pass — Spark expands the sets map-side, so
+# the corpus is scanned once instead of once per granularity).
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
+"""
+
+
+@register("grouping_sets_order_stats", oracle=_GSETS_ORACLE, tags=("A4", "A2"))
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three granularities in one shuffle via DataFrame.groupingSets;
+    decimal-exact totals. (Statuses/segments are non-null in the data, so
+    the grouping-null → 'ALL' coalesce is unambiguous.)"""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    g = j.groupingSets(
+        [["c_mktsegment", "o_orderstatus"], ["c_mktsegment"], []],
+        "c_mktsegment",
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+    return g.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "n_orders",
+        "total_price",
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy pairing, blocked on the name's noun. Levenshtein is
+# the VERIFY kernel of fuzzy dedup — candidate generation at corpus scale
+# routes through the LSH/simhash paths (see docs_q); blocking here is the
+# small-domain analogue (pairs only form inside a noun block, never the
+# full cross product), capped to the partkey range so the oracle stays
+# exact.
+# --------------------------------------------------------------------------
+
+_FUZZY_CAP = 500
+_LEV_MAX = 4
+
+_FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         list_extract(string_split(p_name, ' '), -1) AS noun
+  FROM part WHERE p_partkey < {_FUZZY_CAP})
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+"""
+
+
+@register("part_name_fuzzy_pairs", oracle=_FUZZY_ORACLE, tags=("T14", "dedup-jaccard"))
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noun-blocked Levenshtein pairs: equi-join on the block key, edit
+    distance only inside blocks (JVM-side levenshtein, identical unit-cost
+    definition in DuckDB)."""
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < _FUZZY_CAP)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "noun"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "noun"
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "noun")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(lev <= _LEV_MAX)
+        .select("id_a", "id_b", "name_a", "name_b", lev.cast("int").alias("lev"))
+    )
