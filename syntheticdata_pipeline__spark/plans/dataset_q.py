@@ -306,3 +306,114 @@ def source_sqrt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sq").cast("double") / F.col("total_sq").cast("double"), 6
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with stride overlap (the
+# standard pretraining/RAG chunker). Chunk starts are a generated sequence
+# exploded per doc — linear in tokens, map-side only.
+# --------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - {_CHUNK} + {_STRIDE}, 1), {_STRIDE}))
+           AS start
+  FROM t)
+SELECT c.doc_id,
+  CAST(c.start // {_STRIDE} AS INTEGER) AS chunk_id,
+  array_to_string(t.toks[c.start + 1 : c.start + {_CHUNK}], ' ') AS chunk_text,
+  CAST(least({_CHUNK}, len(t.toks) - c.start) AS INTEGER) AS n_tokens
+FROM c JOIN t ON c.doc_id = t.doc_id
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE, tags=("dataset-prep", "M12"))
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: sequence(0, n-chunk+stride, stride) exploded
+    per doc, chunk text sliced from the token array — one scan, no
+    shuffle, output linear in corpus tokens (every token lands in
+    ceil(chunk/stride) chunks)."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("toks")) - _CHUNK + _STRIDE - 1, F.lit(0)),
+        F.lit(_STRIDE),
+    )
+    ex = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    return ex.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, _CHUNK), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("start")).cast("int").alias(
+            "n_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded negative sampling (contrastive-pair mining): k pseudo-random
+# negatives per anchor via the md5 draw — reproducible at any parallelism,
+# no RNG state, and the negative id is a pure column expression so the
+# label join stays an equi-join.
+# --------------------------------------------------------------------------
+
+_NEG_K = 3
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+a AS (
+  SELECT doc_id AS anchor_id, unnest(range(0, {_NEG_K})) AS j FROM documents),
+cand AS (
+  SELECT a.anchor_id, CAST(a.j AS INTEGER) AS j,
+    CAST(CAST('0x' || substr(md5('neg' || '|' || CAST(a.anchor_id AS VARCHAR)
+           || '#' || CAST(a.j AS VARCHAR)), 1, 8) AS BIGINT) % n.n_docs AS BIGINT)
+      AS neg_id
+  FROM a CROSS JOIN n)
+SELECT c.anchor_id, c.j, c.neg_id, d.lang AS neg_lang
+FROM cand c JOIN documents d ON c.neg_id = d.doc_id
+WHERE c.neg_id != c.anchor_id
+"""
+
+
+@register("negative_sample_pairs", oracle=_NEG_ORACLE, tags=("dataset-prep", "M4"))
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k seeded negatives per anchor: corpus size broadcast as a 1-row
+    scalar, negative ids drawn by md5(anchor#j) mod n (collisions with the
+    anchor dropped, matching unseeded sampling-with-replacement semantics),
+    then one equi-join to attach negative-side features."""
+    d = T(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    a = d.select(F.col("doc_id").alias("anchor_id")).crossJoin(F.broadcast(n))
+    ex = a.select(
+        "anchor_id", "n_docs", F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg"), F.lit("|"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"), F.col("j").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    cand = ex.select(
+        "anchor_id",
+        F.col("j").cast("int").alias("j"),
+        (h % F.col("n_docs")).cast("bigint").alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    neg = d.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return cand.join(neg, "neg_id").select("anchor_id", "j", "neg_id", "neg_lang")
