@@ -417,3 +417,51 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("neg_id") != F.col("anchor_id"))
     neg = d.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return cand.join(neg, "neg_id").select("anchor_id", "j", "neg_id", "neg_lang")
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Espirakis A-Res): rank
+# by u^(1/w) with the seeded md5 draw — one pass, distributed-safe, and
+# deterministic at any parallelism (the classic reservoir trick, here as
+# a per-group top-k instead of a heap).
+# --------------------------------------------------------------------------
+
+_WS_K = 5
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         pow({unit_rand_sql('doc_id', 'wsample')},
+             1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rk <= {_WS_K}
+"""
+
+
+@register("weighted_sample_no_replacement", oracle=_WSAMPLE_ORACLE, tags=("dataset-prep", "M4", "D8"))
+def weighted_sample_no_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-Res: P(doc in sample) ∝ n_chars, no
+    replacement, via key = u^(1/w) and per-lang top-k. pow/division are
+    single IEEE ops on identical inputs → the same sample on every engine
+    and partitioning."""
+    from ..functions.determinism import unit_rand
+
+    d = T(spark, sf_dir, "documents")
+    es_key = F.pow(
+        unit_rand(F.col("doc_id"), "wsample"),
+        F.lit(1.0) / F.col("n_chars").cast("double"),
+    )
+    keyed = d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.col("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
