@@ -313,3 +313,116 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full modern curation pipeline as ONE Catalyst plan: quality gate →
+# exact dedup (first-wins) → sliding-window chunking → token-bin packing →
+# per-lang packing stats. Every stage shrinks or linearizes its input;
+# nothing quadratic anywhere.
+# --------------------------------------------------------------------------
+
+_CUR_CHUNK = 32
+_CUR_STRIDE = 24
+_CUR_BUDGET = 512
+
+_CURATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {tokens_sql('text')} AS toks FROM documents),
+gated AS (
+  SELECT doc_id, lang, text, toks FROM t
+  WHERE NOT (len(toks) < {_MIN_WORDS})
+    AND NOT ((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) < {_WLEN_LO}
+             OR (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) > {_WLEN_HI})
+    AND NOT ((CAST(len(list_filter(toks, x -> x IN {_EN_STOPS!r})) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) < {_STOP_FRAC})),
+keyed AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM gated),
+surv AS (SELECT doc_id, lang, toks FROM keyed WHERE rn = 1),
+chunks0 AS (
+  SELECT doc_id, lang, toks,
+         unnest(range(0, greatest(len(toks) - {_CUR_CHUNK} + {_CUR_STRIDE}, 1),
+                {_CUR_STRIDE})) AS start
+  FROM surv),
+chunks AS (
+  SELECT doc_id, lang, start,
+         CAST(least({_CUR_CHUNK}, len(toks) - start) AS BIGINT) AS n_tok
+  FROM chunks0),
+packed AS (
+  SELECT lang, n_tok,
+    CAST(floor(coalesce(SUM(n_tok) OVER (PARTITION BY lang
+                 ORDER BY doc_id, start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_CUR_BUDGET}) AS BIGINT) AS bin_id
+  FROM chunks)
+SELECT lang,
+  COUNT(DISTINCT bin_id) AS n_bins,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM packed GROUP BY lang
+"""
+
+
+@register("curation_pipeline_end_to_end", oracle=_CURATION_ORACLE, bench=True, tags=("quality", "dataset-prep", "dedup-exact"))
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (map-side) → first-wins exact dedup (one md5-key
+    shuffle) → sliding-window chunking (linear explode) → token-bin
+    packing (per-lang window cumsum) → per-lang stats. The whole modern
+    pretraining prep path in one declarative plan — Catalyst pipelines
+    the gate into the dedup shuffle's map side and the chunker into the
+    packing sort."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    g = gopher_flags(d)
+    gated = g.filter(
+        ~(F.col("flag_short") | F.col("flag_wordlen") | F.col("flag_lowstop"))
+    ).select("doc_id", "lang", "text")
+    content_key = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    wdedup = W.partitionBy(content_key).orderBy("doc_id")
+    surv = (
+        gated.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - _CUR_CHUNK + _CUR_STRIDE - 1, F.lit(0)),
+        F.lit(_CUR_STRIDE),
+    )
+    chunks = surv.select(
+        "doc_id",
+        "lang",
+        F.explode(starts).alias("start"),
+        F.size("toks").alias("n_toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "start",
+        F.least(F.lit(_CUR_CHUNK), F.col("n_toks") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    wpack = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "start")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(wpack), F.lit(0)) / _CUR_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
