@@ -319,3 +319,42 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts: cohort = first active week per user; the
+# retention triangle counts users active at each week offset. All integer
+# µs arithmetic; the distinct + two grouped passes all key on user/week.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+_RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events),
+cohort AS (
+  SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY user_id)
+SELECT CAST(c.w0 AS BIGINT) AS cohort_week,
+       CAST(u.week - c.w0 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM uw u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY c.w0, u.week - c.w0
+"""
+
+
+@register("weekly_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("A4", "M1"))
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: distinct (user, week) → per-user first week →
+    join back + offset rollup. Both aggregates and the join share the
+    user_id shuffle key (one exchange reused); weeks are integer µs
+    division, no calendar/timezone arithmetic."""
+    ev = T(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr(f"ts_us DIV {_WEEK_US}").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
+    j = uw.join(cohort, "user_id")
+    return j.groupBy(
+        F.col("w0").cast("bigint").alias("cohort_week"),
+        (F.col("week") - F.col("w0")).cast("bigint").alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
