@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.determinism import davg_sql, dstddev_sql
 from . import register
 from .common import T
 
@@ -358,3 +359,47 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w0").cast("bigint").alias("cohort_week"),
         (F.col("week") - F.col("w0")).cast("bigint").alias("week_offset"),
     ).agg(F.count("*").alias("n_active"))
+
+
+# --------------------------------------------------------------------------
+# z-score outlier detection: per-type mean/std from exact decimal sums
+# (functions.determinism.dstddev), then a second pass flags |z| > 3.
+# Both passes shuffle on event_type; the stats side is a broadcast.
+# --------------------------------------------------------------------------
+
+_Z_THRESH = 3.0
+
+_OUTLIER_ORACLE = f"""
+WITH st AS (
+  SELECT event_type,
+         {davg_sql('value', scale=12, precision=38)} AS mean_v,
+         {dstddev_sql('value', scale=12, precision=38)} AS std_v
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN abs((e.value - st.mean_v) / st.std_v) > {_Z_THRESH}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN st ON e.event_type = st.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("event_value_outliers", oracle=_OUTLIER_ORACLE, tags=("A7", "F1"))
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|z| > 3 outlier counts per event type. mean/std come from exact
+    decimal sums (order-independent) with std on a 6-decimal grid, so the
+    z comparison is engine-identical; the per-type stats broadcast into
+    the flagging pass."""
+    from ..functions.determinism import davg, dstddev
+
+    ev = T(spark, sf_dir, "events")
+    st = ev.groupBy(F.col("event_type").alias("et")).agg(
+        davg(F.col("value"), scale=12, precision=38).alias("mean_v"),
+        dstddev(F.col("value"), scale=12, precision=38).alias("std_v"),
+    )
+    j = ev.join(F.broadcast(st), ev.event_type == F.col("et"))
+    z = F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(z > _Z_THRESH, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )
