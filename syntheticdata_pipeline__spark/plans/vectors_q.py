@@ -525,12 +525,15 @@ sarr AS (SELECT list(s ORDER BY pos) AS scales FROM sc)
 """
 
 _QUANT_ORACLE = f"""
-WITH {_Q8_SCALES}
-SELECT vec_id,
-  list_transform(range(1, {_DIM} + 1),
-    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / scales[i] + 0.5)
-              AS INTEGER)) AS q_arr
-FROM embeddings CROSS JOIN sarr
+WITH {_Q8_SCALES},
+q AS (
+  SELECT vec_id,
+    list_transform(range(1, {_DIM} + 1),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / scales[i] + 0.5)
+                AS INTEGER)) AS q_arr
+  FROM embeddings CROSS JOIN sarr)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, q_arr[i] AS q
+FROM q CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS i) p
 """
 
 
@@ -539,7 +542,11 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim max-abs int8 quantization: one posexplode pass computes the
     64 scales (partial-agg max, order-independent), collected into ONE
     broadcast row; the quantize itself is a map-side zip_with. floor(x+0.5)
-    rounding (not round()) keeps tie behavior identical across engines."""
+    rounding (not round()) keeps tie behavior identical across engines.
+
+    Output contract: exploded to one (vec_id, pos, q) row per element —
+    scalar ints hash deterministically in the driver's canonicalizer
+    (array<int> columns do not), and every element is still checked."""
     e = T(spark, sf_dir, "embeddings")
     ex = e.select(F.posexplode("embedding").alias("pos", "v"))
     scales = ex.groupBy("pos").agg(
@@ -550,7 +557,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
         ).alias("scales")
     )
-    return e.crossJoin(F.broadcast(sarr)).select(
+    quant = e.crossJoin(F.broadcast(sarr)).select(
         "vec_id",
         F.zip_with(
             "embedding",
@@ -560,3 +567,6 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("q_arr"),
     )
+    return quant.select(
+        "vec_id", F.posexplode("q_arr").alias("pos", "q")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "q")

@@ -74,16 +74,27 @@ def scan_listing_ids(files_df: DataFrame, pattern: str = r"prompt_(\d+)") -> Dat
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read ns as BIGINT and expose integer microseconds
-    (``ts_us``) + a TIMESTAMP column (``ts``) derived by integer DIV.
+    """events.parquet stores TIMESTAMP(NANOS); expose integer microseconds
+    (``ts_us``) + a TIMESTAMP column (``ts``).
+
+    Spark version compatibility (both paths yield identical µs values):
+    - Spark ≤3.x with ``spark.sql.legacy.parquet.nanosAsLong=true``: the
+      column arrives as BIGINT nanoseconds → integer DIV 1000.
+    - Spark 4.x: that legacy conf no longer applies and the column arrives
+      as TIMESTAMP_NTZ (nanos truncated to µs by the reader) → cast to
+      TIMESTAMP under the UTC session timezone (session.py sets it) and
+      take ``unix_micros``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (
-        df.withColumn("ts_us", F.expr("ts DIV 1000"))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return (
+            df.withColumn("ts_us", F.expr("ts DIV 1000"))
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts_us", F.unix_micros(ts)).withColumn("ts", ts)
 
 
 # --- sinks --------------------------------------------------------------------

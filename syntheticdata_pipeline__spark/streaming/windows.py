@@ -15,6 +15,7 @@ do not (any_scraper.py:58-60).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,15 +24,28 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (R1: incremental source
-    with auto-stop ≈ availableNow trigger)."""
+    with auto-stop ≈ availableNow trigger).
+
+    The stream schema must be declared up-front, but how the TIMESTAMP(NANOS)
+    ``ts`` column surfaces differs by Spark version (BIGINT nanos under the
+    ≤3.x nanosAsLong conf, TIMESTAMP_NTZ under 4.x) — so probe it with a
+    static read and branch, same contract as sources.readers.load_events.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    return (
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(static.dtypes)["ts"]
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
