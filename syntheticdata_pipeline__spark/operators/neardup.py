@@ -138,6 +138,8 @@ def jaccard_pairs_inverted(
     block_col: str | None = "lang",
     threshold: float = 0.05,
     shingle_n: int = 3,
+    collapse_identical: bool = True,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via an inverted shingle index.
 
@@ -146,9 +148,26 @@ def jaccard_pairs_inverted(
     co-occurrences per pair: |∩| arrives as a group count and
     J = |∩| / (|A|+|B|−|∩|). Pairs sharing zero shingles are never
     materialized (their J=0 < threshold anyway) — identical output,
-    ~300× fewer intermediate rows on the bench corpus. This is the
-    100 TB-safe exact-verification plan; postings-list skew on common
-    shingles is the one hazard (AQE skew join; cap df if needed).
+    ~300× fewer intermediate rows on the bench corpus.
+
+    Two scale guards on top of the base plan:
+
+    - ``collapse_identical`` (default on, output-preserving): docs with
+      identical shingle SETS collapse to one representative before the
+      postings join, and pairs are re-expanded afterward (identical sets
+      ⇒ J=1 within a group; every cross pair inherits its representative
+      pair's J — Jaccard depends only on the set). Exact-duplicate-heavy
+      corpora (the common case at 100 TB) pay the quadratic postings
+      cost only on DISTINCT documents; the duplicate blow-up happens in
+      the cheap final explode, whose size is the output size.
+    - ``df_cap`` (opt-in, changes semantics): drop shingles present in
+      more than ``df_cap`` documents from every doc's set before
+      comparing — standard boilerplate-shingle pruning; a shingle shared
+      by millions of docs is a quadratic bucket and carries no near-dup
+      signal. Callers that use it must apply the same cap in any oracle.
+
+    Postings-list skew on residual common shingles is handled by AQE
+    skew join.
     """
     # Parallelize the raw rows first (a small corpus arrives as one input
     # split; shingling must not run in one task), then shingle. Both join
@@ -159,7 +178,44 @@ def jaccard_pairs_inverted(
         F.col(text_col).alias("__txt"),
     ).repartition("id")
     sh = src.select("blk", "id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
-    ex = sh.select("blk", "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+
+    groups = None
+    if collapse_identical:
+        # Canonical set fingerprint: md5 over the sorted shingle list
+        # (fixed-width key — never shuffle the raw arrays as a group key).
+        keyed = sh.withColumn(
+            "skey", F.md5(F.concat_ws("", F.sort_array("sh")))
+        )
+        groups = keyed.groupBy("blk", "skey").agg(
+            F.min("id").alias("id"),
+            F.min_by("sh", "id").alias("sh"),
+            F.collect_list("id").alias("members"),
+        )
+        base = groups.select("blk", "id", "sh")
+    else:
+        base = sh
+
+    ex = base.select("blk", "id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        # Document-level df (a collapsed group of m docs contributes m),
+        # so the cap means the same thing with or without the collapse.
+        if groups is not None:
+            w = groups.select("blk", "id", F.size("members").alias("w"))
+            posted = ex.join(w, ["blk", "id"])
+            dfreq = posted.groupBy("blk", "shingle").agg(F.sum("w").alias("df"))
+        else:
+            dfreq = ex.groupBy("blk", "shingle").agg(F.count("*").alias("df"))
+        bad = dfreq.filter(F.col("df") > df_cap).select("blk", "shingle")
+        ex = ex.join(bad, ["blk", "shingle"], "left_anti")
+        # Pruned set size must be recounted — it is the Jaccard denominator.
+        from pyspark.sql import Window
+
+        ex = ex.withColumn("n", F.count("*").over(Window.partitionBy("blk", "id")))
+    else:
+        ex = base.select(
+            "blk", "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+        )
+
     a = ex.alias("a")
     b = ex.alias("b")
     co = (
@@ -180,7 +236,38 @@ def jaccard_pairs_inverted(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    return co.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
+    pairs = co.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
+
+    if groups is None:
+        return pairs
+
+    # Re-expand representatives to member pairs. Docs whose (possibly
+    # pruned) set is empty never join anything: they have no postings, so
+    # they are absent from `nonempty` — matching the base plan, where an
+    # empty set can never reach any threshold > 0.
+    nonempty = ex.select("id").distinct()
+    mem = groups.join(nonempty, "id", "left_semi").select(
+        F.col("id").alias("rep"), "members"
+    )
+    within = (
+        mem.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", F.lit(1.0))
+    )
+    cross = (
+        pairs.join(mem.select(F.col("rep").alias("id_a"), F.col("members").alias("ma")), "id_a")
+        .join(mem.select(F.col("rep").alias("id_b"), F.col("members").alias("mb")), "id_b")
+        .select(F.explode("ma").alias("a"), "mb", "jac")
+        .select("a", F.explode("mb").alias("b"), "jac")
+        .select(
+            F.least("a", "b").alias("id_a"),
+            F.greatest("a", "b").alias("id_b"),
+            "jac",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def jaccard(a: Column, b: Column) -> Column:

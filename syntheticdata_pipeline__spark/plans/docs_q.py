@@ -111,6 +111,54 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# df-capped Jaccard: boilerplate-shingle pruning (drop shingles present in
+# more than DF_CAP docs of a language block) before the pair comparison.
+# --------------------------------------------------------------------------
+
+_DF_CAP = 4
+
+_JACCARD_PRUNED_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {word_shingles_sql('text')} AS sh
+  FROM documents),
+ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM d),
+freq AS (SELECT lang, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
+kept AS (
+  SELECT e.doc_id, e.lang, e.shingle
+  FROM ex e JOIN freq f ON e.lang = f.lang AND e.shingle = f.shingle
+  WHERE f.df <= {_DF_CAP}),
+sets AS (
+  SELECT doc_id, lang, list(shingle ORDER BY shingle) AS sh
+  FROM kept GROUP BY 1, 2)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {jaccard_sql('a.sh', 'b.sh')} AS jac
+FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {jaccard_sql('a.sh', 'b.sh')} >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard_pruned", oracle=_JACCARD_PRUNED_ORACLE, tags=("dedup-jaccard",))
+def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs after dropping boilerplate shingles (doc
+    frequency > {cap} within a language). A shingle shared by millions of
+    docs is a quadratic postings bucket with no near-dup signal — capping
+    df bounds every bucket, the prerequisite for the postings self-join to
+    survive 100 TB. The cap changes semantics (sets shrink), so the oracle
+    applies the identical cap."""
+    from ..operators.neardup import jaccard_pairs_inverted
+
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs_inverted(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        block_col="lang",
+        threshold=_JACCARD_THRESHOLD,
+        df_cap=_DF_CAP,
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding: candidate pairs without the quadratic join.
 # --------------------------------------------------------------------------
 
