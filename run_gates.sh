@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Pre-round-end gate: a round must never ship with red tests or a bench
+# that cannot produce its JSON line (rounds 3-4 shipped rc=1 benches).
+#
+#   ./run_gates.sh          # full: pytest + oracle gate + sf0.1 bench
+#   ./run_gates.sh quick    # smoke: pytest -x + sf0.001 bench
+#
+# Exit nonzero on ANY gate failure.
+set -uo pipefail
+cd "$(dirname "$0")"
+
+MODE="${1:-full}"
+fail=0
+
+echo "== gate 1: pytest =="
+if ! python -m pytest tests/ -x -q; then
+  echo "GATE FAIL: pytest" >&2
+  fail=1
+fi
+
+if [ "$MODE" = "full" ]; then
+  echo "== gate 2: oracle parity (driver replica, sf0.01) =="
+  if ! python tools/check_oracle.py; then
+    echo "GATE FAIL: oracle parity" >&2
+    fail=1
+  fi
+fi
+
+echo "== gate 3: bench JSON line =="
+if [ "$MODE" = "quick" ]; then
+  BENCH_ENV="SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_NO_STRESS=1"
+else
+  BENCH_ENV=""
+fi
+out="$(env $BENCH_ENV python bench.py 2>/tmp/run_gates_bench.err)"
+rc=$?
+if [ $rc -ne 0 ] || [ -z "$out" ]; then
+  echo "GATE FAIL: bench.py rc=$rc (stderr tail below)" >&2
+  tail -20 /tmp/run_gates_bench.err >&2
+  fail=1
+else
+  echo "$out" | python -c '
+import json, sys
+d = json.loads(sys.stdin.readline())
+regs = d.get("regressions_gt_2x", [])
+print("bench ok: total=%ss sf=%s queries=%d" % (d["value"], d["sf"], len(d["queries"])))
+if regs:
+    print("GATE FAIL: regressions_gt_2x=%s" % regs, file=sys.stderr)
+    sys.exit(1)
+'
+  [ $? -ne 0 ] && fail=1
+fi
+
+if [ $fail -eq 0 ]; then
+  echo "== ALL GATES GREEN =="
+else
+  echo "== GATES RED ==" >&2
+fi
+exit $fail
