@@ -38,23 +38,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose implementation changed since the last driver round: verify
 # them right after the never-checked ones even if previously green.
 _CHANGED_THIS_ROUND = (
-    "token_overlap_pairs",
-    "split_mean_labels",
-    "inception_score_splits",
+    "ngram_jaccard_pairs",  # identical-set collapse rewrite
+    "embedding_int8_quantize",  # output exploded to (vec_id, pos, q)
 )
 
 
 def _catalog_order(names: list[str]) -> list[str]:
     """Order the catalog so the driver's (possibly capped) verification pass
-    covers the queries with the least evidence first: never-driver-checked,
-    then changed-this-round, then checked-but-not-green, then green.
-    Within a tier, registry (module import) order is kept."""
+    covers the queries with the least evidence first:
+
+    0. never driver-checked,
+    1. changed this round (re-verify even if previously green),
+    2. red at their MOST RECENT check (an old green does not excuse a
+       current failure),
+    3. green at their most recent check, stalest round first — every query
+       keeps cycling back through the window over successive rounds.
+
+    Within a tier, ties keep registry (module import) order."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    green: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
+    last_ok: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -67,17 +77,22 @@ def _catalog_order(names: list[str]) -> list[str]:
                 and v.get("schema_match")
                 and v.get("hash_match")
             )
-            green[k] = ok or green.get(k, False)
+            if rnd >= last_round.get(k, -1):
+                last_round[k] = rnd
+                last_ok[k] = ok
 
-    def tier(name: str) -> int:
-        if name not in green:
-            return 0
+    def key(name: str) -> tuple[int, int, int]:
+        idx_n = idx[name]
+        if name not in last_round:
+            return (0, 0, idx_n)
         if name in _CHANGED_THIS_ROUND:
-            return 1
-        return 2 if not green[name] else 3
+            return (1, 0, idx_n)
+        if not last_ok[name]:
+            return (2, 0, idx_n)
+        return (3, last_round[name], idx_n)
 
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (tier(n), idx[n]))
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
