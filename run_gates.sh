@@ -51,6 +51,12 @@ if regs:
   [ $? -ne 0 ] && fail=1
 fi
 
+if [ "$MODE" = "full" ] && [ $fail -eq 0 ]; then
+  echo "== refresh plan audit + query index =="
+  python tools/explain_audit.py > PLANS_AUDIT.md && echo "PLANS_AUDIT.md refreshed"
+  python tools/gen_queries_md.py > QUERIES.md && echo "QUERIES.md refreshed"
+fi
+
 if [ $fail -eq 0 ]; then
   echo "== ALL GATES GREEN =="
 else
