@@ -140,7 +140,7 @@ WHERE {jaccard_sql('a.sh', 'b.sh')} >= {_JACCARD_THRESHOLD}
 @register("ngram_jaccard_pruned", oracle=_JACCARD_PRUNED_ORACLE, tags=("dedup-jaccard",))
 def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard near-dup pairs after dropping boilerplate shingles (doc
-    frequency > {cap} within a language). A shingle shared by millions of
+    frequency > 4 within a language). A shingle shared by millions of
     docs is a quadratic postings bucket with no near-dup signal — capping
     df bounds every bucket, the prerequisite for the postings self-join to
     survive 100 TB. The cap changes semantics (sets shrink), so the oracle
@@ -496,6 +496,165 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, ["lang"], [F.col("n").desc(), F.col("token")], k=10, rank_col="rank"
     )
     return out.select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top-3 distinguishing terms per document — the classic relevance
+# weighting a curation pipeline uses for topic tagging / keyword reports.
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tfc t JOIN dfc d ON t.token = d.token CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) rn
+  FROM scored)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text-analysis", "D8"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc. tf and df are two partial-aggregated
+    counts (the token shuffle carries counts, not tokens); the tf↔df join
+    keys on token — vocabulary-sized, so no broadcast hint (AQE may still
+    pick one at small scale); N arrives as a broadcast scalar. Scores are
+    round(·,6)-stabilized before ranking (determinism.py libm rule), ties
+    broken by token."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from ..operators.dedup import top_k_per_group
+
+    out = top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("token")],
+        k=_TFIDF_K,
+        rank_col="rank",
+    )
+    return out.select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        "tfidf",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25: rank the corpus against a query — the retrieval scorer used for
+# decontamination lookups and quality-biased sampling.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "data", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tfc AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({_bm25_terms_sql}) GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * t.tf * ({_BM25_K1} + 1.0)
+             / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+         ) AS score
+  FROM tfc t
+  JOIN dfc d ON t.token = d.token
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) rn
+  FROM scored)
+SELECT doc_id, score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@register("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("text-analysis", "D8"))
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs for a fixed query (k1=1.2, b=0.75). Only postings
+    of the query's terms survive the first filter, so every later stage is
+    query-sized, not corpus-sized; corpus stats (N, avgdl) arrive as one
+    broadcast row. Global top-k is a TakeOrdered, not a full sort."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tfc = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tfc.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tfc.join(F.broadcast(dfc), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom).alias("score"))
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -428,6 +428,70 @@ def cosine_neardup_lsh_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: embedding near-dup pairs → connected
+# components → one survivor per cluster (the embedding-space analogue of
+# the MinHash transitive-dedup pipeline, cf. Abbas et al. 2023).
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding', _planes)} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE {dot_sql('a.embedding', 'b2.embedding')} >= {_COS_THRESH}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+lab AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY src),
+dropped AS (SELECT vec_id FROM lab WHERE vec_id != rep)
+SELECT e.label,
+  COUNT(*) AS n_vecs,
+  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN dropped dr ON e.vec_id = dr.vec_id
+GROUP BY e.label
+"""
+
+
+@register("semantic_dedup_stats", oracle=_SEMDEDUP_ORACLE, tags=("dedup-cosine", "clusters"))
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup end-to-end: LSH-bucketed cosine
+    pairs → connected components (min-label propagation) → keep the min-id
+    survivor per cluster → per-label kept/dropped counts. Same transitive
+    pipeline shape as cluster_dedup_stats but over embeddings — near-
+    identical meaning collapses even when the text differs. The drop set
+    (members minus reps) is tiny and broadcast; the corpus is never
+    reshuffled."""
+    from ..operators.clusters import connected_components
+    from ..operators.similarity import lsh_neardup_pairs
+
+    e = T(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        e, threshold=_COS_THRESH, n_planes=_N_PLANES, dim=_DIM
+    )
+    edges = pairs.select("id_a", "id_b")
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    dropped = labels.filter(F.col("node") != F.col("lab")).select(
+        F.col("node").alias("vec_id"), F.lit(True).alias("is_dup")
+    )
+    j = e.join(F.broadcast(dropped), "vec_id", "left")
+    dup = F.col("is_dup").isNotNull()
+    return j.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(dup, 0).otherwise(1)).cast("bigint").alias("n_kept"),
+    )
+
+
 @register("cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE, bench=True, tags=("dedup-cosine", "lsh"))
 def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs: candidates restricted to shared
