@@ -73,6 +73,79 @@ def minhash_signature_sql(shingles_sql: str, num_hashes: int = 12, salt: str = "
     return "[" + ", ".join(sigs) + "]"
 
 
+def collapse_identical_sets(
+    sets_df: DataFrame,
+    id_col: str = "id",
+    set_col: str = "sh",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Collapse rows with identical ``set_col`` contents (within
+    ``group_cols``) to one representative row: (group_cols…, id=min id,
+    set_col, members=[all ids]).
+
+    The group key is md5 over the sorted elements — a fixed-width
+    fingerprint, so the shuffle never carries raw arrays as keys. The
+    \\x01 separator cannot occur inside whitespace-split tokens, making
+    the encoding prefix-collision-free. This is the exact-duplicate
+    collapse every set-similarity stage should run first: downstream
+    quadratic work then scales with DISTINCT sets, and duplicate-heavy
+    corpora (the 100 TB norm) re-expand only at output time.
+    """
+    keyed = sets_df.withColumn(
+        "__skey", F.md5(F.concat_ws("", F.sort_array(set_col)))
+    )
+    return keyed.groupBy(*group_cols, "__skey").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by(set_col, id_col).alias(set_col),
+        F.collect_list(id_col).alias("members"),
+    ).drop("__skey")
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    within_payload: dict | None = None,
+) -> DataFrame:
+    """Expand representative pairs from a :func:`collapse_identical_sets`
+    run back to member pairs.
+
+    Cross-group member pairs inherit every payload column of their
+    representative pair (set-level measures depend only on the sets).
+    Within-group pairs (identical sets) are generated directly with
+    ``within_payload`` (column-name → Column, e.g. ``{"jac": F.lit(1.0)}``);
+    pass ``None`` to emit cross-group pairs only. Callers must pre-filter
+    ``groups`` to the rows eligible for within-group emission (e.g. drop
+    empty-set groups that never enter the pair stage)."""
+    mem = groups.select(F.col(id_col).alias("rep"), "members")
+    payload = [c for c in rep_pairs.columns if c not in (a_col, b_col)]
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias(a_col), F.col("members").alias("__ma")), a_col
+        )
+        .join(mem.select(F.col("rep").alias(b_col), F.col("members").alias("__mb")), b_col)
+        .select(F.explode("__ma").alias("__a"), "__mb", *payload)
+        .select("__a", F.explode("__mb").alias("__b"), *payload)
+        .select(
+            F.least("__a", "__b").alias(a_col),
+            F.greatest("__a", "__b").alias(b_col),
+            *payload,
+        )
+    )
+    if within_payload is None:
+        return cross
+    within = (
+        mem.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias(a_col), "members")
+        .select(a_col, F.explode("members").alias(b_col))
+        .filter(F.col(a_col) < F.col(b_col))
+        .select(a_col, b_col, *[v.alias(k) for k, v in within_payload.items()])
+    )
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -87,7 +160,6 @@ def minhash_lsh_pairs(
     slice of the signature matches exactly. Returns (id_a, id_b, n_bands)
     with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     # Stage 1 + barrier: shingle once. Without the exchange,
     # CollapseProject inlines the shingling expression into every one of
     # the num_hashes min-hash lambdas (12× recompute of split/slice/md5
@@ -98,6 +170,18 @@ def minhash_lsh_pairs(
         .select("id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
         .repartition("id")  # materialize shingles before the 12-fold fan-out
     )
+    return minhash_pairs_from_sets(shingled, num_hashes=num_hashes, bands=bands)
+
+
+def minhash_pairs_from_sets(
+    shingled: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding stage of :func:`minhash_lsh_pairs`, taking pre-computed
+    shingle sets (columns ``id``, ``sh``) — split out so callers can
+    collapse identical sets first and band only the representatives."""
+    rows_per_band = num_hashes // bands
     # Stage 2: each hash-permutation min computed exactly once (plain
     # columns, not an array, so no slice-induced duplication).
     def min_hash_col(i: int) -> Column:
@@ -181,15 +265,8 @@ def jaccard_pairs_inverted(
 
     groups = None
     if collapse_identical:
-        # Canonical set fingerprint: md5 over the sorted shingle list
-        # (fixed-width key — never shuffle the raw arrays as a group key).
-        keyed = sh.withColumn(
-            "skey", F.md5(F.concat_ws("", F.sort_array("sh")))
-        )
-        groups = keyed.groupBy("blk", "skey").agg(
-            F.min("id").alias("id"),
-            F.min_by("sh", "id").alias("sh"),
-            F.collect_list("id").alias("members"),
+        groups = collapse_identical_sets(
+            sh, id_col="id", set_col="sh", group_cols=("blk",)
         )
         base = groups.select("blk", "id", "sh")
     else:
@@ -246,28 +323,10 @@ def jaccard_pairs_inverted(
     # they are absent from `nonempty` — matching the base plan, where an
     # empty set can never reach any threshold > 0.
     nonempty = ex.select("id").distinct()
-    mem = groups.join(nonempty, "id", "left_semi").select(
-        F.col("id").alias("rep"), "members"
+    eligible = groups.join(nonempty, "id", "left_semi")
+    return expand_collapsed_pairs(
+        pairs, eligible, id_col="id", within_payload={"jac": F.lit(1.0)}
     )
-    within = (
-        mem.filter(F.size("members") >= 2)
-        .select(F.explode("members").alias("id_a"), "members")
-        .select("id_a", F.explode("members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jac", F.lit(1.0))
-    )
-    cross = (
-        pairs.join(mem.select(F.col("rep").alias("id_a"), F.col("members").alias("ma")), "id_a")
-        .join(mem.select(F.col("rep").alias("id_b"), F.col("members").alias("mb")), "id_b")
-        .select(F.explode("ma").alias("a"), "mb", "jac")
-        .select("a", F.explode("mb").alias("b"), "jac")
-        .select(
-            F.least("a", "b").alias("id_a"),
-            F.greatest("a", "b").alias("id_b"),
-            "jac",
-        )
-    )
-    return cross.unionByName(within)
 
 
 def jaccard(a: Column, b: Column) -> Column:

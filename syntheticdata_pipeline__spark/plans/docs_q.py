@@ -197,22 +197,47 @@ JOIN sigs sb ON sb.doc_id = c.id_b
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) signatures → 6 bands × 2 rows → bucket-join candidates →
     exact Jaccard verification. The LSH plan replaces the all-pairs cross
-    join with an equi-join on (band, band_hash) — the 100 TB dedup shape."""
-    from ..operators.neardup import minhash_lsh_pairs
+    join with an equi-join on (band, band_hash) — the 100 TB dedup shape.
+
+    Identical shingle sets collapse to one representative BEFORE the
+    signature/banding stage, and the verification Jaccard runs on rep
+    pairs only; member pairs are re-expanded at output (identical sets ⇒
+    identical signatures ⇒ all bands collide ⇒ n_bands=6, jac=1.0; cross
+    pairs inherit their rep pair's values). Output is bit-identical to
+    the uncollapsed plan while the banding join scales with DISTINCT
+    documents — the stage that would otherwise blow up on a duplicate-
+    heavy corpus."""
+    from ..operators.neardup import (
+        collapse_identical_sets,
+        expand_collapsed_pairs,
+        minhash_pairs_from_sets,
+    )
 
     d = T(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        d, id_col="doc_id", text_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS
+    shingled = (
+        d.select(F.col("doc_id").alias("id"), F.col("text").alias("__txt"))
+        .repartition("id")
+        .select("id", word_shingles(F.col("__txt")).alias("sh"))
+        .repartition("id")
     )
-    # Materialize shingle arrays once (exchange reuse across the two
-    # verification joins — avoids re-shingling per side).
-    sh = d.select("doc_id", word_shingles(F.col("text")).alias("shingles")).repartition(
-        "doc_id"
-    )
-    return (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
+    reps = groups.select("id", "sh")
+    cand = minhash_pairs_from_sets(reps, num_hashes=_MH_HASHES, bands=_MH_BANDS)
+    ver = (
+        cand.join(
+            reps.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(reps.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", "n_bands", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"))
+    )
+    return expand_collapsed_pairs(
+        ver,
+        groups,
+        id_col="id",
+        within_payload={
+            "n_bands": F.lit(_MH_BANDS).cast("bigint"),
+            "jac": F.lit(1.0),
+        },
     )
 
 
