@@ -415,6 +415,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     salt: str = "sh",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded.
 
@@ -434,13 +435,25 @@ def simhash_hamming_pairs(
         )
     bits_per_band = n_bits // bands
     mask = (1 << bits_per_band) - 1
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")).repartition(
+        "id"
+    )
+    groups = None
+    if collapse_identical:
+        # Identical TEXT implies an identical signature, so replicas can
+        # collapse to one representative before the (quadratic) band join
+        # and re-expand at output — same trick as collapse_identical_sets,
+        # keyed on md5(text) since SimHash depends on the token multiset.
+        groups = src.groupBy(F.md5("__txt").alias("__tkey")).agg(
+            F.min("id").alias("id"),
+            F.min_by("__txt", "id").alias("__txt"),
+            F.collect_list("id").alias("members"),
+        ).drop("__tkey")
+        src = groups.select("id", "__txt")
     # barrier staging as in minhash_lsh_pairs: compute the (expensive,
     # n_bits-aggregate) signature exactly once before the band fan-out
-    sigs = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
-        .repartition("id")
-        .select("id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig"))
-        .repartition("id")
+    sigs = src.select("id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")).repartition(
+        "id"
     )
     stack_args = ", ".join(
         f"{b}, shiftright(sig, {b * bits_per_band}) & {mask}" for b in range(bands)
@@ -456,7 +469,7 @@ def simhash_hamming_pairs(
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bv"
     )
-    return (
+    pairs = (
         left.join(right, ["band", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -466,4 +479,10 @@ def simhash_hamming_pairs(
         )
         .distinct()  # a close pair can collide on several bands
         .filter(F.col("hamming") <= max_hamming)
+    )
+    if groups is None:
+        return pairs
+    return expand_collapsed_pairs(
+        pairs, groups, id_col="id",
+        within_payload={"hamming": F.lit(0).cast("int")},
     )
