@@ -64,3 +64,94 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # same 30-min gap as the batch twin
+
+
+def fold_sessions(
+    state: tuple[int, int, int] | None,
+    timestamps_us: list[int],
+    gap_us: int = _SESSION_GAP_US,
+) -> tuple[tuple[int, int, int] | None, list[tuple[int, int, int]]]:
+    """Pure session-folding kernel shared by the TWS processor (and unit
+    tests — the Spark TransformWithState runtime is protobuf-gated in some
+    environments). Folds sorted event times into the open session carried
+    in ``state``; returns (new open session, closed sessions)."""
+    closed: list[tuple[int, int, int]] = []
+    cur = state
+    for us in timestamps_us:
+        if cur is None:
+            cur = (us, us, 1)
+        elif us - cur[1] > gap_us:
+            closed.append(cur)
+            cur = (us, us, 1)
+        else:
+            cur = (cur[0], us, cur[2] + 1)
+    return cur, closed
+
+
+def session_tracker_tws(events: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """Cross-batch sessionization on Spark 4's ``transformWithStateInPandas``
+    (the StatefulProcessor successor to applyInPandasWithState): per-user
+    ValueState holds the OPEN session (start_us, last_us, n); a batch's
+    events extend it or close it and open a new one; closed sessions are
+    emitted as they close. The open tail session stays in state across
+    micro-batches — so with a time-ordered multi-batch feed the emitted
+    rows equal the batch sessionizer's output minus each user's final
+    session (which never closes). Input rows must carry integer-µs ``us``.
+
+    State is one fixed-width row per ACTIVE user — bounded, keyed,
+    checkpointed; the 100 TB form of the reference's per-site in-memory
+    progress dicts (any_scraper.py:58-116).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (user_id,) = key
+            state = tuple(self._sess.get()) if self._sess.exists() else None
+            ts = sorted(int(u) for pdf in rows for u in pdf["us"])
+            state, closed = fold_sessions(state, ts, gap_us)
+            if state is not None:
+                self._sess.update(state)
+            if closed:
+                yield pd.DataFrame(
+                    [(user_id, s, e, n) for (s, e, n) in closed],
+                    columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Sessionizer(),
+        outputStructType=SESSIONS_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
