@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = (
     "ngram_jaccard_pairs",  # identical-set collapse rewrite
     "embedding_int8_quantize",  # output exploded to (vec_id, pos, q)
+    "minhash_lsh_candidates",  # collapse + rep-side verification
+    "simhash_hamming_pairs_q",  # identical-text collapse
+    "cluster_dedup_stats",  # consumes minhash_lsh_candidates
 )
 
 

@@ -549,7 +549,7 @@ FROM ranked WHERE rn <= {_TFIDF_K}
 """
 
 
-@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text-analysis", "D8"))
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, bench=True, tags=("text-analysis", "D8"))
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc. tf and df are two partial-aggregated
     counts (the token shuffle carries counts, not tokens); the tf↔df join
@@ -639,7 +639,7 @@ FROM ranked WHERE rn <= {_BM25_TOPK}
 """
 
 
-@register("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("text-analysis", "D8"))
+@register("bm25_topk_docs", oracle=_BM25_ORACLE, bench=True, tags=("text-analysis", "D8"))
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 docs for a fixed query (k1=1.2, b=0.75). Only postings
     of the query's terms survive the first filter, so every later stage is

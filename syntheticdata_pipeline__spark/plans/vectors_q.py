@@ -462,7 +462,7 @@ GROUP BY e.label
 """
 
 
-@register("semantic_dedup_stats", oracle=_SEMDEDUP_ORACLE, tags=("dedup-cosine", "clusters"))
+@register("semantic_dedup_stats", oracle=_SEMDEDUP_ORACLE, bench=True, tags=("dedup-cosine", "clusters"))
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup end-to-end: LSH-bucketed cosine
     pairs → connected components (min-label propagation) → keep the min-id
