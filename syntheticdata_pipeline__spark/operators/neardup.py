@@ -322,8 +322,14 @@ def jaccard_pairs_inverted(
     # pruned) set is empty never join anything: they have no postings, so
     # they are absent from `nonempty` — matching the base plan, where an
     # empty set can never reach any threshold > 0.
-    nonempty = ex.select("id").distinct()
-    eligible = groups.join(nonempty, "id", "left_semi")
+    # Within-group J=1 emission must skip groups whose set is empty — but
+    # sets can only BECOME empty via df_cap pruning (word_shingles clamps
+    # to ≥1 element), so the extra distinct-postings scan is cap-only.
+    eligible = (
+        groups.join(ex.select("id").distinct(), "id", "left_semi")
+        if df_cap is not None
+        else groups
+    )
     return expand_collapsed_pairs(
         pairs, eligible, id_col="id", within_payload={"jac": F.lit(1.0)}
     )
