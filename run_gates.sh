@@ -34,6 +34,7 @@ else
 fi
 out="$(env $BENCH_ENV python bench.py 2>/tmp/run_gates_bench.err)"
 rc=$?
+[ -n "$out" ] && echo "$out" > /tmp/run_gates_bench.json
 if [ $rc -ne 0 ] || [ -z "$out" ]; then
   echo "GATE FAIL: bench.py rc=$rc (stderr tail below)" >&2
   tail -20 /tmp/run_gates_bench.err >&2

@@ -492,3 +492,113 @@ def simhash_hamming_pairs(
         pairs, groups, id_col="id",
         within_payload={"hamming": F.lit(0).cast("int")},
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>) MinHash signatures — the compact per-doc
+    state an incremental dedup persists (num_hashes md5 strings per doc,
+    ~400 B; never the text or shingle set)."""
+    shingled = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .repartition("id")
+        .select("id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
+        .repartition("id")
+    )
+    return shingled.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash estimate of Jaccard: fraction of agreeing signature
+    positions (an unbiased estimator; the decision statistic incremental
+    dedup uses so state never needs the shingle sets)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree.cast("double") / F.size(sig_a).cast("double")
+
+
+def _sig_band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    stack_args = ", ".join(
+        f"{b}, concat({', '.join(f'sig[{b * rows_per_band + r}]' for r in range(rows_per_band))})"
+        for b in range(bands)
+    )
+    return sigs.selectExpr("id", "sig", f"stack({bands}, {stack_args}) AS (band, bh)")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    state_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    est_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against the signatures of every doc seen so far
+    — the incremental-ingestion form of corpus near-dup dedup (a 100 TB
+    corpus is never re-deduped from scratch when a day's crawl lands).
+
+    Decision rule: a doc is a duplicate iff some EARLIER doc (lower id —
+    ids must be monotone across batches) shares ≥1 LSH band with it and
+    the signature-estimated Jaccard is ≥ ``est_threshold``. The rule
+    checks each doc against ALL earlier docs (not just survivors), which
+    makes it associative: feeding one batch or the same rows split into
+    any number of batches yields identical survivor sets
+    (tests/test_incremental_dedup.py proves it).
+
+    Returns ``(survivors, new_state_sigs)`` where ``new_state_sigs`` is
+    (id, sig) for every batch doc — append it to the persisted state
+    (e.g. via operators.state.StateTable / parquet append). State is one
+    signature row per seen doc; band rows are derived, so the stored
+    footprint is num_hashes hashes per document.
+    """
+    sigs = minhash_signatures(
+        batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
+    )
+    new_bands = _sig_band_rows(sigs, num_hashes, bands).repartition("band", "bh")
+
+    # within-batch: earlier batch doc wins
+    l = new_bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    r = new_bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    if state_sigs is not None:
+        prior_bands = _sig_band_rows(
+            state_sigs.select(F.col("id"), F.col("sig")), num_hashes, bands
+        ).repartition("band", "bh")
+        p = prior_bands.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+        )
+        vs_prior = (
+            p.join(r, ["band", "bh"])
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct()
+        )
+        cand = cand.unionByName(vs_prior)
+
+    dup_ids = (
+        cand.filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= est_threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    survivors = batch.join(
+        dup_ids.withColumnRenamed("id", id_col), [id_col], "left_anti"
+    )
+    return survivors, sigs

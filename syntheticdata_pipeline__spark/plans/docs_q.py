@@ -242,6 +242,66 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental ingestion dedup: a doc is a dup iff some earlier doc shares
+# an LSH band AND the signature-ESTIMATED Jaccard clears the threshold —
+# the decision rule whose state is 12 hashes/doc (operators.neardup.
+# incremental_minhash_dedup), evaluated here in its one-shot batch form.
+# --------------------------------------------------------------------------
+
+_INC_EST_THRESHOLD = 0.5
+
+_inc_est_sql = (
+    "(CAST(len(list_filter(range(1, 13), i -> l.sig[i] = r.sig[i])) AS DOUBLE) / 12.0)"
+)
+
+_INC_DEDUP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {word_shingles_sql('text')} AS shingles FROM documents),
+sigs AS (
+  SELECT doc_id, lang, {minhash_signature_sql('shingles', _MH_HASHES)} AS sig FROM sh),
+banded AS (SELECT doc_id, sig, {_bands_select} FROM sigs),
+long_bands AS ({_bands_union.replace('FROM sigs', 'FROM banded')}),
+cand AS (
+  SELECT DISTINCT l0.doc_id AS id_a, r0.doc_id AS id_b
+  FROM long_bands l0 JOIN long_bands r0
+    ON l0.band = r0.band AND l0.bh = r0.bh AND l0.doc_id < r0.doc_id),
+dups AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sigs l ON l.doc_id = c.id_a
+  JOIN sigs r ON r.doc_id = c.id_b
+  WHERE {_inc_est_sql} >= {_INC_EST_THRESHOLD})
+SELECT s.lang, COUNT(*) AS n_survivors
+FROM sigs s LEFT JOIN dups d ON s.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+GROUP BY s.lang
+"""
+
+
+@register("incremental_dedup_survivors", oracle=_INC_DEDUP_ORACLE, tags=("dedup-minhash", "R2"))
+def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot form of the incremental ingestion dedup: per-lang survivor
+    counts under the earlier-doc-wins estimated-Jaccard rule. The rule
+    compares each doc against ALL earlier docs, so this batch run equals
+    any chunked incremental run over the same rows
+    (tests/test_incremental_dedup.py proves associativity); the oracle
+    replays band collision + signature agreement in SQL."""
+    from ..operators.neardup import incremental_minhash_dedup
+
+    d = T(spark, sf_dir, "documents")
+    survivors, _ = incremental_minhash_dedup(
+        d,
+        None,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        est_threshold=_INC_EST_THRESHOLD,
+    )
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_survivors"))
+
+
+# --------------------------------------------------------------------------
 # Chained corpus dedup: exact → minhash-LSH candidates → jaccard verify →
 # drop losers — the full near-dup pipeline a pretraining corpus runs.
 # --------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Incremental near-dup dedup: chunked ingestion against persisted
+signature state must equal the one-shot run (the rule checks every doc
+against ALL earlier docs, so batching is associative)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from syntheticdata_pipeline__spark.operators.neardup import (
+    incremental_minhash_dedup,
+    minhash_signatures,
+)
+from syntheticdata_pipeline__spark.plans.common import T
+
+from .conftest import SF_SMOKE
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_incremental_equals_oneshot(spark):
+    d = T(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    # one-shot: everything in a single batch, no prior state
+    oneshot, _ = incremental_minhash_dedup(d, None)
+    want = _ids(oneshot)
+
+    # chunked: three id-ordered batches, state accumulated between them
+    cut1, cut2 = 160, 320
+    batches = [
+        d.filter(F.col("doc_id") < cut1),
+        d.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        d.filter(F.col("doc_id") >= cut2),
+    ]
+    state = None
+    got = set()
+    for b in batches:
+        survivors, new_sigs = incremental_minhash_dedup(b, state)
+        got |= _ids(survivors)
+        state = new_sigs if state is None else state.unionByName(new_sigs)
+
+    assert got == want
+    # dedup actually dropped something, and no doc vanished entirely
+    n_docs = d.count()
+    assert 0 < len(want) < n_docs
+
+
+def test_incremental_drops_replica_batch(spark):
+    """A second batch that replays earlier docs (ids shifted up) is wiped
+    out entirely by the state comparison."""
+    d = T(spark, SF_SMOKE, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    survivors1, sigs1 = incremental_minhash_dedup(d, None)
+    replay = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    survivors2, _ = incremental_minhash_dedup(replay, sigs1)
+    assert survivors2.count() == 0
+    assert survivors1.count() > 0
+
+
+def test_signature_state_is_compact(spark):
+    sigs = minhash_signatures(T(spark, SF_SMOKE, "documents"))
+    row = sigs.first()
+    assert len(row.sig) == 12 and all(len(h) == 32 for h in row.sig)
