@@ -242,6 +242,51 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact substring duplication (Lee et al. 2021 "Deduplicating Training
+# Data..."): doc pairs sharing a verbatim _SS_N-token span. Span-level,
+# not set-level — catches boilerplate/quotation reuse that Jaccard's
+# whole-document ratio dilutes away.
+# --------------------------------------------------------------------------
+
+_SS_N = 8
+
+_SUBSTR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {word_shingles_sql('text', _SS_N)} AS sh
+  FROM documents),
+ex AS (SELECT doc_id, lang, unnest(sh) AS gram FROM d),
+pairs AS (
+  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b
+    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+"""
+
+
+@register("substring_dup_pairs", oracle=_SUBSTR_ORACLE, tags=("dedup-jaccard", "D3"))
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-language doc pairs sharing ≥1 verbatim 8-token span, with the
+    shared-span count. Inverted 8-gram index (explode → equi-join →
+    pair count): pairs sharing nothing never materialize, and an 8-gram
+    posting list is short by construction (long spans are near-unique),
+    so the join is skew-light at any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    ex = d.select(
+        "lang", "doc_id", F.explode(word_shingles(F.col("text"), _SS_N)).alias("gram")
+    )
+    a = ex.select(F.col("lang"), F.col("doc_id").alias("id_a"), F.col("gram"))
+    b = ex.select(F.col("lang"), F.col("doc_id").alias("id_b"), F.col("gram"))
+    return (
+        a.join(b, ["lang", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental ingestion dedup: a doc is a dup iff some earlier doc shares
 # an LSH band AND the signature-ESTIMATED Jaccard clears the threshold —
 # the decision rule whose state is 12 hashes/doc (operators.neardup.
