@@ -242,6 +242,72 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unigram-LM perplexity-proxy gate (the CCNet-style quality filter): train
+# a unigram LM on the corpus itself, score each doc by mean token
+# log-probability, gate the worst per-language quartile.
+# --------------------------------------------------------------------------
+
+_PPL_KEEP_FRAC = 0.75
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+lm AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(cnt) AS total FROM lm GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         round(AVG(ln(CAST(l.cnt AS DOUBLE) / tt.total)), 6) AS logprob
+  FROM toks t
+  JOIN lm l ON t.lang = l.lang AND t.token = l.token
+  JOIN tot tt ON t.lang = tt.lang
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY logprob, doc_id) AS pr
+  FROM scored)
+SELECT doc_id, lang, logprob, (pr >= {1 - _PPL_KEEP_FRAC}) AS keep
+FROM ranked
+"""
+
+
+@register("unigram_perplexity_gate", oracle=_PPL_ORACLE, tags=("text-analysis", "F4"))
+def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality gate: per-language unigram LM trained on
+    the corpus itself (two partial-agg counts), each doc scored by mean
+    token log-prob, bottom quartile per language gated out. The LM is
+    vocabulary-sized so the token join shuffles on token (no forced
+    broadcast); scores round(·,6)-stabilize before the percentile window,
+    and (score, doc_id) makes the rank ordering total — deterministic at
+    any parallelism. The distributed analogue of CCNet's
+    KenLM-perplexity bucketing with an exactly-reproducible stand-in LM."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    tot = lm.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(lm, ["lang", "token"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("logprob")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("logprob", "doc_id")
+    return scored.withColumn("pr", F.percent_rank().over(w)).select(
+        "doc_id",
+        "lang",
+        "logprob",
+        (F.col("pr") >= F.lit(1 - _PPL_KEEP_FRAC)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact substring duplication (Lee et al. 2021 "Deduplicating Training
 # Data..."): doc pairs sharing a verbatim _SS_N-token span. Span-level,
 # not set-level — catches boilerplate/quotation reuse that Jaccard's
