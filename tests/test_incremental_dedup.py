@@ -63,3 +63,48 @@ def test_signature_state_is_compact(spark):
     sigs = minhash_signatures(T(spark, SF_SMOKE, "documents"))
     row = sigs.first()
     assert len(row.sig) == 12 and all(len(h) == 32 for h in row.sig)
+
+
+def test_streaming_ingest_with_foreachbatch_state(spark, tmp_path):
+    """The streaming-ingestion form: a file-source stream of id-ordered
+    chunks, foreachBatch running incremental_minhash_dedup against a
+    parquet-persisted signature state, survivors accumulated to a sink.
+    Final survivor set equals the one-shot batch run."""
+    d = T(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "chunks")
+    d.filter(F.col("doc_id") < 160).coalesce(1).write.mode("append").parquet(src)
+    d.filter((F.col("doc_id") >= 160) & (F.col("doc_id") < 320)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    d.filter(F.col("doc_id") >= 320).coalesce(1).write.mode("append").parquet(src)
+
+    state_path = str(tmp_path / "sig_state")
+    out_path = str(tmp_path / "survivors")
+
+    def ingest(batch_df, batch_id):
+        s = batch_df.sparkSession
+        try:
+            state = s.read.parquet(state_path)
+        except Exception:
+            state = None
+        survivors, new_sigs = incremental_minhash_dedup(batch_df, state)
+        survivors.write.mode("append").parquet(out_path)
+        new_sigs.write.mode("append").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(out_path).select("doc_id").collect()}
+    oneshot, _ = incremental_minhash_dedup(d, None)
+    want = _ids(oneshot)
+    assert got == want and 0 < len(want) < d.count()
