@@ -115,10 +115,12 @@ def expand_collapsed_pairs(
     Cross-group member pairs inherit every payload column of their
     representative pair (set-level measures depend only on the sets).
     Within-group pairs (identical sets) are generated directly with
-    ``within_payload`` (column-name → Column, e.g. ``{"jac": F.lit(1.0)}``);
-    pass ``None`` to emit cross-group pairs only. Callers must pre-filter
-    ``groups`` to the rows eligible for within-group emission (e.g. drop
-    empty-set groups that never enter the pair stage)."""
+    ``within_payload`` (column-name → Column, e.g. ``{"jac": F.lit(1.0)}``;
+    expressions may reference any ``groups`` column, e.g. ``F.size("sh")``
+    — Catalyst prunes what they don't use); pass ``None`` to emit
+    cross-group pairs only. Callers must pre-filter ``groups`` to the rows
+    eligible for within-group emission (e.g. drop empty-set groups that
+    never enter the pair stage)."""
     mem = groups.select(F.col(id_col).alias("rep"), "members")
     payload = [c for c in rep_pairs.columns if c not in (a_col, b_col)]
     cross = (
@@ -137,11 +139,15 @@ def expand_collapsed_pairs(
     if within_payload is None:
         return cross
     within = (
-        mem.filter(F.size("members") >= 2)
-        .select(F.explode("members").alias(a_col), "members")
-        .select(a_col, F.explode("members").alias(b_col))
-        .filter(F.col(a_col) < F.col(b_col))
-        .select(a_col, b_col, *[v.alias(k) for k, v in within_payload.items()])
+        groups.filter(F.size("members") >= 2)
+        .withColumn("__a", F.explode("members"))
+        .withColumn("__b", F.explode("members"))
+        .filter(F.col("__a") < F.col("__b"))
+        .select(
+            F.col("__a").alias(a_col),
+            F.col("__b").alias(b_col),
+            *[v.alias(k) for k, v in within_payload.items()],
+        )
     )
     return cross.unionByName(within)
 

@@ -338,17 +338,30 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count): pairs sharing nothing never materialize, and an 8-gram
     posting list is short by construction (long spans are near-unique),
     so the join is skew-light at any corpus size."""
+    from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
+
     d = T(spark, sf_dir, "documents")
-    ex = d.select(
-        "lang", "doc_id", F.explode(word_shingles(F.col("text"), _SS_N)).alias("gram")
-    )
-    a = ex.select(F.col("lang"), F.col("doc_id").alias("id_a"), F.col("gram"))
-    b = ex.select(F.col("lang"), F.col("doc_id").alias("id_b"), F.col("gram"))
-    return (
-        a.join(b, ["lang", "gram"])
+    sh8 = d.select(
+        F.col("lang").alias("blk"),
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text"), _SS_N).alias("sh"),
+    ).repartition("id")
+    groups = collapse_identical_sets(sh8, id_col="id", set_col="sh", group_cols=("blk",))
+    ex = groups.select("blk", "id", F.explode("sh").alias("gram"))
+    a = ex.select("blk", F.col("id").alias("id_a"), "gram")
+    b = ex.select("blk", F.col("id").alias("id_b"), "gram")
+    rep_pairs = (
+        a.join(b, ["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    # identical span sets share every span ⇒ n_shared = |set|
+    return expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        id_col="id",
+        within_payload={"n_shared": F.size("sh").cast("bigint")},
     )
 
 
