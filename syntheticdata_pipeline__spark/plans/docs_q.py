@@ -100,8 +100,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard over same-language pairs, via the inverted
     shingle index (operators.neardup.jaccard_pairs_inverted): |∩| comes
     from a postings self-join + count, never from per-pair array
-    intersection — same output as the naive all-pairs oracle, ~60× faster
-    at sf0.1 and the only shape that survives 100 TB."""
+    intersection, and identical shingle sets collapse to representatives
+    before the join — same output as the naive all-pairs oracle, ~60×
+    faster at sf0.1, flat under replica stress, and the only shape that
+    survives 100 TB."""
     from ..operators.neardup import jaccard_pairs_inverted
 
     d = T(spark, sf_dir, "documents")
