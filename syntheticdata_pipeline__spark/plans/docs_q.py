@@ -264,11 +264,18 @@ scored AS (
   JOIN lm l ON t.lang = l.lang AND t.token = l.token
   JOIN tot tt ON t.lang = tt.lang
   GROUP BY 1, 2),
-ranked AS (
-  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY logprob, doc_id) AS pr
-  FROM scored)
-SELECT doc_id, lang, logprob, (pr >= {1 - _PPL_KEEP_FRAC}) AS keep
-FROM ranked
+hist AS (SELECT lang, logprob, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, logprob, SUM(cnt) OVER (PARTITION BY lang ORDER BY logprob) AS cum
+  FROM hist),
+n AS (SELECT lang, COUNT(*) AS n_docs FROM scored GROUP BY 1),
+q1 AS (
+  SELECT c.lang, MIN(c.logprob) AS q1
+  FROM cdf c JOIN n ON c.lang = n.lang
+  WHERE c.cum >= {1 - _PPL_KEEP_FRAC} * n.n_docs
+  GROUP BY 1)
+SELECT s.doc_id, s.lang, s.logprob, (s.logprob >= q.q1) AS keep
+FROM scored s JOIN q1 q ON s.lang = q.lang
 """
 
 
@@ -276,12 +283,21 @@ FROM ranked
 def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality gate: per-language unigram LM trained on
     the corpus itself (two partial-agg counts), each doc scored by mean
-    token log-prob, bottom quartile per language gated out. The LM is
-    vocabulary-sized so the token join shuffles on token (no forced
-    broadcast); scores round(·,6)-stabilize before the percentile window,
-    and (score, doc_id) makes the rank ordering total — deterministic at
-    any parallelism. The distributed analogue of CCNet's
-    KenLM-perplexity bucketing with an exactly-reproducible stand-in LM."""
+    token log-prob, docs strictly below the per-lang P25 score VALUE gated
+    out (ties at the threshold survive). The LM is vocabulary-sized so the
+    token join shuffles on token (no forced broadcast); scores
+    round(·,6)-stabilize before thresholding.
+
+    The threshold is an EXACT two-pass distributed quantile — CCNet's
+    bucket-by-value semantics, no per-doc ranking window: (1) count docs
+    per distinct (lang, logprob) value; (2) running-sum that HISTOGRAM to
+    a CDF. The only window runs over histogram rows, whose cardinality is
+    capped by the 6-dp value grid over the score's range (≈10⁶ rows per
+    lang worst case, independent of corpus size) — a dominant language
+    contributes its value histogram to the sort, never its doc set. The
+    per-lang threshold (one row per lang) then broadcasts into a map-side
+    keep flag. tests/test_quantile_deskew.py proves this equal to the
+    per-doc cume_dist window form at oracle scale."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
@@ -300,12 +316,27 @@ def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy("logprob", "doc_id")
-    return scored.withColumn("pr", F.percent_rank().over(w)).select(
+    hist = scored.groupBy("lang", "logprob").agg(F.count("*").alias("cnt"))
+    wcdf = (
+        Window.partitionBy("lang")
+        .orderBy("logprob")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wcdf))
+    n = scored.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # cum is integral, so cum >= 0.25*n ⟺ cum >= ceil(0.25*n): the P25
+    # threshold is the smallest score value whose CDF reaches a quarter.
+    q1 = (
+        cdf.join(F.broadcast(n), "lang")
+        .filter(F.col("cum") >= F.lit(1 - _PPL_KEEP_FRAC) * F.col("n_docs"))
+        .groupBy("lang")
+        .agg(F.min("logprob").alias("q1"))
+    )
+    return scored.join(F.broadcast(q1), "lang").select(
         "doc_id",
         "lang",
         "logprob",
-        (F.col("pr") >= F.lit(1 - _PPL_KEEP_FRAC)).alias("keep"),
+        (F.col("logprob") >= F.col("q1")).alias("keep"),
     )
 
 
@@ -830,7 +861,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 docs for a fixed query (k1=1.2, b=0.75). Only postings
     of the query's terms survive the first filter, so every later stage is
     query-sized, not corpus-sized; corpus stats (N, avgdl) arrive as one
-    broadcast row. Global top-k is a TakeOrdered, not a full sort."""
+    broadcast row. Global top-k is two-phase: ``orderBy(...).limit(k)``
+    (physical TakeOrderedAndProject — per-partition heaps merged on one
+    task, never a full-corpus single-partition sort), THEN the rank
+    window over the surviving ≤k rows. At 100 TB every executor
+    contributes a k-row heap; only 10 rows ever see the global window."""
     d = T(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -861,11 +896,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _BM25_TOPK)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 # --------------------------------------------------------------------------

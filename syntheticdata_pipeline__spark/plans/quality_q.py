@@ -279,22 +279,30 @@ def domain_quota_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Per-lang length quartiles: ntile over a TOTAL order (n_chars, doc_id) so
-# tile assignment is deterministic at any parallelism — this is the
-# per-group form of the ranking family (the global-order ntile was
-# deliberately removed from IS splits in favor of md5 buckets; HERE the
-# partition key is the group, so each window is one group's sort, which
-# scales with group size, not corpus size).
+# Per-lang length quartiles, VALUE-based: quartile(doc) = 1 + floor(4 ·
+# |{same-lang docs with n_chars strictly less}| / n), clamped to 4, so tied
+# lengths always share a tile. Computed entirely on the per-(lang, n_chars)
+# HISTOGRAM: counts → running-sum CDF → tile per value → rollup. The only
+# window runs over histogram rows, whose cardinality is capped by the
+# distinct-length value space (≤ max doc length, independent of corpus
+# size) — the earlier ntile form sorted a dominant language's entire doc
+# set in one task. Per-doc rows never shuffle past the first count.
 # --------------------------------------------------------------------------
 
 _QUARTILE_ORACLE = """
-WITH q AS (
-  SELECT lang, doc_id,
-         ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile,
-         n_chars
-  FROM documents)
+WITH hist AS (
+  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) - cnt AS cum_lt
+  FROM hist),
+n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+q AS (
+  SELECT c.lang, c.n_chars, c.cnt,
+         least(4, CAST(floor(4.0 * c.cum_lt / n.n_lang) AS BIGINT) + 1) AS quartile
+  FROM cdf c JOIN n ON c.lang = n.lang)
 SELECT lang, CAST(quartile AS INTEGER) AS quartile,
-  COUNT(*) AS n_docs,
+  CAST(SUM(cnt) AS BIGINT) AS n_docs,
   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
   CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM q GROUP BY lang, quartile
@@ -303,13 +311,28 @@ FROM q GROUP BY lang, quartile
 
 @register("doc_length_quartiles", oracle=_QUARTILE_ORACLE, tags=("dataset-prep", "A7"))
 def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile histogram of doc length per lang (ntile over a total
-    order), rolled up to per-tile count/min/max."""
+    """Quartile histogram of doc length per lang (value-based tiles over
+    the length histogram's CDF — see block comment), rolled up to per-tile
+    count/min/max. tests/test_quantile_deskew.py proves tile assignment
+    equal to the per-doc window form at oracle scale."""
     d = T(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    q = d.withColumn("quartile", F.ntile(4).over(w))
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    wcdf = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("cum_lt", F.sum("cnt").over(wcdf) - F.col("cnt"))
+    n = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    q = cdf.join(F.broadcast(n), "lang").withColumn(
+        "quartile",
+        F.least(
+            F.lit(4).cast("bigint"),
+            F.floor(F.lit(4.0) * F.col("cum_lt") / F.col("n_lang")) + 1,
+        ),
+    )
     return q.groupBy("lang", F.col("quartile").cast("int").alias("quartile")).agg(
-        F.count("*").alias("n_docs"),
+        F.sum("cnt").cast("bigint").alias("n_docs"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )

@@ -96,9 +96,64 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
-def main() -> int:
+def duck_connect(sf_dir: str = SF_DIR):
     import duckdb
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_one(spark, con, name: str, qs, oracles, sf_dir: str = SF_DIR):
+    """Run one query on Spark and its oracle on DuckDB; print the driver's
+    verdict line. Returns True on PASS, None on rows-only SKIP."""
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        shash, sn = frame_hash(scols, srows)
+    except Exception:
+        print(f"FAIL {name}: SPARK ERROR")
+        traceback.print_exc(limit=4)
+        return False
+    if name not in oracles:
+        print(f"SKIP {name}: no oracle (rows={sn}) [{time.time()-t0:.1f}s]")
+        return None
+    try:
+        res = con.execute(oracles[name])
+        dcols, drows, dtypes = fetch_duck(res)
+        dhash, dn = frame_hash(dcols, drows)
+    except Exception:
+        print(f"FAIL {name}: DUCKDB ERROR")
+        traceback.print_exc(limit=4)
+        return False
+    stypes = type_map_spark(sdf)
+    ok_cols = sorted(scols) == sorted(dcols)
+    type_mism = {
+        c: (stypes.get(c), dtypes.get(c))
+        for c in scols
+        if ok_cols and stypes.get(c) != dtypes.get(c)
+    }
+    ok = ok_cols and sn == dn and shash == dhash and not type_mism
+    extra = ""
+    if not ok:
+        if not ok_cols:
+            extra = f" cols spark={sorted(scols)} duck={sorted(dcols)}"
+        elif type_mism:
+            extra = f" types {type_mism}"
+        elif sn != dn:
+            extra = f" rows spark={sn} duck={dn}"
+        else:
+            extra = f" hash spark={shash} duck={dhash} (rows={sn})"
+    print(f"{'PASS' if ok else 'FAIL'} {name}: rows={sn} [{time.time()-t0:.1f}s]{extra}")
+    return ok
+
+
+def main() -> int:
     from syntheticdata_pipeline__spark.session import get_spark
 
     only = set(sys.argv[1:])
@@ -111,62 +166,19 @@ def main() -> int:
     spark = get_spark("oracle-check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    con = duck_connect()
 
     n_pass = n_fail = n_skip = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
-        t0 = time.time()
-        try:
-            sdf = qs[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            shash, sn = frame_hash(scols, srows)
-        except Exception:
-            print(f"FAIL {name}: SPARK ERROR")
-            traceback.print_exc(limit=4)
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows={sn}) [{time.time()-t0:.1f}s]")
+        ok = compare_one(spark, con, name, qs, oracles)
+        if ok is None:
             n_skip += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols, drows, dtypes = fetch_duck(res)
-            dhash, dn = frame_hash(dcols, drows)
-        except Exception:
-            print(f"FAIL {name}: DUCKDB ERROR")
-            traceback.print_exc(limit=4)
+        elif ok:
+            n_pass += 1
+        else:
             n_fail += 1
-            continue
-        stypes = type_map_spark(sdf)
-        ok_cols = sorted(scols) == sorted(dcols)
-        type_mism = {
-            c: (stypes.get(c), dtypes.get(c))
-            for c in scols
-            if ok_cols and stypes.get(c) != dtypes.get(c)
-        }
-        ok = ok_cols and sn == dn and shash == dhash and not type_mism
-        status = "PASS" if ok else "FAIL"
-        n_pass += ok
-        n_fail += not ok
-        extra = ""
-        if not ok:
-            if not ok_cols:
-                extra = f" cols spark={sorted(scols)} duck={sorted(dcols)}"
-            elif type_mism:
-                extra = f" types {type_mism}"
-            elif sn != dn:
-                extra = f" rows spark={sn} duck={dn}"
-            else:
-                extra = f" hash spark={shash} duck={dhash} (rows={sn})"
-        print(f"{status} {name}: rows={sn} [{time.time()-t0:.1f}s]{extra}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0
 
