@@ -73,6 +73,13 @@ def minhash_signature_sql(shingles_sql: str, num_hashes: int = 12, salt: str = "
     return "[" + ", ".join(sigs) + "]"
 
 
+# Separator for set-fingerprint encoding: a control byte that cannot
+# occur inside whitespace-split tokens, so the joined encoding is
+# prefix-collision-free. Kept as a visible escape in a named constant
+# (a raw byte in a string literal renders as concat_ws("") in diffs).
+_SET_SEP = "\x01"
+
+
 def collapse_identical_sets(
     sets_df: DataFrame,
     id_col: str = "id",
@@ -92,7 +99,7 @@ def collapse_identical_sets(
     corpora (the 100 TB norm) re-expand only at output time.
     """
     keyed = sets_df.withColumn(
-        "__skey", F.md5(F.concat_ws("", F.sort_array(set_col)))
+        "__skey", F.md5(F.concat_ws(_SET_SEP, F.sort_array(set_col)))
     )
     return keyed.groupBy(*group_cols, "__skey").agg(
         F.min(id_col).alias(id_col),
@@ -592,8 +599,16 @@ def incremental_minhash_dedup(
         p = prior_bands.select(
             F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
         )
+        # id_a < id_b re-asserts the "ids monotone across batches"
+        # precondition at runtime: a state row with a HIGHER id than a
+        # batch doc is NOT an earlier doc, and silently counting it as
+        # one would drop docs a one-shot run keeps (breaking the
+        # associativity guarantee above). With monotone ids the filter
+        # passes everything; with violated ids it degrades to the
+        # correct earlier-wins rule instead of corrupting the output.
         vs_prior = (
             p.join(r, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sig_a", "sig_b")
             .distinct()
         )

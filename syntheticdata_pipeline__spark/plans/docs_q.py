@@ -408,7 +408,8 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_EST_THRESHOLD = 0.5
 
 _inc_est_sql = (
-    "(CAST(len(list_filter(range(1, 13), i -> l.sig[i] = r.sig[i])) AS DOUBLE) / 12.0)"
+    f"(CAST(len(list_filter(range(1, {_MH_HASHES + 1}), i -> l.sig[i] = r.sig[i]))"
+    f" AS DOUBLE) / {_MH_HASHES}.0)"
 )
 
 _INC_DEDUP_ORACLE = f"""
