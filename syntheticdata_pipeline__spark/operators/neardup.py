@@ -85,6 +85,7 @@ def collapse_identical_sets(
     id_col: str = "id",
     set_col: str = "sh",
     group_cols: tuple[str, ...] = (),
+    ordered: bool = False,
 ) -> DataFrame:
     """Collapse rows with identical ``set_col`` contents (within
     ``group_cols``) to one representative row: (group_cols…, id=min id,
@@ -93,14 +94,16 @@ def collapse_identical_sets(
     The group key is md5 over the sorted elements — a fixed-width
     fingerprint, so the shuffle never carries raw arrays as keys. The
     \\x01 separator cannot occur inside whitespace-split tokens, making
-    the encoding prefix-collision-free. This is the exact-duplicate
-    collapse every set-similarity stage should run first: downstream
-    quadratic work then scales with DISTINCT sets, and duplicate-heavy
-    corpora (the 100 TB norm) re-expand only at output time.
+    the encoding prefix-collision-free. With ``ordered=True`` elements are
+    fingerprinted in array order (SEQUENCE identity, for positional
+    operators) instead of sorted (set identity). This is the
+    exact-duplicate collapse every set-similarity stage should run first:
+    downstream quadratic work then scales with DISTINCT sets, and
+    duplicate-heavy corpora (the 100 TB norm) re-expand only at output
+    time.
     """
-    keyed = sets_df.withColumn(
-        "__skey", F.md5(F.concat_ws(_SET_SEP, F.sort_array(set_col)))
-    )
+    enc = F.col(set_col) if ordered else F.sort_array(set_col)
+    keyed = sets_df.withColumn("__skey", F.md5(F.concat_ws(_SET_SEP, enc)))
     return keyed.groupBy(*group_cols, "__skey").agg(
         F.min(id_col).alias(id_col),
         F.min_by(set_col, id_col).alias(set_col),

@@ -107,9 +107,16 @@ def lsh_bucketed_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN: exact top-k *within* shared LSH bucket — the bucket join is the
-    scale path (equi-join on bucket id instead of a cross join)."""
+    scale path (equi-join on bucket id instead of a cross join).
+
+    ``multi_probe`` also probes every Hamming-1 bucket from the QUERY side
+    (an (n_planes+1)× fan-out on the small broadcast side only) — the
+    standard recall lever: a true neighbor usually disagrees with the
+    query on at most one plane sign. Probe buckets are distinct, so each
+    (query, candidate) still matches exactly once — no dedup needed."""
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -121,6 +128,12 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("__qvec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)],
+        )
+        q = q.select("query_id", "__qvec", F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -399,6 +399,111 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Positional substring duplication (Lee et al. 2021, the actual max-span
+# semantics): per doc pair, the length in tokens of the LONGEST verbatim
+# shared span — adjacent shared 8-grams merged by position, not the
+# set-level co-occurrence count of substring_dup_pairs above.
+# --------------------------------------------------------------------------
+
+_MAXSPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+seq AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= {_SS_N}),
+g AS (
+  SELECT doc_id, lang,
+         unnest(range(1, len(toks) - {_SS_N - 1} + 1)) AS pos,
+         unnest(list_transform(range(1, len(toks) - {_SS_N - 1} + 1),
+                i -> array_to_string(list_slice(toks, i, i + {_SS_N - 1}), ' '))) AS gram
+  FROM seq),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT id_a, id_b, diag,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM m),
+spans AS (
+  SELECT id_a, id_b, COUNT(*) + {_SS_N - 1} AS span
+  FROM runs GROUP BY id_a, id_b, diag, grp)
+SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY 1, 2
+"""
+
+
+@register("substring_max_span", oracle=_MAXSPAN_ORACLE, tags=("dedup-jaccard", "D3"))
+def substring_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared verbatim span per same-language doc pair: positional
+    8-gram postings equi-join → matches grouped per (pair, diagonal =
+    pos_a − pos_b) → gaps-and-islands merge of positionally-consecutive
+    matches → max run + 7 tokens. A shared span of L ≥ 8 tokens is exactly
+    an (L−7)-long consecutive diagonal run, so the result is the true
+    longest-common-substring length (in tokens) for every pair sharing any
+    8-token span — the Lee et al. 2021 "Deduplicating Training Data"
+    measure substring_dup_pairs only approximates at set level.
+
+    Scale: postings of 8-grams are near-unique (long spans ⇒ short posting
+    lists) so the join is skew-light; the only windows partition per
+    (pair, diagonal), bounded by min doc length, never corpus-sized.
+    Identical token SEQUENCES collapse to a representative first
+    (ordered=True fingerprint) — duplicate-heavy corpora pay the
+    positional join only per distinct doc; within-group pairs re-expand
+    with max span = the full doc length. Docs under 8 tokens have no full
+    8-gram and never pair (unlike substring_dup_pairs' clamped partial
+    shingle)."""
+    from pyspark.sql import Window
+
+    from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
+
+    d = T(spark, sf_dir, "documents")
+    seqs = (
+        d.select(
+            F.col("lang").alias("blk"),
+            F.col("doc_id").alias("id"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= _SS_N)
+        .repartition("id")
+    )
+    groups = collapse_identical_sets(
+        seqs, id_col="id", set_col="toks", group_cols=("blk",), ordered=True
+    )
+    cnt = F.size("toks") - F.lit(_SS_N - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt).alias(f"t{i}") for i in range(_SS_N)]
+    )
+    grams = groups.select(
+        "blk", "id", F.posexplode(zipped).alias("pos0", "s")
+    ).select(
+        "blk",
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col("s")[f"t{i}"] for i in range(_SS_N)]).alias("gram"),
+    )
+    a = grams.select("blk", F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gram")
+    b = grams.select("blk", F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gram")
+    m = (
+        a.join(b, ["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        (F.count("*") + F.lit(_SS_N - 1)).alias("span")
+    )
+    rep_pairs = spans.groupBy("id_a", "id_b").agg(
+        F.max("span").cast("bigint").alias("max_span_tokens")
+    )
+    return expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        id_col="id",
+        within_payload={"max_span_tokens": F.size("toks").cast("bigint")},
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental ingestion dedup: a doc is a dup iff some earlier doc shares
 # an LSH band AND the signature-ESTIMATED Jaccard clears the threshold —
 # the decision rule whose state is 12 hashes/doc (operators.neardup.

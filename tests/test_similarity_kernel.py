@@ -77,3 +77,18 @@ def test_lsh_multi_probe_recall_monotone(spark):
     }
     assert single <= probed <= exact
     print(f"recall: single {len(single)}/{len(exact)}, probed {len(probed)}/{len(exact)}")
+
+
+def test_ann_recall_floor(spark):
+    """ann_recall_at_k reports recall@5 vs the exact brute-force top-5;
+    the stated floors (multi-probe LSH >= 0.25, IVF >= 0.6) must hold —
+    the VERDICT r5 #7 acceptance. Measured on this fixture: lsh 0.30,
+    ivf 0.84 at sf0.001 (0.52 / 0.78 at sf0.01)."""
+    from syntheticdata_pipeline__spark.plans.vectors_q import ann_recall_at_k
+
+    recalls = {
+        r["method"]: r["recall"] for r in ann_recall_at_k(spark, SF_SMOKE).collect()
+    }
+    assert set(recalls) == {"lsh", "ivf"}
+    assert recalls["lsh"] >= 0.25
+    assert recalls["ivf"] >= 0.6
