@@ -23,12 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class StateTable:
-    """Append-only processed-keys table with snapshot compaction."""
+    """Append-only processed-keys table with snapshot compaction.
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    ``value_cols`` optionally carries payload columns alongside the keys
+    (e.g. the minhash signature per doc id for incremental dedup state);
+    dedup across appends stays keyed on ``key_cols``, which is sound when
+    the payload is functionally determined by the key (same id ⇒ same
+    signature)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        value_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
+        self.value_cols = list(value_cols or [])
+
+    def _cols(self) -> list[str]:
+        return [*self.key_cols, *self.value_cols]
 
     # -- reads ---------------------------------------------------------------
     def exists(self) -> bool:
@@ -38,11 +54,16 @@ class StateTable:
         return bool(fs.exists(hpath))
 
     def load(self) -> DataFrame:
-        """Current state keys (deduped across appends)."""
+        """Current state keys (+ payload), deduped across appends."""
         if not self.exists():
+            if self.value_cols:
+                raise ValueError(
+                    "empty state table with value columns has no inferable "
+                    "schema; call exists() before load()"
+                )
             schema = ", ".join(f"{c} string" for c in self.key_cols)
             return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.parquet(self.path).select(*self.key_cols).dropDuplicates(
+        return self.spark.read.parquet(self.path).select(*self._cols()).dropDuplicates(
             self.key_cols
         )
 
@@ -54,7 +75,7 @@ class StateTable:
     def append(self, done: DataFrame) -> None:
         """Flush a batch of processed keys (K5 checkpoint cadence becomes
         one append per micro-batch instead of a full-set rewrite)."""
-        done.select(*self.key_cols).dropDuplicates(self.key_cols).write.mode("append").parquet(
+        done.select(*self._cols()).dropDuplicates(self.key_cols).write.mode("append").parquet(
             self.path
         )
 

@@ -108,3 +108,59 @@ def test_streaming_ingest_with_foreachbatch_state(spark, tmp_path):
     oneshot, _ = incremental_minhash_dedup(d, None)
     want = _ids(oneshot)
     assert got == want and 0 < len(want) < d.count()
+
+
+def _part_files(path):
+    import glob
+
+    return glob.glob(f"{path}/part-*.parquet") + glob.glob(f"{path}/*/part-*.parquet")
+
+
+def test_state_compaction_under_growth(spark, tmp_path):
+    """The incremental minhash state path through StateTable: N chunked
+    appends (one replayed twice) + compact must equal the one-batch state
+    exactly, survivors must equal the one-shot run, state row count stays
+    O(distinct docs) despite duplicate appends, and compaction shrinks the
+    accumulated append files to a bounded snapshot (VERDICT r5 #8)."""
+    from syntheticdata_pipeline__spark.operators.state import StateTable
+
+    d = T(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    st = StateTable(
+        spark, str(tmp_path / "sig_state"), key_cols=["id"], value_cols=["sig"]
+    )
+
+    cuts = [0, 120, 240, 360, 10**9]
+    got = set()
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        state = st.load() if st.exists() else None
+        survivors, new_sigs = incremental_minhash_dedup(batch, state)
+        got |= _ids(survivors)
+        st.append(new_sigs)
+        if lo == 120:
+            st.append(new_sigs)  # replayed flush: idempotent by design
+
+    n_docs = d.count()
+    files_before = len(_part_files(st.path))
+    assert st.count() == n_docs  # O(distinct docs) despite the double append
+    st.compact()
+    files_after = len(_part_files(st.path))
+    assert files_after < files_before
+    assert st.count() == n_docs
+
+    # compacted state content == the one-batch signature state, exactly
+    # (collected compare: exceptAll over the array column trips a Spark
+    # analyzer INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND here)
+    compacted = {(r.id, tuple(r.sig)) for r in st.load().collect()}
+    onebatch = {(r.id, tuple(r.sig)) for r in minhash_signatures(d).collect()}
+    assert compacted == onebatch
+
+    # survivors across the chunked+compacted run == one-shot survivors
+    oneshot, _ = incremental_minhash_dedup(d, None)
+    assert got == _ids(oneshot)
+
+    # the state keeps working after compaction: a replayed corpus with
+    # shifted ids is wiped out entirely
+    replay = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    survivors2, _ = incremental_minhash_dedup(replay, st.load())
+    assert survivors2.count() == 0
