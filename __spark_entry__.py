@@ -38,11 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose implementation changed since the last driver round: verify
 # them right after the never-checked ones even if previously green.
 _CHANGED_THIS_ROUND = (
-    "ngram_jaccard_pairs",  # identical-set collapse rewrite
-    "embedding_int8_quantize",  # output exploded to (vec_id, pos, q)
-    "minhash_lsh_candidates",  # collapse + rep-side verification
-    "simhash_hamming_pairs_q",  # identical-text collapse
-    "cluster_dedup_stats",  # consumes minhash_lsh_candidates
+    "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
+    "doc_length_quartiles",  # value-based tiles on length histogram
+    "bm25_topk_docs",  # two-phase TakeOrdered top-k
+    "ann_lsh_topk",  # Hamming-1 multi-probe
+    "ann_recall_at_k",  # new: ANN recall vs brute force
+    "substring_max_span",  # new: positional max-span duplication
+    "incremental_dedup_survivors",  # id-monotonicity guard on state join
 )
 
 

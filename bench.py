@@ -40,8 +40,16 @@ STRESS_QUERIES = (
     "ngram_jaccard_pairs",
     "gopher_quality_flags",
     "repetition_top_bigram",
+    "substring_dup_pairs",
+    "substring_max_span",
+    "incremental_dedup_survivors",
 )
 STRESS_FACTOR = 10
+# second, deeper replication point for the incremental state path: the
+# signature state grows with every ingested doc, so its growth curve gets
+# a 30x sample too (keys land in scale_stress as "<name>@30x").
+STRESS_QUERIES_DEEP = ("incremental_dedup_survivors",)
+STRESS_FACTOR_DEEP = 30
 
 
 def _load_baseline() -> dict[str, float]:
@@ -142,6 +150,28 @@ def main() -> None:
                     file=sys.stderr,
                 )
             stress["factor"] = STRESS_FACTOR
+            deep_dir = _build_stress_dir(spark, SF_DIR, STRESS_FACTOR_DEEP)
+            for name in STRESS_QUERIES_DEEP:
+                if name not in registry:
+                    continue
+                t0 = time.time()
+                n = registry[name].build(spark, deep_dir).count()
+                sec = round(time.time() - t0, 3)
+                base = timings.get(name)
+                key = f"{name}@{STRESS_FACTOR_DEEP}x"
+                stress[key] = {
+                    "sec": sec,
+                    "rows": n,
+                    "growth_x": round(sec / base, 2) if base else None,
+                    "growth_vs_10x": (
+                        round(sec / stress[name]["sec"], 2) if name in stress else None
+                    ),
+                }
+                print(
+                    f"# stress[{STRESS_FACTOR_DEEP}x] {name}: {sec:.3f}s rows={n} "
+                    f"growth={stress[key]['growth_x']}x",
+                    file=sys.stderr,
+                )
         except Exception as e:  # stress must never sink the bench line
             stress = {"error": f"{type(e).__name__}: {e}"}
 

@@ -364,7 +364,7 @@ FROM pairs
 """
 
 
-@register("substring_dup_pairs", oracle=_SUBSTR_ORACLE, tags=("dedup-jaccard", "D3"))
+@register("substring_dup_pairs", oracle=_SUBSTR_ORACLE, bench=True, tags=("dedup-jaccard", "D3"))
 def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-language doc pairs sharing ≥1 verbatim 8-token span, with the
     shared-span count. Inverted 8-gram index (explode → equi-join →
@@ -431,7 +431,7 @@ FROM spans GROUP BY 1, 2
 """
 
 
-@register("substring_max_span", oracle=_MAXSPAN_ORACLE, tags=("dedup-jaccard", "D3"))
+@register("substring_max_span", oracle=_MAXSPAN_ORACLE, bench=True, tags=("dedup-jaccard", "D3"))
 def substring_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal shared verbatim span per same-language doc pair: positional
     8-gram postings equi-join → matches grouped per (pair, diagonal =
@@ -541,7 +541,7 @@ GROUP BY s.lang
 """
 
 
-@register("incremental_dedup_survivors", oracle=_INC_DEDUP_ORACLE, tags=("dedup-minhash", "R2"))
+@register("incremental_dedup_survivors", oracle=_INC_DEDUP_ORACLE, bench=True, tags=("dedup-minhash", "R2"))
 def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot form of the incremental ingestion dedup: per-lang survivor
     counts under the earlier-doc-wins estimated-Jaccard rule. The rule

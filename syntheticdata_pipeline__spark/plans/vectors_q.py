@@ -243,7 +243,7 @@ FROM methods m LEFT JOIN hits h ON m.method = h.method CROSS JOIN tot t
 """
 
 
-@register("ann_recall_at_k", oracle=_RECALL_ORACLE, tags=("similarity", "lsh", "ivf"))
+@register("ann_recall_at_k", oracle=_RECALL_ORACLE, bench=True, tags=("similarity", "lsh", "ivf"))
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH-bucketed and IVF-cell ANN paths against the
     exact brute-force top-5 over the same 10 queries — ANN quality as a
