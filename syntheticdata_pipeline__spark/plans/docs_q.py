@@ -504,6 +504,122 @@ def substring_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Substring-duplication REMOVAL (Lee et al. 2021's actual intervention):
+# every token covered by an 8-gram already seen in an EARLIER same-lang doc
+# is cut from the later doc; the earliest occurrence keeps its text.
+# Reported as per-lang removal stats. Unlike the pair detectors above this
+# is fully LINEAR: one min-doc-per-gram aggregate, one postings join back,
+# and interval-union windows per doc — no pairwise stage at all, so no
+# collapse machinery is needed and replicas cost O(copies).
+# --------------------------------------------------------------------------
+
+_REMOVAL_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+docs AS (SELECT doc_id, lang, len(toks) AS n_tok, toks FROM t),
+g AS (
+  SELECT doc_id, lang,
+         unnest(range(1, greatest(len(toks) - {_SS_N - 1}, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {_SS_N - 1}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + {_SS_N - 1}), ' '))) AS gram
+  FROM docs),
+first_seen AS (SELECT lang, gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1, 2),
+flagged AS (
+  SELECT g.doc_id, g.lang, g.pos
+  FROM g JOIN first_seen f ON g.lang = f.lang AND g.gram = f.gram
+  WHERE f.first_doc < g.doc_id),
+isl AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SS_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged),
+isl2 AS (
+  SELECT doc_id, lang, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl),
+cov AS (
+  SELECT doc_id, lang, MAX(pos) - MIN(pos) + {_SS_N} AS covered
+  FROM isl2 GROUP BY doc_id, lang, island),
+per_doc AS (SELECT doc_id, SUM(covered) AS removed FROM cov GROUP BY 1)
+SELECT d.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(p.doc_id) AS BIGINT) AS n_docs_affected,
+  CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+  CAST(COALESCE(SUM(p.removed), 0) AS BIGINT) AS tokens_removed
+FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("substring_dup_removal", oracle=_REMOVAL_ORACLE, tags=("dedup-jaccard", "D3"))
+def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-removal stats for first-wins substring dedup: a
+    token is removed iff it lies inside an 8-gram that some earlier
+    same-lang doc already contains. Covered positions are the union of
+    the flagged [pos, pos+7] intervals — gaps-and-islands per doc (break
+    when the next flagged start is > 8 past the previous), island length
+    = last−first+8.
+
+    Scale: min-doc-id per (lang, gram) is one partial agg; flagging is a
+    postings equi-join on the near-unique 8-gram key; the only windows
+    partition per doc_id (bounded by doc length). No pairwise stage
+    exists, so duplicate-heavy corpora cost O(total docs), and the
+    removal decision is identical to running the pair detector against
+    every earlier doc — but without materializing pairs."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .repartition("doc_id")
+    )
+    elig = docs.filter(F.col("n_tok") >= _SS_N)
+    cnt = F.size("toks") - F.lit(_SS_N - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt).alias(f"t{i}") for i in range(_SS_N)]
+    )
+    g = elig.select(
+        "doc_id", "lang", F.posexplode(zipped).alias("pos0", "s")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col("s")[f"t{i}"] for i in range(_SS_N)]).alias("gram"),
+    )
+    first_seen = g.groupBy("lang", "gram").agg(F.min("doc_id").alias("first_doc"))
+    flagged = (
+        g.join(first_seen, ["lang", "gram"])
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(wl)
+    isl = flagged.withColumn(
+        "brk",
+        F.when(lagp.isNull() | (F.col("pos") - lagp > _SS_N), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island", F.sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(_SS_N)).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.sum("covered").alias("removed"))
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("removed").cast("bigint").alias("n_docs_affected"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.coalesce(F.sum("removed"), F.lit(0)).cast("bigint").alias("tokens_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental ingestion dedup: a doc is a dup iff some earlier doc shares
 # an LSH band AND the signature-ESTIMATED Jaccard clears the threshold —
 # the decision rule whose state is 12 hashes/doc (operators.neardup.

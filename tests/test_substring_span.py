@@ -53,3 +53,20 @@ def test_max_span_merges_adjacent_grams(spark, span_docs):
     assert all(k[0] != 6 and k[1] != 6 for k in out)   # cross-lang never pairs
     assert all(k[0] != 7 and k[1] != 7 for k in out)   # short doc never pairs
     assert set(out) == {(1, 2), (3, 4), (1, 5), (2, 5)}
+
+
+def test_dup_removal_first_wins_and_interval_union(spark, span_docs):
+    from syntheticdata_pipeline__spark.plans.docs_q import substring_dup_removal
+
+    out = {r["lang"]: r.asDict() for r in substring_dup_removal(spark, span_docs).collect()}
+    en = out["en"]
+    # docs 1..5 + 7 are en; doc 7 (<8 tokens) can never be flagged, doc 1
+    # is the earliest owner of both shared runs it contains
+    assert en["n_docs"] == 6
+    # affected: 2 (shared12 seen in doc 1), 4 (shared8 seen in doc 3),
+    # 5 (exact dup of 1)
+    assert en["n_docs_affected"] == 3
+    # doc 2 loses the 12 shared tokens, doc 4 loses 8, doc 5 loses all 21
+    assert en["tokens_removed"] == 12 + 8 + 21
+    # de doc 6 is alone in its lang: nothing removed
+    assert out["de"]["n_docs_affected"] == 0 and out["de"]["tokens_removed"] == 0

@@ -34,6 +34,15 @@ def audit(name: str, txt: str) -> dict:
     def nodes(pattern: str) -> int:
         return len(re.findall(rf"^\(\d+\) {pattern}", txt, re.MULTILINE))
 
+    # Window specs: "windowspecdefinition(part..., order..., frame)" detail
+    # lines. A window with NO partition keys over an unbounded input, or
+    # partitioned by a low-cardinality group (e.g. lang) directly over
+    # per-row data, is the single-task total-order sort that dies at
+    # 100 TB — report every spec so those shapes stay visible.
+    specs = [
+        m.group(1)[:120]
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", txt)
+    ]
     return {
         "name": name,
         "exchanges": nodes("Exchange"),
@@ -42,6 +51,8 @@ def audit(name: str, txt: str) -> dict:
         "nlj": nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
         "wscg": len(set(re.findall(r"codegen id : (\d+)", txt))),
         "scans": nodes("Scan parquet"),
+        "windows": nodes("Window"),
+        "window_specs": sorted(set(specs)),
         "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", txt),
         "readschema": re.findall(r"ReadSchema: ([^\n]*)", txt),
     }
@@ -82,6 +93,20 @@ def main() -> None:
     for name, a in details:
         interesting = [p for p in a["pushed"] if p.strip()]
         print(f"- **{name}**: ReadSchema={a['readschema']}; PushedFilters={interesting or '[]'}")
+    print("\n## Window specs (total-order-sort watchlist)\n")
+    print(
+        "Every `windowspecdefinition` in a final plan, per query. The shape to\n"
+        "never ship: a window over PER-ROW data partitioned by nothing or by a\n"
+        "low-cardinality group (single-task sort of that group at 100 TB).\n"
+        "Acceptable shapes: windows over k-row/limit inputs, per-entity keys\n"
+        "(doc pair, session, vec_id), or value HISTOGRAMS whose cardinality is\n"
+        "bounded by the value grid, not the corpus (quantile family).\n"
+    )
+    for name, a in details:
+        if a["window_specs"]:
+            print(f"- **{name}** ({a['windows']} Window nodes):")
+            for s in a["window_specs"]:
+                print(f"    - `{s}`")
     spark.stop()
 
 
