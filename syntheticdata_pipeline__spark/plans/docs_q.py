@@ -1272,3 +1272,76 @@ def cluster_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
         F.sum(F.when(dup, 0).otherwise(1)).cast("bigint").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup survivor selection: production dedup keeps the BEST
+# doc per near-dup cluster (highest quality score, doc_id tiebreak), not
+# the lowest id — the rule that decides what 100 TB of training data
+# actually retains.
+# --------------------------------------------------------------------------
+
+_BEST_SURV_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs WHERE jac >= {_CLUSTER_JAC}),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+lab AS (
+  SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+qual AS ({_QUALITY_ORACLE}),
+scored AS (
+  SELECT l.doc_id, l.rep, q.quality
+  FROM lab l JOIN qual q ON l.doc_id = q.doc_id),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY rep ORDER BY quality DESC, doc_id) rn,
+         COUNT(*) OVER (PARTITION BY rep) sz
+  FROM scored)
+SELECT rep AS cluster_rep, doc_id AS survivor_id,
+       CAST(sz AS BIGINT) AS cluster_size,
+       round(quality, 6) AS best_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cluster_best_survivors", oracle=_BEST_SURV_ORACLE, tags=("dedup-minhash", "clusters", "D8"))
+def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster (transitive closure of verified LSH pairs at
+    jac ≥ 0.2): the highest-quality member as survivor, ties to the
+    lowest doc_id. Survivor selection is ONE ``max_by`` partial aggregate
+    keyed on the cluster label — no per-cluster ranking window; the
+    lexicographic (quality, −doc_id) struct makes the argmax total and
+    deterministic at any parallelism. The quadratic closure exists only
+    in the DuckDB oracle (min-label propagation on Spark)."""
+    from ..operators.clusters import connected_components
+    from ..operators.textops import quality_score
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.filter(F.col("jac") >= _CLUSTER_JAC).select("id_a", "id_b")
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    q = quality_score(T(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node"), "quality"
+    )
+    j = labels.join(q, "node")
+    return (
+        j.groupBy("lab")
+        .agg(
+            F.max_by(
+                "node", F.struct(F.col("quality"), (-F.col("node")).alias("neg"))
+            ).alias("survivor_id"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.round(F.max("quality"), 6).alias("best_quality"),
+        )
+        .select(
+            F.col("lab").alias("cluster_rep"),
+            "survivor_id",
+            "cluster_size",
+            "best_quality",
+        )
+    )

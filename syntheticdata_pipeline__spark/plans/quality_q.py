@@ -449,3 +449,114 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher "duplicate n-gram char fraction": share of each doc's tokens
+# covered by a 4-gram that occurs MORE THAN ONCE within the doc — the
+# intra-doc repetition filter that complements the top-bigram rule (which
+# only sees the single most frequent pair). Covered positions are the
+# union of flagged [pos, pos+3] intervals (gaps-and-islands per doc).
+# --------------------------------------------------------------------------
+
+_DNG_N = 4
+_DNG_THRESH = 0.2
+
+_DUP_NGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+docs AS (SELECT doc_id, lang, len(toks) AS n_tok, toks FROM t),
+g AS (
+  SELECT doc_id, lang,
+         unnest(range(1, greatest(len(toks) - {_DNG_N - 1}, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {_DNG_N - 1}, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + {_DNG_N - 1}), ' '))) AS gram
+  FROM docs),
+reps AS (
+  SELECT doc_id, gram FROM g GROUP BY doc_id, gram HAVING COUNT(*) > 1),
+flagged AS (
+  SELECT g.doc_id, g.pos FROM g JOIN reps r ON g.doc_id = r.doc_id AND g.gram = r.gram),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_DNG_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged),
+isl2 AS (
+  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl),
+cov AS (
+  SELECT doc_id, MAX(pos) - MIN(pos) + {_DNG_N} AS covered
+  FROM isl2 GROUP BY doc_id, island),
+per_doc AS (SELECT doc_id, SUM(covered) AS covered FROM cov GROUP BY 1)
+SELECT d.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(CASE WHEN CAST(COALESCE(p.covered, 0) AS DOUBLE) / d.n_tok > {_DNG_THRESH}
+             THEN 1 END) AS BIGINT) AS n_flagged,
+  round(AVG(CAST(COALESCE(p.covered, 0) AS DOUBLE) / d.n_tok), 6) AS avg_dup_frac
+FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("repetition_dup_ngrams", oracle=_DUP_NGRAM_ORACLE, tags=("quality", "dedup-exact"))
+def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang duplicate-4-gram token-coverage stats (Gopher's duplicate
+    n-gram char-fraction rule, token-denominated): docs whose repeated
+    4-grams cover > 20% of tokens get flagged. Positional 4-grams explode
+    linearly; repeated grams are a per-(doc, gram) HAVING count; interval
+    union is gaps-and-islands per doc — every shuffle keys on doc_id,
+    nothing pairwise, nothing corpus-wide."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .repartition("doc_id")
+    )
+    elig = docs.filter(F.col("n_tok") >= _DNG_N)
+    cnt = F.size("toks") - F.lit(_DNG_N - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt).alias(f"t{i}") for i in range(_DNG_N)]
+    )
+    g = elig.select(
+        "doc_id", "lang", F.posexplode(zipped).alias("pos0", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col("s")[f"t{i}"] for i in range(_DNG_N)]).alias("gram"),
+    )
+    reps = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "gram")
+    )
+    flagged = g.join(reps, ["doc_id", "gram"]).select("doc_id", "pos")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    lagp = F.lag("pos").over(wl)
+    isl = flagged.withColumn(
+        "brk",
+        F.when(lagp.isNull() | (F.col("pos") - lagp > _DNG_N), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island", F.sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(_DNG_N)).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.sum("covered").alias("covered"))
+    frac = F.coalesce(F.col("covered"), F.lit(0)).cast("double") / F.col("n_tok")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(frac > _DNG_THRESH, F.lit(1))).cast("bigint").alias("n_flagged"),
+            F.round(F.avg(frac), 6).alias("avg_dup_frac"),
+        )
+    )
