@@ -45,6 +45,7 @@ _CHANGED_THIS_ROUND = (
     "ann_recall_at_k",  # new: ANN recall vs brute force
     "substring_max_span",  # new: positional max-span duplication
     "incremental_dedup_survivors",  # id-monotonicity guard on state join
+    "doc_length_percentiles",  # histogram-CDF exact quantile (no group buffering)
 )
 
 

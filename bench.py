@@ -131,47 +131,43 @@ def main() -> None:
     stress: dict = {}
     if not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         try:
-            stress_dir = _build_stress_dir(spark, SF_DIR, STRESS_FACTOR)
+            # best-of-2 like the main loop: the first stress execution pays
+            # cold codegen + cold stress-dir file cache, which previously
+            # made growth curves cold-vs-warm noise (a 30x point measuring
+            # FASTER than its 10x point).
+            def stress_run(name: str, factor: int, vs_10x_key: str | None = None):
+                sdir = _build_stress_dir(spark, SF_DIR, factor)
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.time()
+                    n = registry[name].build(spark, sdir).count()
+                    sec = time.time() - t0
+                    best = sec if best is None else min(best, sec)
+                sec = round(best, 3)
+                base = timings.get(name)
+                rec = {
+                    "sec": sec,
+                    "rows": n,
+                    "growth_x": round(sec / base, 2) if base else None,
+                }
+                if vs_10x_key is not None and vs_10x_key in stress:
+                    rec["growth_vs_10x"] = round(sec / stress[vs_10x_key]["sec"], 2)
+                print(
+                    f"# stress[{factor}x] {name}: {sec:.3f}s rows={n} "
+                    f"growth={rec['growth_x']}x",
+                    file=sys.stderr,
+                )
+                return rec
+
             for name in STRESS_QUERIES:
-                if name not in registry:
-                    continue
-                t0 = time.time()
-                n = registry[name].build(spark, stress_dir).count()
-                sec = round(time.time() - t0, 3)
-                base = timings.get(name)
-                stress[name] = {
-                    "sec": sec,
-                    "rows": n,
-                    "growth_x": round(sec / base, 2) if base else None,
-                }
-                print(
-                    f"# stress[{STRESS_FACTOR}x] {name}: {sec:.3f}s rows={n} "
-                    f"growth={stress[name]['growth_x']}x",
-                    file=sys.stderr,
-                )
+                if name in registry:
+                    stress[name] = stress_run(name, STRESS_FACTOR)
             stress["factor"] = STRESS_FACTOR
-            deep_dir = _build_stress_dir(spark, SF_DIR, STRESS_FACTOR_DEEP)
             for name in STRESS_QUERIES_DEEP:
-                if name not in registry:
-                    continue
-                t0 = time.time()
-                n = registry[name].build(spark, deep_dir).count()
-                sec = round(time.time() - t0, 3)
-                base = timings.get(name)
-                key = f"{name}@{STRESS_FACTOR_DEEP}x"
-                stress[key] = {
-                    "sec": sec,
-                    "rows": n,
-                    "growth_x": round(sec / base, 2) if base else None,
-                    "growth_vs_10x": (
-                        round(sec / stress[name]["sec"], 2) if name in stress else None
-                    ),
-                }
-                print(
-                    f"# stress[{STRESS_FACTOR_DEEP}x] {name}: {sec:.3f}s rows={n} "
-                    f"growth={stress[key]['growth_x']}x",
-                    file=sys.stderr,
-                )
+                if name in registry:
+                    stress[f"{name}@{STRESS_FACTOR_DEEP}x"] = stress_run(
+                        name, STRESS_FACTOR_DEEP, vs_10x_key=name
+                    )
         except Exception as e:  # stress must never sink the bench line
             stress = {"error": f"{type(e).__name__}: {e}"}
 

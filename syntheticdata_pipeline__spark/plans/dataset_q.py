@@ -5,7 +5,7 @@ mix), all seeded/deterministic and oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.determinism import unit_rand_sql
@@ -195,13 +195,53 @@ FROM documents GROUP BY lang
 def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of document length per language
     (rounded to 9 decimals — interpolation arithmetic differs by 1 ulp
-    across engines). Cluster swap-in: approx_percentile over t-digest."""
+    across engines).
+
+    Computed as an exact two-pass distributed quantile on the per-(lang,
+    length) histogram CDF — NOT ``F.percentile``, whose sort-based
+    aggregate buffers a whole group's values on one reducer (the same
+    single-task bottleneck the r6 de-skew removed from the quantile
+    gates). Interpolation at index p·(n−1) picks the two bracketing
+    values straight off the CDF (lo = min v with cum ≥ ⌊idx⌋+1, hi = the
+    next rank), so the result is bit-equal to the engine-native
+    ``quantile_cont`` the oracle still uses, while the only window runs
+    over histogram rows bounded by the distinct-length value space."""
     d = T(spark, sf_dir, "documents")
-    c = F.col("n_chars").cast("double")
-    return d.groupBy("lang").agg(
-        F.round(F.percentile(c, F.lit(0.25)), 9).alias("p25"),
-        F.round(F.percentile(c, F.lit(0.5)), 9).alias("p50"),
-        F.round(F.percentile(c, F.lit(0.95)), 9).alias("p95"),
+    hist = d.groupBy(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = d.groupBy("lang").agg(F.count("*").alias("n"))
+    j = cdf.join(F.broadcast(n), "lang")
+
+    def parts(p: float, tag: str):
+        idx = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        k = F.floor(idx)
+        return [
+            F.min(F.when(F.col("cum") >= k + 1, F.col("v"))).alias(f"lo{tag}"),
+            F.min(F.when(F.col("cum") >= k + 2, F.col("v"))).alias(f"hi{tag}"),
+            F.max(idx - k).alias(f"frac{tag}"),
+        ]
+
+    agg = j.groupBy("lang").agg(
+        *(parts(0.25, "25") + parts(0.5, "50") + parts(0.95, "95"))
+    )
+
+    def interp(tag: str):
+        lo = F.col(f"lo{tag}")
+        hi = F.coalesce(F.col(f"hi{tag}"), lo)
+        return F.round(lo + (hi - lo) * F.col(f"frac{tag}"), 9)
+
+    return agg.select(
+        "lang",
+        interp("25").alias("p25"),
+        interp("50").alias("p50"),
+        interp("95").alias("p95"),
     )
 
 
