@@ -24,6 +24,13 @@ if [ "$MODE" = "full" ]; then
     echo "GATE FAIL: oracle parity" >&2
     fail=1
   fi
+
+  echo "== gate 2b: hostile-driver simulation (driver-owned session, non-UTC) =="
+  CHANGED=$(python -c "import __spark_entry__ as m; print(' '.join(m._CHANGED_THIS_ROUND))")
+  if ! python tools/driver_sim.py $CHANGED; then
+    echo "GATE FAIL: driver simulation" >&2
+    fail=1
+  fi
 fi
 
 echo "== gate 3: bench JSON line =="
