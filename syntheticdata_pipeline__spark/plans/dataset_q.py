@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import unit_rand_sql
+from ..functions.determinism import unit_rand, unit_rand_sql
 from ..functions.text import tokens, tokens_sql
 from ..operators.datasetprep import (
     deterministic_split,
@@ -504,4 +504,226 @@ def weighted_sample_no_replacement(spark: SparkSession, sf_dir: str) -> DataFram
         keyed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _WS_K)
         .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-aware dataset split: assigning splits per DOC lets near-duplicate
+# pairs straddle train/val (the classic eval-contamination bug); assigning
+# per CLUSTER (every member inherits its component label's draw) makes
+# straddling impossible by construction. The query measures both policies
+# side by side: leaked near-dup pairs + split sizes per method.
+# --------------------------------------------------------------------------
+
+from .docs_q import _CLUSTER_JAC, _MINHASH_ORACLE  # noqa: E402
+
+
+def _split_case_sql(key_sql: str) -> str:
+    r = unit_rand_sql(key_sql, "split")
+    cases = " ".join(f"WHEN {r} < {hi!r} THEN '{name}'" for name, hi in _bounds[:-1])
+    return f"CASE {cases} ELSE '{_bounds[-1][0]}' END"
+
+
+_LEAK_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+e AS (SELECT id_a, id_b FROM pairs WHERE jac >= {_CLUSTER_JAC}),
+edges AS (SELECT id_a AS a, id_b AS b FROM e UNION ALL SELECT id_b AS a, id_a AS b FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, ed.b FROM reach JOIN edges ed ON reach.dst = ed.a),
+lab0 AS (SELECT src AS doc_id, MIN(dst) AS lab FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS lab
+  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+asg AS (
+  SELECT doc_id,
+         {_split_case_sql('doc_id')} AS split_doc,
+         {_split_case_sql('lab')} AS split_cluster
+  FROM lab)
+SELECT 'by_doc' AS method,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+     JOIN asg x ON e.id_a = x.doc_id JOIN asg y ON e.id_b = y.doc_id
+   WHERE x.split_doc != y.split_doc) AS leaked_pairs,
+  CAST(SUM(CASE WHEN split_doc = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN split_doc = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+  CAST(SUM(CASE WHEN split_doc = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM asg
+UNION ALL
+SELECT 'by_cluster' AS method,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+     JOIN asg x ON e.id_a = x.doc_id JOIN asg y ON e.id_b = y.doc_id
+   WHERE x.split_cluster != y.split_cluster) AS leaked_pairs,
+  CAST(SUM(CASE WHEN split_cluster = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN split_cluster = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+  CAST(SUM(CASE WHEN split_cluster = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM asg
+"""
+
+
+@register(
+    "cluster_aware_split_leakage",
+    oracle=_LEAK_ORACLE,
+    tags=("dataset-prep", "dedup-minhash", "clusters"),
+)
+def cluster_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage across train/val/test under two split policies:
+    per-doc draw (leaks pairs across splits) vs per-cluster draw (every
+    member inherits the component label's draw — zero straddling pairs by
+    construction, measured, not assumed). Labels come from min-label
+    propagation over the verified LSH pairs; the split stays the seeded
+    md5 draw of dataset_split_counts, just keyed on the label. At 100 TB
+    the label join is the dedup pipeline's existing output — leakage-safe
+    splitting costs one extra broadcast-joined column."""
+    from ..operators.clusters import connected_components
+    from .docs_q import minhash_lsh_candidates
+
+    pairs = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .filter(F.col("jac") >= _CLUSTER_JAC)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    lab = d.join(labels, "doc_id", "left").withColumn(
+        "lab", F.coalesce(F.col("lab"), F.col("doc_id"))
+    )
+
+    def split_expr(key):
+        r = unit_rand(key, "split")
+        expr = F.lit(_bounds[-1][0])
+        for name, hi in reversed(_bounds[:-1]):
+            expr = F.when(r < F.lit(hi), F.lit(name)).otherwise(expr)
+        return expr
+
+    asg = lab.select(
+        "doc_id",
+        split_expr(F.col("doc_id")).alias("split_doc"),
+        split_expr(F.col("lab")).alias("split_cluster"),
+    )
+    px = pairs.join(
+        asg.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("split_doc").alias("sd_a"),
+            F.col("split_cluster").alias("sc_a"),
+        ),
+        "id_a",
+    ).join(
+        asg.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("split_doc").alias("sd_b"),
+            F.col("split_cluster").alias("sc_b"),
+        ),
+        "id_b",
+    )
+    leak = px.agg(
+        F.sum(F.when(F.col("sd_a") != F.col("sd_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("leak_doc"),
+        F.sum(F.when(F.col("sc_a") != F.col("sc_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("leak_cluster"),
+    )
+    counts = asg.agg(
+        *[
+            F.sum(F.when(F.col("split_doc") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d_{s}")
+            for s in ("train", "val", "test")
+        ],
+        *[
+            F.sum(F.when(F.col("split_cluster") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{s}")
+            for s in ("train", "val", "test")
+        ],
+    )
+    one = counts.crossJoin(F.broadcast(leak))
+    by_doc = one.select(
+        F.lit("by_doc").alias("method"),
+        F.col("leak_doc").alias("leaked_pairs"),
+        F.col("d_train").alias("n_train"),
+        F.col("d_val").alias("n_val"),
+        F.col("d_test").alias("n_test"),
+    )
+    by_cluster = one.select(
+        F.lit("by_cluster").alias("method"),
+        F.col("leak_cluster").alias("leaked_pairs"),
+        F.col("c_train").alias("n_train"),
+        F.col("c_val").alias("n_val"),
+        F.col("c_test").alias("n_test"),
+    )
+    return by_doc.unionByName(by_cluster)
+
+
+# --------------------------------------------------------------------------
+# Chunk-granularity dedup: the same sliding chunks as chunk_documents,
+# fingerprinted by content — cross-doc boilerplate that whole-document
+# dedup can't see (two distinct docs sharing one boilerplate paragraph).
+# Dedup at the unit that actually enters training (the packed chunk).
+# --------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         unnest(range(0, greatest(len(toks) - {_CHUNK} + {_STRIDE}, 1), {_STRIDE}))
+           AS start
+  FROM t),
+ch AS (
+  SELECT c.doc_id, c.lang,
+         md5(array_to_string(t.toks[c.start + 1 : c.start + {_CHUNK}], ' ')) AS ck
+  FROM c JOIN t ON c.doc_id = t.doc_id),
+freq AS (
+  SELECT lang, ck, COUNT(*) AS n_inst, COUNT(DISTINCT doc_id) AS n_docs
+  FROM ch GROUP BY 1, 2)
+SELECT lang,
+  CAST(SUM(n_inst) AS BIGINT) AS n_chunks,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+  CAST(SUM(CASE WHEN n_docs > 1 THEN n_inst ELSE 0 END) AS BIGINT) AS n_crossdoc_dup_instances,
+  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_dup_contents
+FROM freq GROUP BY lang
+"""
+
+
+@register("chunk_level_dedup_stats", oracle=_CHUNK_DEDUP_ORACLE, tags=("dataset-prep", "dedup-exact", "M12"))
+def chunk_level_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-chunk stats per lang: every sliding chunk (32
+    tokens, stride 24 — identical to chunk_documents) is fingerprinted
+    with md5; a chunk content appearing in more than one distinct doc is
+    cross-doc boilerplate. Two partial-agg shuffles, both keyed on the
+    uniform 128-bit fingerprint — the chunk-granularity twin of
+    exact_dedup_docs, and the dedup unit that matches what packing
+    actually emits."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("toks")) - _CHUNK + _STRIDE - 1, F.lit(0)),
+        F.lit(_STRIDE),
+    )
+    ch = t.select(
+        "doc_id", "lang", "toks", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start") + 1, _CHUNK), " ")).alias("ck"),
+    )
+    freq = ch.groupBy("lang", "ck").agg(
+        F.count("*").alias("n_inst"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return freq.groupBy("lang").agg(
+        F.sum("n_inst").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_inst")).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossdoc_dup_instances"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossdoc_dup_contents"),
     )

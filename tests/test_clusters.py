@@ -33,3 +33,19 @@ def test_max_iters_bound(spark):
     # node still holds the min of its 1-hop neighborhood.
     labs = _labels(spark, [(i, i + 1) for i in range(4)], max_iters=1)
     assert labs[0] == 0 and labs[1] == 0 and labs[2] == 1
+
+
+def test_cluster_aware_split_has_zero_leakage(spark):
+    """Per-cluster split assignment makes near-dup train/val straddling
+    impossible; the per-doc policy measurably leaks on the same fixture."""
+    from syntheticdata_pipeline__spark.plans.dataset_q import (
+        cluster_aware_split_leakage,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = {r["method"]: r for r in cluster_aware_split_leakage(spark, SF_SMOKE).collect()}
+    assert rows["by_cluster"]["leaked_pairs"] == 0
+    assert rows["by_doc"]["leaked_pairs"] > 0
+    n = sum(rows["by_doc"][k] for k in ("n_train", "n_val", "n_test"))
+    assert n == sum(rows["by_cluster"][k] for k in ("n_train", "n_val", "n_test"))
