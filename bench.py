@@ -60,6 +60,14 @@ def _load_baseline() -> dict[str, float]:
         return {}
 
 
+def _load_baseline_sf() -> str:
+    try:
+        with open(os.path.join(REPO, "bench_baseline.json")) as f:
+            return str(json.load(f).get("sf", "0.1"))
+    except Exception:
+        return "0.1"
+
+
 def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     """Materialize <tmp>/documents.parquet as `factor` copies of the source
     documents (doc_ids offset per copy so dedup keys stay realistic:
@@ -126,7 +134,14 @@ def main() -> None:
         for name in timings
         if name in baseline and baseline[name] > 0
     }
-    regressions = sorted(n for n, r in vs_baseline.items() if r > 2.0)
+    # The anchors are sf0.1/local[32] measurements; at other SFs fixed
+    # per-job overhead dominates sub-second queries and the ratio is
+    # meaningless, so the 2x gate only binds when run-sf == anchor-sf.
+    sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    gate_active = sf_str == str(_load_baseline_sf())
+    regressions = (
+        sorted(n for n, r in vs_baseline.items() if r > 2.0) if gate_active else []
+    )
 
     stress: dict = {}
     if not os.environ.get("SPARK_GRAFT_NO_STRESS"):
@@ -171,7 +186,7 @@ def main() -> None:
         except Exception as e:  # stress must never sink the bench line
             stress = {"error": f"{type(e).__name__}: {e}"}
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf_str
     print(
         json.dumps(
             {
