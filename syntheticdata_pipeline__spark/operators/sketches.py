@@ -11,6 +11,9 @@ reproducible and oracle-checkable, while keeping sketch scaling behavior
   smallest hash values per group; estimate = (k−1)/h_k.
 - **Count-Min** frequency sketch: d hash rows × w buckets of counts;
   point estimate = min over rows.
+- **HyperLogLog** register-max distinct estimator: md5-derived register
+  index + leading-zero rank, scaled-integer indicator sum (exact,
+  order-independent), linear-counting small-range correction.
 """
 
 from __future__ import annotations
@@ -139,3 +142,96 @@ def countmin_estimate(
         unioned = unioned.unionByName(p)
     joined = unioned.join(F.broadcast(sketch), ["d", "bucket"], "left").na.fill({"n": 0})
     return joined.groupBy(key_col).agg(F.min("n").alias("freq_est"))
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group, md5-deterministic.
+
+    Classic HLL (Flajolet et al. 2007) with m = 2**p registers: the md5
+    hash's first two hex chars pick the register, the next 12 hex chars
+    (48 bits) give rho = 1 + leading-zero count — computed as
+    49 − length(bin(h48)) via integer/string ops only, so both engines
+    agree bit-for-bit. The indicator sum Z is kept in scaled-integer form
+    (each register contributes 2**(49−rho) to a BIGINT) so it is exact and
+    order-independent; only the final ln() of the linear-counting branch
+    sees libm, absorbed by round(·, 6) at the caller.
+
+    Scale shape: map-side (group, register) partial maxima, one shuffle of
+    at most m rows per group, constant-memory mergeable state — the same
+    contract as `approx_count_distinct`, but engine-portable.
+    """
+    m = 1 << p
+    h = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("__reg")
+    h48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    rho = F.when(h48 == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(h48)))
+    regs = (
+        df.select(*group_cols, reg, rho.alias("__rho"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("__present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - __rho)")).alias("__z_present"),
+    )
+    zeros = F.lit(m) - F.col("__present")
+    z_int = F.col("__z_present") + zeros.cast("long") * F.lit(1 << 49).cast("long")
+    e_raw = F.lit(_hll_alpha(m) * m * m * float(1 << 49)) / z_int.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, est.alias("distinct_est"))
+
+
+def hll_distinct_sql(
+    table: str, group_col: str, key_sql: str, p: int = 6, salt: str = "hll"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (identical md5/bit arithmetic)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    num = alpha * m * m * float(1 << 49)
+    return f"""
+WITH hashed AS (
+  SELECT {group_col},
+         md5('{salt}|' || CAST({key_sql} AS VARCHAR)) AS __h
+  FROM {table}),
+rr AS (
+  SELECT {group_col},
+         CAST('0x' || substr(__h, 1, 2) AS INTEGER) % {m} AS __reg,
+         CAST('0x' || substr(__h, 3, 12) AS BIGINT) AS __h48
+  FROM hashed),
+regs AS (
+  SELECT {group_col}, __reg,
+         MAX(CASE WHEN __h48 = 0 THEN 49 ELSE 49 - length(bin(__h48)) END) AS __rho
+  FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT {group_col}, COUNT(*) AS __present,
+         SUM(1::BIGINT << (49 - __rho)) AS __z_present
+  FROM regs GROUP BY 1)
+SELECT {group_col},
+  CASE WHEN ({num!r} / CAST(__z_present + ({m} - __present) * (1::BIGINT << 49) AS DOUBLE))
+         <= {2.5 * m}
+        AND ({m} - __present) > 0
+       THEN {float(m)} * ln({float(m)} / CAST({m} - __present AS DOUBLE))
+       ELSE ({num!r} / CAST(__z_present + ({m} - __present) * (1::BIGINT << 49) AS DOUBLE))
+  END AS distinct_est
+FROM agg
+"""

@@ -9,7 +9,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.determinism import unit_rand_sql
-from ..operators.sketches import countmin_estimate, countmin_tables, kmv_distinct, kmv_distinct_sql
+from ..operators.sketches import (
+    countmin_estimate,
+    countmin_tables,
+    hll_distinct,
+    hll_distinct_sql,
+    kmv_distinct,
+    kmv_distinct_sql,
+)
 from . import register
 from .common import T
 
@@ -78,3 +85,33 @@ def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumnRenamed("freq_est", "freq_est").join(exact, "user_id").select(
         "user_id", F.col("freq_est").cast("bigint").alias("freq_est"), "n_exact"
     )
+
+
+_HLL_P = 6
+
+_HLL_ORACLE = f"""
+WITH est AS ({hll_distinct_sql('events', 'event_type', 'user_id', _HLL_P)}),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT e.event_type, round(e.distinct_est, 6) AS hll_est, x.n_exact
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+@register("hll_distinct_users", oracle=_HLL_ORACLE, tags=("sketch", "A11"))
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog(m=64) distinct-user estimate per event type alongside
+    the exact count — the register-max sketch (Flajolet et al. 2007) in a
+    md5-deterministic, engine-portable form: even the approximation error
+    is oracle-checked. Complements KMV (order-statistics) and Count-Min
+    (frequency) for the full sketch family.
+
+    Scale: register maxima combine map-side; the shuffle carries at most
+    64 rows per event type regardless of stream length, and the state is
+    mergeable across partitions/batches (the streaming-aggregation
+    contract)."""
+    ev = T(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], F.col("user_id"), p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.withColumn("hll_est", F.round("distinct_est", 6)).drop("distinct_est").join(
+        exact, "event_type"
+    ).select("event_type", "hll_est", "n_exact")
