@@ -108,3 +108,75 @@ def mixture_expand(
         df.withColumn("__rep", F.explode(F.sequence(F.lit(1), reps)))
         .withColumnRenamed("__rep", "epoch_copy")
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-bigram bag-of-
+    ngrams features, a target and a raw unigram-over-buckets LM with
+    add-one smoothing, and per-doc log importance weight
+    log w(x) = Σ_features log(p_target(b) / p_raw(b)).
+
+    ``docs`` needs (doc_id, text); ``target_pred`` marks the rows whose
+    feature distribution defines the target domain. Returns
+    (doc_id, n_features, log_w).
+
+    Scale shape: features hash into ``n_buckets`` map-side, both LMs are
+    ``n_buckets``-row aggregates (broadcast), and the per-doc sum runs as
+    a trunc-scaled BIGINT so it is exact and order-independent. No
+    per-doc state exceeds its own (doc, bucket) histogram — the same
+    one-shuffle profile as a word count at any corpus size.
+    """
+    from ..functions.determinism import hash_bucket
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        "doc_id", target_pred.alias("__is_target"), tokens(F.lower(F.col("text"))).alias("__t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "__is_target",
+        F.explode(
+            # sequence(1, 0) would descend, so short docs get an empty array
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1), "
+                "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("__gram"),
+    ).withColumn("__b", hash_bucket(F.col("__gram"), n_buckets, salt))
+
+    raw_lm = grams.groupBy("__b").agg(F.count("*").alias("__rc"))
+    tgt_lm = grams.filter("__is_target").groupBy("__b").agg(F.count("*").alias("__tc"))
+    r_tot = raw_lm.agg(F.sum("__rc").alias("__rt"))
+    t_tot = tgt_lm.agg(F.sum("__tc").alias("__tt"))
+    lw = (
+        raw_lm.join(tgt_lm, "__b", "left")
+        .na.fill({"__tc": 0})
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.col("__tc") + 1).cast("double") / (F.col("__tt") + n_buckets)
+                )
+                - F.log((F.col("__rc") + 1).cast("double") / (F.col("__rt") + n_buckets))
+            ).alias("__lw"),
+        )
+    )
+    per_doc_bucket = grams.groupBy("doc_id", "__b").agg(F.count("*").alias("__n"))
+    contrib = per_doc_bucket.join(F.broadcast(lw), "__b").select(
+        "doc_id",
+        F.col("__n"),
+        F.expr("CAST(__n * __lw * 1000000000.0 AS BIGINT)").alias("__c"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("__n").cast("bigint").alias("n_features"),
+        (F.sum("__c").cast("double") / F.lit(1e9)).alias("log_w"),
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import unit_rand, unit_rand_sql
+from ..functions.determinism import hash_bucket_sql, unit_rand, unit_rand_sql
 from ..functions.text import tokens, tokens_sql
 from ..operators.datasetprep import (
     deterministic_split,
@@ -726,4 +726,84 @@ def chunk_level_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_crossdoc_dup_contents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023): hashed-bigram features,
+# target-vs-raw LM likelihood ratio per doc, Gumbel-top-k resample.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_TARGETS = ("src0", "src1", "src2")
+_DSIR_N = 64
+
+_dsir_tpred = "source IN ('" + "', '".join(_DSIR_TARGETS) + "')"
+_dsir_bucket = hash_bucket_sql("gram", _DSIR_B, salt="dsir")
+_dsir_u = unit_rand_sql("doc_id", "dsir-g")
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, {_dsir_tpred} AS is_t,
+         {tokens_sql('lower(text)')} AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_t,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2),
+bucketed AS (SELECT doc_id, is_t, {_dsir_bucket} AS b FROM grams),
+raw_lm AS (SELECT b, COUNT(*) AS rc FROM bucketed GROUP BY b),
+tgt_lm AS (SELECT b, COUNT(*) AS tc FROM bucketed WHERE is_t GROUP BY b),
+tots AS (
+  SELECT (SELECT SUM(rc) FROM raw_lm) AS rt, (SELECT SUM(tc) FROM tgt_lm) AS tt),
+lw AS (
+  SELECT r.b,
+         ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) / (tots.tt + {_DSIR_B}))
+         - ln(CAST(r.rc + 1 AS DOUBLE) / (tots.rt + {_DSIR_B})) AS lw
+  FROM raw_lm r LEFT JOIN tgt_lm t USING (b) CROSS JOIN tots),
+per_db AS (SELECT doc_id, b, COUNT(*) AS n FROM bucketed GROUP BY 1, 2),
+w AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.n) AS BIGINT) AS n_features,
+         CAST(SUM(CAST(trunc(p.n * l.lw * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 AS log_w
+  FROM per_db p JOIN lw l USING (b) GROUP BY 1),
+keyed AS (
+  SELECT w.doc_id, d.lang, d.source, w.n_features, w.log_w,
+         w.log_w + (-ln(-ln({_dsir_u}))) AS gkey
+  FROM w JOIN documents d USING (doc_id)),
+top AS (
+  SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT {_DSIR_N})
+SELECT doc_id, lang, source, n_features, round(log_w, 6) AS log_w
+FROM top
+"""
+
+
+@register("dsir_importance_resample", oracle=_DSIR_ORACLE, tags=("dataset-prep", "M4"))
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram features
+    (256 buckets), add-one-smoothed target (curated sources src0-src2) vs
+    raw LMs, per-doc log importance weight, then Gumbel-top-k sampling —
+    the without-replacement importance resample, made deterministic by a
+    md5-seeded uniform per doc.
+
+    Scale: both LMs are 256-row broadcast tables; per-doc weights are
+    trunc-scaled BIGINT sums (exact, order-free); the final selection is
+    orderBy().limit() — Spark executes TakeOrderedAndProject, never a
+    single-partition rank window, so the resample survives a 100-TB
+    corpus (the same two-phase shape as bm25_topk_docs)."""
+    from ..operators.datasetprep import dsir_log_weights
+
+    d = T(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        d, F.col("source").isin(*_DSIR_TARGETS), n_buckets=_DSIR_B, salt="dsir"
+    )
+    u = unit_rand(F.col("doc_id"), "dsir-g")
+    keyed = w.join(d.select("doc_id", "lang", "source"), "doc_id").withColumn(
+        "gkey", F.col("log_w") + (-F.log(-F.log(u)))
+    )
+    top = keyed.orderBy(F.col("gkey").desc(), "doc_id").limit(_DSIR_N)
+    return top.select(
+        "doc_id", "lang", "source", "n_features", F.round("log_w", 6).alias("log_w")
     )
