@@ -101,3 +101,27 @@ def psnr(mse_col: Column, max_value: float = 2.0) -> Column:
 
 def psnr_sql(mse_sql_expr: str, max_value: float = 2.0) -> str:
     return f"(20.0 * log10({max_value} / sqrt({mse_sql_expr})))"
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance Σ (aᵢ−bᵢ)² as a strict sequential fold
+    (bit-identical to :func:`sqdist_sql`)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )

@@ -75,3 +75,77 @@ def connected_components(
     finally:
         sym.unpersist()
     return labels
+
+
+def kmeans_fixed_iters(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "km-init",
+) -> DataFrame:
+    """Seeded, fixed-iteration Lloyd k-means over an embedding column —
+    the centroid-training step of IVF/SemDeDup-style curation, fully
+    deterministic so it can face a cross-engine oracle.
+
+    Init picks the k vectors with the smallest md5-seeded uniform (a
+    k-row TakeOrdered); each iteration broadcasts the k centroids,
+    assigns every vector to the nearest (strict-fold sqdist, ties to the
+    lowest centroid id), and recomputes per-dimension means with
+    trunc-scaled BIGINT sums (exact, order-independent). Returns the
+    final assignment (id, cluster_id, dist).
+
+    Scale: per iteration one broadcast (k·dim doubles), one narrow
+    assignment pass, one (cluster, dim)-keyed agg of k·dim rows — no
+    shuffle carries vectors except the posexplode partial agg, which
+    combines map-side. Empty clusters drop out of the centroid table
+    (standard Lloyd behavior), identically in the oracle.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.determinism import unit_rand
+    from ..functions.vectors import sqdist
+
+    cents = (
+        vecs.orderBy(unit_rand(F.col(id_col), salt), id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = vecs.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+        scored = d.select(
+            id_col,
+            vec_col,
+            "cid",
+            sqdist(F.col(vec_col), F.col("cv")).alias("dist"),
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    assigned = assign(cents)
+    for _ in range(iters):
+        flat = assigned.select("cid", F.posexplode(vec_col).alias("dim", "x"))
+        means = flat.groupBy("cid", "dim").agg(
+            (
+                F.sum(F.expr("CAST(CAST(x AS DOUBLE) * 1000000000.0 AS BIGINT)")).cast(
+                    "double"
+                )
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("mv")
+        )
+        new_cents = means.groupBy("cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)").alias(
+                "cv"
+            )
+        )
+        assigned = assign(new_cents)
+    return assigned.select(
+        F.col(id_col), F.col("cid").alias("cluster_id"), F.col("dist")
+    )

@@ -1345,3 +1345,133 @@ def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_quality",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity gate: one step closer to CCNet's
+# KenLM scoring than the unigram gate — p(w2|w1) interpolated with the
+# unigram marginal, same histogram-CDF quartile threshold.
+# --------------------------------------------------------------------------
+
+_BG_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to the unigram
+
+_BIGRAM_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+uni AS (
+  SELECT lang, token, COUNT(*) AS cnt
+  FROM (SELECT lang, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+utot AS (SELECT lang, SUM(cnt) AS total FROM uni GROUP BY 1),
+trans AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2),
+bi AS (SELECT lang, w1, w2, COUNT(*) AS bcnt FROM trans GROUP BY 1, 2, 3),
+w1tot AS (SELECT lang, w1, SUM(bcnt) AS w1cnt FROM bi GROUP BY 1, 2),
+scored AS (
+  SELECT tr.doc_id, tr.lang,
+         round(AVG(ln({_BG_LAMBDA} * (CAST(b.bcnt AS DOUBLE) / w1t.w1cnt)
+                      + {1 - _BG_LAMBDA} * (CAST(u.cnt AS DOUBLE) / ut.total))), 6)
+           AS logprob
+  FROM trans tr
+  JOIN bi b ON tr.lang = b.lang AND tr.w1 = b.w1 AND tr.w2 = b.w2
+  JOIN w1tot w1t ON tr.lang = w1t.lang AND tr.w1 = w1t.w1
+  JOIN uni u ON tr.lang = u.lang AND tr.w2 = u.token
+  JOIN utot ut ON tr.lang = ut.lang
+  GROUP BY 1, 2),
+hist AS (SELECT lang, logprob, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, logprob, SUM(cnt) OVER (PARTITION BY lang ORDER BY logprob) AS cum
+  FROM hist),
+n AS (SELECT lang, COUNT(*) AS n_docs FROM scored GROUP BY 1),
+q1 AS (
+  SELECT c.lang, MIN(c.logprob) AS q1
+  FROM cdf c JOIN n ON c.lang = n.lang
+  WHERE c.cum >= {1 - _PPL_KEEP_FRAC} * n.n_docs
+  GROUP BY 1)
+SELECT s.doc_id, s.lang, s.logprob, (s.logprob >= q.q1) AS keep
+FROM scored s JOIN q1 q ON s.lang = q.lang
+"""
+
+
+@register("bigram_perplexity_gate", oracle=_BIGRAM_PPL_ORACLE, tags=("text-analysis", "F4"))
+def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality gate: per-language
+    p(w2|w1) = 0.7·(c(w1,w2)/c(w1·)) + 0.3·(c(w2)/c(·)), each doc scored
+    by the mean transition log-probability, the per-lang worst quartile
+    gated out by score VALUE. A step from the unigram gate toward CCNet's
+    KenLM 5-gram scoring, with the same de-skewed threshold machinery:
+    histogram-CDF exact quantile (the only window runs over the per-lang
+    score-value histogram, never the doc set), threshold rows broadcast
+    into a map-side keep flag.
+
+    The LM tables shuffle on (lang, w1[, w2]) — vocabulary-sized, never
+    collected; no smoothing is needed because the LM is trained on the
+    corpus being scored, so every observed transition has count ≥ 1."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select("lang", F.explode("t").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    utot = uni.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    trans = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt"))
+    w1tot = bi.groupBy("lang", "w1").agg(F.sum("bcnt").alias("w1cnt"))
+    scored = (
+        trans.join(bi, ["lang", "w1", "w2"])
+        .join(w1tot, ["lang", "w1"])
+        .join(uni.withColumnRenamed("token", "w2"), ["lang", "w2"])
+        .join(F.broadcast(utot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        F.lit(_BG_LAMBDA)
+                        * (F.col("bcnt").cast("double") / F.col("w1cnt"))
+                        + F.lit(1 - _BG_LAMBDA)
+                        * (F.col("cnt").cast("double") / F.col("total"))
+                    )
+                ),
+                6,
+            ).alias("logprob")
+        )
+    )
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("lang", "logprob").agg(F.count("*").alias("cnt"))
+    wcdf = (
+        Window.partitionBy("lang")
+        .orderBy("logprob")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wcdf))
+    n = scored.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q1 = (
+        cdf.join(F.broadcast(n), "lang")
+        .filter(F.col("cum") >= F.lit(1 - _PPL_KEEP_FRAC) * F.col("n_docs"))
+        .groupBy("lang")
+        .agg(F.min("logprob").alias("q1"))
+    )
+    return scored.join(F.broadcast(q1), "lang").select(
+        "doc_id",
+        "lang",
+        "logprob",
+        (F.col("logprob") >= F.col("q1")).alias("keep"),
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import hash_bucket_sql
+from ..functions.determinism import hash_bucket_sql, unit_rand_sql
 from ..functions.vectors import (
     dot_sql,
     l2_norm,
@@ -18,6 +18,7 @@ from ..functions.vectors import (
     mse_sql,
     psnr,
     psnr_sql,
+    sqdist_sql,
 )
 from ..operators.similarity import (
     brute_force_topk,
@@ -745,3 +746,76 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.select(
         "vec_id", F.posexplode("q_arr").alias("pos", "q")
     ).select("vec_id", F.col("pos").cast("long").alias("pos"), "q")
+
+
+# --------------------------------------------------------------------------
+# Seeded fixed-iteration k-means — the centroid-training step of
+# IVF / SemDeDup-style curation, deterministic end to end.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_oracle(k: int, iters: int) -> str:
+    u = unit_rand_sql("vec_id", "km-init")
+    sq = sqdist_sql("e.embedding", "c.cv")
+    assign = (
+        "SELECT vec_id, embedding, cid, dist FROM (\n"
+        "    SELECT e.vec_id, e.embedding, c.cid, {sq} AS dist,\n"
+        "           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn\n"
+        "    FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1"
+    )
+    sql = f"""WITH init AS (
+  SELECT vec_id AS cid, embedding AS cv FROM (
+    SELECT vec_id, embedding FROM embeddings ORDER BY {u}, vec_id LIMIT {k})),
+assign0 AS ({assign.format(sq=sq, cents='init')}),
+"""
+    for i in range(1, iters + 1):
+        sql += f"""cent{i} AS (
+  SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+           CAST(SUM(CAST(trunc(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / COUNT(*) AS mv
+    FROM (SELECT cid, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+          FROM assign{i - 1})
+    GROUP BY cid, dim) GROUP BY cid),
+assign{i} AS ({assign.format(sq=sq, cents=f'cent{i}')}),
+"""
+    sql += f"""sizes AS (
+  SELECT cid AS cluster_id, COUNT(*) AS n_members,
+         CAST(SUM(CAST(trunc(dist * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 AS inertia
+  FROM assign{iters} GROUP BY cid)
+SELECT cluster_id, n_members, round(inertia, 6) AS inertia FROM sizes"""
+    return sql
+
+
+_KMEANS_ORACLE = _km_oracle(_KM_K, _KM_ITERS)
+
+
+@register("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, tags=("similarity", "ivf"))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 8-cluster, 2-iteration Lloyd k-means over the embedding
+    table: cluster sizes and inertia after the final assignment. The
+    distributed centroid-training primitive behind IVF cells and
+    SemDeDup-style semantic curation, made oracle-checkable by seeded
+    init (md5-uniform TakeOrdered), strict-fold distances, and
+    trunc-scaled-integer mean/inertia sums (order-independent).
+
+    Scale: each iteration broadcasts k·dim doubles and shuffles only the
+    (cluster, dim) partial sums — vectors themselves never shuffle; the
+    assignment window partitions by vec_id over exactly k rows (no skew
+    possible)."""
+    from ..operators.clusters import kmeans_fixed_iters
+
+    e = T(spark, sf_dir, "embeddings")
+    assigned = kmeans_fixed_iters(e, k=_KM_K, iters=_KM_ITERS)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.expr("CAST(dist * 1000000000.0 AS BIGINT)")).cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("inertia"),
+    )
