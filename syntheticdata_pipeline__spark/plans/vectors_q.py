@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import hash_bucket_sql, unit_rand_sql
 from ..functions.vectors import (
+    cosine_sql,
     dot_sql,
     l2_norm,
     l2_norm_sql,
@@ -818,4 +819,60 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9),
             6,
         ).alias("inertia"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination: flag training vectors whose embedding is
+# near-identical to any benchmark vector — the embedding-space complement
+# of the n-gram decontaminate_train.
+# --------------------------------------------------------------------------
+
+_DECON_MOD = 20  # vec_id % 20 == 0 -> the held-out benchmark set (5%)
+_DECON_COS = 0.9
+
+_SEM_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id % {_DECON_MOD} = 0),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_DECON_MOD} <> 0),
+scored AS (
+  SELECT t.vec_id, MAX(round({cosine_sql('t.embedding', 'b.bv')}, 6)) AS max_cos
+  FROM train t CROSS JOIN bench b
+  GROUP BY t.vec_id)
+SELECT vec_id, max_cos, (max_cos >= {_DECON_COS}) AS contaminated
+FROM scored
+"""
+
+
+@register("semantic_decontaminate", oracle=_SEM_DECON_ORACLE, tags=("dataset-prep", "similarity"))
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination scan: each training vector's max
+    cosine against the benchmark set, flagged at ≥ 0.9 — catches
+    paraphrased/reformatted eval leakage that exact n-gram
+    decontamination (decontaminate_train) misses.
+
+    Scale: a benchmark suite is constant-sized however big the corpus,
+    so the scan is a broadcast nested-loop against the benchmark side —
+    one narrow pass over training vectors, no shuffle of the corpus; the
+    per-vector MAX folds map-side. The rounded cosine makes the
+    max/threshold decision identical cross-engine."""
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % _DECON_MOD == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    train = e.filter(F.col("vec_id") % _DECON_MOD != 0)
+    from ..functions.vectors import cosine
+
+    scored = (
+        train.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("bv")), 6).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return scored.select(
+        "vec_id", "max_cos", (F.col("max_cos") >= _DECON_COS).alias("contaminated")
     )
