@@ -1408,7 +1408,10 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LM tables shuffle on (lang, w1[, w2]) — vocabulary-sized, never
     collected; no smoothing is needed because the LM is trained on the
-    corpus being scored, so every observed transition has count ≥ 1."""
+    corpus being scored, so every observed transition has count ≥ 1.
+    The per-transition log-probability is folded into the (lang, w1, w2)
+    LM table FIRST (all the count joins run at vocabulary size), so the
+    fat transitions relation is joined exactly once."""
     d = T(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t"))
     uni = (
@@ -1433,25 +1436,25 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt"))
     w1tot = bi.groupBy("lang", "w1").agg(F.sum("bcnt").alias("w1cnt"))
-    scored = (
-        trans.join(bi, ["lang", "w1", "w2"])
-        .join(w1tot, ["lang", "w1"])
+    lm = (
+        bi.join(w1tot, ["lang", "w1"])
         .join(uni.withColumnRenamed("token", "w2"), ["lang", "w2"])
         .join(F.broadcast(utot), "lang")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(
-                    F.log(
-                        F.lit(_BG_LAMBDA)
-                        * (F.col("bcnt").cast("double") / F.col("w1cnt"))
-                        + F.lit(1 - _BG_LAMBDA)
-                        * (F.col("cnt").cast("double") / F.col("total"))
-                    )
-                ),
-                6,
-            ).alias("logprob")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            F.log(
+                F.lit(_BG_LAMBDA) * (F.col("bcnt").cast("double") / F.col("w1cnt"))
+                + F.lit(1 - _BG_LAMBDA)
+                * (F.col("cnt").cast("double") / F.col("total"))
+            ).alias("logp"),
         )
+    )
+    scored = (
+        trans.join(lm, ["lang", "w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("logp"), 6).alias("logprob"))
     )
     from pyspark.sql import Window
 
