@@ -5,7 +5,7 @@ fuzzy dedup, text quality/stats, language-ID, fingerprints — over the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
@@ -1477,4 +1477,158 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "logprob",
         (F.col("logprob") >= F.col("q1")).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram diversity (distinct-1/distinct-2): the standard synthetic-text
+# diversity metric — a generated corpus that loops templates shows a low
+# distinct-n ratio long before exact dedup catches it.
+# --------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {tokens_sql('lower(text)')} AS t FROM documents),
+uni AS (SELECT source, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2),
+u AS (
+  SELECT source, COUNT(*) AS n1, COUNT(DISTINCT g) AS d1 FROM uni GROUP BY source),
+b AS (
+  SELECT source, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2 FROM bi GROUP BY source)
+SELECT u.source,
+       CAST(u.n1 AS BIGINT) AS n_unigrams,
+       round(CAST(u.d1 AS DOUBLE) / u.n1, 6) AS distinct_1,
+       CAST(b.n2 AS BIGINT) AS n_bigrams,
+       round(CAST(b.d2 AS DOUBLE) / b.n2, 6) AS distinct_2
+FROM u JOIN b USING (source)
+"""
+
+
+@register("ngram_diversity_by_source", oracle=_DIVERSITY_ORACLE, tags=("text-analysis",))
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1 / distinct-2 per source (Li et al. 2016 dialog-diversity
+    metrics): unique-to-total n-gram ratios — the cheap first check that a
+    synthetic-data source isn't template-looping.
+
+    Scale: two (source, gram)-keyed aggregations with map-side partial
+    distinct; nothing materializes beyond the per-source gram sets that
+    COUNT(DISTINCT) shuffles, which Spark expands to a two-stage exact
+    distinct — vocabulary-bounded, not corpus-bounded."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toks.select("source", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count("*").alias("n1"), F.countDistinct("g").alias("d1")
+    )
+    b = bi.groupBy("source").agg(
+        F.count("*").alias("n2"), F.countDistinct("g").alias("d2")
+    )
+    return u.join(b, "source").select(
+        "source",
+        F.col("n1").cast("bigint").alias("n_unigrams"),
+        F.round(F.col("d1").cast("double") / F.col("n1"), 6).alias("distinct_1"),
+        F.col("n2").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("d2").cast("double") / F.col("n2"), 6).alias("distinct_2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope per language: natural text follows
+# freq ∝ rank^-s with s ≈ 1; template-generated or boilerplate-heavy text
+# bends the curve. Least-squares slope of ln(freq) on ln(rank) over the
+# top tokens.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 500
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT lang, token, COUNT(*) AS cnt
+  FROM (SELECT lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+  FROM freq),
+pts AS (
+  SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_TOPK}),
+s AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(CAST(trunc(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+         CAST(SUM(CAST(trunc(y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+         CAST(SUM(CAST(trunc(x * y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxy,
+         CAST(SUM(CAST(trunc(x * x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxx
+  FROM pts GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+"""
+
+
+@register("zipf_slope_by_lang", oracle=_ZIPF_ORACLE, tags=("text-analysis",))
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over each language's
+    top-500 tokens — the Zipf-law fit (natural text: slope ≈ −1);
+    deviation flags template-generated or boilerplate-dominated sources.
+
+    Scale: frequency is a (lang, token) agg; the rank window runs over
+    the per-lang VOCABULARY histogram (corpus-sublinear), and Spark's
+    WindowGroupLimit pushes rnk <= 500 into the per-partition sort so no
+    language's vocab fully materializes in one task. Regression sums are
+    trunc-scaled BIGINTs (exact, order-free)."""
+    from ..operators.dedup import top_k_per_group
+
+    d = T(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = top_k_per_group(
+        freq,
+        ["lang"],
+        [F.col("cnt").desc(), F.col("token")],
+        _ZIPF_TOPK,
+        rank_col="rnk",
+    )
+    pts = ranked.select(
+        "lang",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def tsum(expr: str) -> Column:
+        return F.sum(F.expr(f"CAST({expr} * 1000000000.0 AS BIGINT)")).cast(
+            "double"
+        ) / F.lit(1e9)
+
+    s = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        tsum("x").alias("sx"),
+        tsum("y").alias("sy"),
+        tsum("x * y").alias("sxy"),
+        tsum("x * x").alias("sxx"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
     )
