@@ -560,3 +560,96 @@ def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(frac), 6).alias("avg_dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift per source: two-sample Kolmogorov-Smirnov statistic
+# between each source's doc-length distribution and the corpus — the
+# pipeline-QA check that one generator/source hasn't drifted.
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH lens AS (
+  SELECT source, n_chars AS len FROM documents),
+grid AS (SELECT DISTINCT len FROM lens),
+src_n AS (SELECT source, COUNT(*) AS ns FROM lens GROUP BY source),
+tot_n AS (SELECT COUNT(*) AS nt FROM lens),
+src_hist AS (SELECT source, len, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+tot_hist AS (SELECT len, COUNT(*) AS c FROM lens GROUP BY 1),
+src_grid AS (
+  SELECT s.source, g.len, COALESCE(h.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM lens) s
+  CROSS JOIN grid g
+  LEFT JOIN src_hist h ON h.source = s.source AND h.len = g.len),
+src_cdf AS (
+  SELECT source, len,
+         SUM(c) OVER (PARTITION BY source ORDER BY len) AS cum
+  FROM src_grid),
+tot_cdf AS (
+  SELECT len, SUM(c) OVER (ORDER BY len) AS cum FROM tot_hist)
+SELECT s.source,
+       CAST(n.ns AS BIGINT) AS n_docs,
+       round(MAX(abs(CAST(s.cum AS DOUBLE) / n.ns - CAST(t.cum AS DOUBLE) / tt.nt)), 6)
+         AS ks_stat
+FROM src_cdf s
+JOIN src_n n USING (source)
+JOIN tot_cdf t USING (len)
+CROSS JOIN tot_n tt
+GROUP BY s.source, n.ns
+"""
+
+
+@register("ks_length_drift_by_source", oracle=_KS_ORACLE, tags=("quality", "A7"))
+def ks_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic (sup CDF gap) between each source's
+    doc-length distribution and the whole corpus — drift detection for a
+    multi-generator synthetic pipeline; a source that starts emitting
+    truncated or padded docs spikes immediately.
+
+    Scale: every relation after the first agg is VALUE-GRID-sized, not
+    corpus-sized (the histogram-CDF discipline): per-(source, len)
+    histograms, the distinct-len grid, windows ordered over histogram
+    rows only. The corpus CDF window is a single partition over the
+    value grid — bounded by the length range, independent of doc count —
+    and both CDFs join on the grid before a per-source MAX."""
+    d = T(spark, sf_dir, "documents")
+    lens = d.select("source", F.col("n_chars").alias("len"))
+    grid = lens.select("len").distinct()
+    src_n = lens.groupBy("source").agg(F.count("*").alias("ns"))
+    tot_n = lens.agg(F.count("*").alias("nt"))
+    src_hist = lens.groupBy("source", "len").agg(F.count("*").alias("c"))
+    src_grid = (
+        src_n.select("source")
+        .crossJoin(grid)
+        .join(src_hist, ["source", "len"], "left")
+        .na.fill({"c": 0})
+    )
+    from pyspark.sql import Window
+
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    src_cdf = src_grid.withColumn("cum", F.sum("c").over(w_src))
+    tot_hist = lens.groupBy("len").agg(F.count("*").alias("c"))
+    w_tot = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    tot_cdf = tot_hist.withColumn("tcum", F.sum("c").over(w_tot)).select("len", "tcum")
+    return (
+        src_cdf.join(F.broadcast(src_n), "source")
+        .join(tot_cdf, "len")
+        .crossJoin(F.broadcast(tot_n))
+        .groupBy("source", "ns")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum").cast("double") / F.col("ns")
+                        - F.col("tcum").cast("double") / F.col("nt")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("source", F.col("ns").cast("bigint").alias("n_docs"), "ks_stat")
+    )
