@@ -780,7 +780,7 @@ FROM top
 """
 
 
-@register("dsir_importance_resample", oracle=_DSIR_ORACLE, tags=("dataset-prep", "M4"))
+@register("dsir_importance_resample", oracle=_DSIR_ORACLE, bench=True, tags=("dataset-prep", "M4"))
 def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed-bigram features
     (256 buckets), add-one-smoothed target (curated sources src0-src2) vs

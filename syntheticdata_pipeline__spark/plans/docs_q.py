@@ -1395,7 +1395,7 @@ FROM scored s JOIN q1 q ON s.lang = q.lang
 """
 
 
-@register("bigram_perplexity_gate", oracle=_BIGRAM_PPL_ORACLE, tags=("text-analysis", "F4"))
+@register("bigram_perplexity_gate", oracle=_BIGRAM_PPL_ORACLE, bench=True, tags=("text-analysis", "F4"))
 def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality gate: per-language
     p(w2|w1) = 0.7·(c(w1,w2)/c(w1·)) + 0.3·(c(w2)/c(·)), each doc scored

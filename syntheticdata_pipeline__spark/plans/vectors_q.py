@@ -795,7 +795,7 @@ SELECT cluster_id, n_members, round(inertia, 6) AS inertia FROM sizes"""
 _KMEANS_ORACLE = _km_oracle(_KM_K, _KM_ITERS)
 
 
-@register("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, tags=("similarity", "ivf"))
+@register("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, bench=True, tags=("similarity", "ivf"))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 8-cluster, 2-iteration Lloyd k-means over the embedding
     table: cluster sizes and inertia after the final assignment. The
