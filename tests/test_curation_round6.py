@@ -1,0 +1,173 @@
+"""Behavioral properties of the round-6 curation operators — the oracle
+twins prove cross-engine equality; these prove the operators do what the
+papers say."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# DSIR: docs drawn from the target domain must be upweighted on average.
+# --------------------------------------------------------------------------
+
+
+def test_dsir_upweights_target_domain(spark):
+    from syntheticdata_pipeline__spark.operators.datasetprep import dsir_log_weights
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    d = T(spark, SF, "documents")
+    targets = ("src0", "src1", "src2")
+    w = dsir_log_weights(d, F.col("source").isin(*targets)).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    rows = (
+        w.withColumn("is_t", F.col("source").isin(*targets))
+        .groupBy("is_t")
+        .agg(F.avg(F.col("log_w") / F.col("n_features")).alias("mean_w"))
+        .collect()
+    )
+    means = {r.is_t: r.mean_w for r in rows}
+    assert means[True] > means[False]
+
+
+def test_dsir_weights_finite_and_feature_counts_positive(spark):
+    from syntheticdata_pipeline__spark.operators.datasetprep import dsir_log_weights
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    d = T(spark, SF, "documents")
+    w = dsir_log_weights(d, F.col("source") == "src0").collect()
+    assert len(w) > 0
+    for r in w:
+        assert r.n_features >= 1
+        assert abs(r.log_w) < 1e9
+
+
+# --------------------------------------------------------------------------
+# k-means: Lloyd iterations cannot increase inertia.
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_inertia_monotone_under_iterations(spark):
+    from syntheticdata_pipeline__spark.operators.clusters import kmeans_fixed_iters
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    e = T(spark, SF, "embeddings")
+
+    def inertia(iters: int) -> float:
+        a = kmeans_fixed_iters(e, k=4, iters=iters)
+        return a.agg(F.sum("dist")).collect()[0][0]
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 <= i0 + 1e-9
+    assert i2 <= i1 + 1e-9
+
+
+def test_kmeans_assignment_is_total_and_unique(spark):
+    from syntheticdata_pipeline__spark.operators.clusters import kmeans_fixed_iters
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    e = T(spark, SF, "embeddings")
+    a = kmeans_fixed_iters(e, k=4, iters=1)
+    n_vecs = e.count()
+    assert a.count() == n_vecs
+    assert a.select("vec_id").distinct().count() == n_vecs
+
+
+# --------------------------------------------------------------------------
+# Diversity: duplicating every doc halves nothing, but appending copies
+# of ONE doc must lower the distinct-n ratios.
+# --------------------------------------------------------------------------
+
+
+def test_distinct_ratio_drops_under_template_looping(spark):
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    reg = load_all()
+    base = {
+        r.source: r.distinct_2
+        for r in reg["ngram_diversity_by_source"].build(spark, SF).collect()
+    }
+    # build a looped corpus in-memory: src0's first doc repeated 50x
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    d = T(spark, SF, "documents")
+    one = d.filter(F.col("source") == "src0").limit(1)
+    looped = d.unionByName(
+        one.crossJoin(spark.range(50).select(F.col("id").alias("__i"))).select(
+            (F.col("doc_id") + 100000 + F.col("__i")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        looped.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        for t in ("region", "nation"):
+            pass  # only documents is read by this query
+        out = {
+            r.source: r.distinct_2
+            for r in reg["ngram_diversity_by_source"].build(spark, tmp).collect()
+        }
+    assert out["src0"] < base["src0"]
+    # untouched sources unchanged
+    assert out["src5"] == pytest.approx(base["src5"], abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# KS drift: a source identical to the corpus has KS ~ 0; the statistic is
+# bounded in [0, 1].
+# --------------------------------------------------------------------------
+
+
+def test_ks_stat_bounds_and_self_similarity(spark):
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    rows = load_all()["ks_length_drift_by_source"].build(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
+    # sanity: at least one source differs from the pooled corpus
+    assert max(r.ks_stat for r in rows) > 0.0
+
+
+# --------------------------------------------------------------------------
+# Zipf: natural-ish corpus slope should be negative (freq falls with rank).
+# --------------------------------------------------------------------------
+
+
+def test_zipf_slope_negative(spark):
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    rows = load_all()["zipf_slope_by_lang"].build(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.zipf_slope < 0
+
+
+# --------------------------------------------------------------------------
+# Bigram gate: keeps exactly >= keep_frac per language (value-threshold
+# semantics: ties at the quartile boundary survive).
+# --------------------------------------------------------------------------
+
+
+def test_bigram_gate_keep_fraction(spark):
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    df = load_all()["bigram_perplexity_gate"].build(spark, SF)
+    stats = (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .collect()
+    )
+    for r in stats:
+        assert r.kept >= 0.75 * r.n - 1e-9  # ties can only push the kept share up
