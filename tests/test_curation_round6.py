@@ -108,9 +108,8 @@ def test_distinct_ratio_drops_under_template_looping(spark):
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
+        # only documents.parquet is read by this query
         looped.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        for t in ("region", "nation"):
-            pass  # only documents is read by this query
         out = {
             r.source: r.distinct_2
             for r in reg["ngram_diversity_by_source"].build(spark, tmp).collect()
