@@ -177,16 +177,42 @@ def hll_distinct(
     at most m rows per group, constant-memory mergeable state — the same
     contract as `approx_count_distinct`, but engine-portable.
     """
+    regs = hll_partials(df, group_cols, key, p=p, salt=salt)
+    return hll_estimate(regs, group_cols, p=p)
+
+
+def hll_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """The mergeable HLL representation: (group, __reg, __rho) register
+    maxima. Partials from disjoint chunks (micro-batches, partitions,
+    days) merge by groupBy(...).max("__rho") — max is idempotent,
+    commutative, and associative, so any chunking gives the identical
+    sketch (the streaming-state contract)."""
     m = 1 << p
     h = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("__reg")
     h48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
     rho = F.when(h48 == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(h48)))
-    regs = (
+    return (
         df.select(*group_cols, reg, rho.alias("__rho"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__rho"))
     )
+
+
+def hll_merge(partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge register partials from any number of chunks into one sketch."""
+    return partials.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__rho"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: Sequence[str], p: int = 6) -> DataFrame:
+    """Finalize merged register maxima into the distinct-count estimate."""
+    m = 1 << p
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").alias("__present"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - __rho)")).alias("__z_present"),

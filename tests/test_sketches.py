@@ -53,3 +53,47 @@ def test_hll_merge_equals_whole(spark):
     ew = hll_distinct(whole, ["g"], F.col("k")).collect()[0].distinct_est
     eh = hll_distinct(halves, ["g"], F.col("k")).collect()[0].distinct_est
     assert ew == eh
+
+
+def test_hll_streaming_foreachbatch_equals_batch(spark, tmp_path):
+    """The foreachBatch ingestion form: each micro-batch appends its
+    register partials to a parquet state table; merging the accumulated
+    state reproduces the one-shot batch sketch exactly — bounded state
+    (m registers/group) over an unbounded stream."""
+    from pyspark.sql import functions as F
+
+    from syntheticdata_pipeline__spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_partials,
+    )
+
+    data = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 1700).alias("k")
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    data.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema("g string, k long").parquet(src)
+
+    def sink(batch_df, batch_id):
+        hll_partials(batch_df, ["g"], F.col("k")).write.mode("append").parquet(state)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = hll_merge(spark.read.parquet(state), ["g"])
+    streamed = {
+        r.g: r.distinct_est for r in hll_estimate(merged, ["g"]).collect()
+    }
+    oneshot = {
+        r.g: r.distinct_est for r in hll_distinct(data, ["g"], F.col("k")).collect()
+    }
+    assert streamed == oneshot
