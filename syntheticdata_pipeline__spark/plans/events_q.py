@@ -403,3 +403,79 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(z > _Z_THRESH, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion: view -> click -> purchase, each stage
+# strictly after the user's previous-stage timestamp.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.v_ts
+  WHERE e.event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.c_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1),
+stages AS (
+  SELECT '1_view' AS stage, COUNT(*) AS n FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+SELECT stage, CAST(n AS BIGINT) AS n_users,
+       round(CAST(n AS DOUBLE) / (SELECT n FROM stages WHERE stage = '1_view'), 6)
+         AS conv_rate
+FROM stages
+"""
+
+
+@register("funnel_conversion_ordered", oracle=_FUNNEL_ORACLE, tags=("A1", "R7"))
+def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users whose first click follows their
+    first view and whose first purchase follows that click, with
+    conversion rates from the top of the funnel — the classic
+    product-analytics rollup (A1-A3 counter family, time-ordered).
+
+    Scale: each stage is a user-keyed conditional MIN aggregation joined
+    user-to-user (co-partitioned by the same key, so AQE coalesces to
+    one shuffle family); stage counts are scalar broadcasts. No windows,
+    no per-user event ordering materialized."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    stages = (
+        v.select(F.lit("1_view").alias("stage"))
+        .unionByName(c.select(F.lit("2_click").alias("stage")))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage")))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n"))
+    )
+    top = stages.filter(F.col("stage") == "1_view").select(
+        F.col("n").alias("n_top")
+    )
+    return stages.crossJoin(F.broadcast(top)).select(
+        "stage",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("n").cast("double") / F.col("n_top"), 6).alias("conv_rate"),
+    )
