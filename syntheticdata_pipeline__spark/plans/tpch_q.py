@@ -511,3 +511,219 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_rev(f)).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+# --- Q8-shape: national market share ----------------------------------------
+
+_VOL_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))"
+)
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN {_VOL_DEC}
+                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+    / CAST(SUM({_VOL_DEC}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'PROMO'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("tpch", "J2", "J4", "A3"))
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the fraction of a region's
+    PROMO-part revenue supplied by one nation, per order year.
+
+    Plan shape at 100 TB: lineitem⨝orders is the one big shuffle; part,
+    customer, supplier, and both nation aliases broadcast; the region and
+    p_type predicates prune the broadcast sides before the join. The
+    share is a conditional decimal sum over the same rows as the total —
+    one aggregate pass, no second scan (adapted to the fixture: no
+    partsupp; p_type is a single token)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    vol = _rev(j).cast("decimal(38,4)")
+    zero = F.lit(0).cast("decimal(38,4)")
+    return j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)).cast("double")
+            / F.sum(vol).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# --- Q13-shape: customer order-count distribution ----------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) per_cust
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("tpch", "J2", "A2"))
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders — a LEFT OUTER
+    join whose filter lives in the ON clause (customers with zero
+    qualifying orders must survive with c_count=0), then two cascaded
+    aggregations. The second groupBy keys on the first's output, so its
+    input is already tiny (≤ max-orders-per-customer rows per partition
+    after partial agg). Adapted: the fixture has no o_comment, the
+    'special requests' exclusion becomes an order-priority exclusion."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- Q15-shape: top supplier by quarterly revenue ----------------------------
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+    {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_ORACLE, tags=("tpch", "A6", "J4"))
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    global maximum. The revenue "view" is one partial-agg shuffle keyed by
+    supplier; the scalar max is a broadcast-scalar crossJoin (no second
+    shuffle of the fact table), and the equality is exact because the
+    revenue totals are decimal-accumulated before the double export."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev(li)).cast("double").alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q21-shape: suppliers who kept orders waiting ----------------------------
+
+_Q21_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register("tpch_q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("tpch", "J3", "D8"))
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    supplier on a multi-supplier finished order (lateness adapted to
+    shipdate > orderdate + 90 days — the fixture has no commit/receipt
+    dates, same adaptation as Q4).
+
+    The classic EXISTS / NOT EXISTS pair is re-expressed as one per-order
+    aggregate: n_suppliers = countDistinct(l_suppkey) and
+    n_late_suppliers = countDistinct(l_suppkey WHERE late). A late row
+    qualifies iff n_suppliers >= 2 (another supplier EXISTS) and
+    n_late_suppliers = 1 (no OTHER late supplier NOT-EXISTS, since the
+    row's own supplier is late). That turns two correlated semi/anti
+    joins over the fact table into a single reusable per-order aggregate
+    joined back on the order key — one shuffle instead of three at
+    100 TB. Final top-20 is orderBy+limit (TakeOrdered), no global
+    window."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    per_order = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_suppliers"),
+    )
+    sole_late = (
+        base.filter(F.col("is_late"))
+        .join(per_order.hint("merge"), "l_orderkey")
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
