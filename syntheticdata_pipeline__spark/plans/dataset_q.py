@@ -807,3 +807,134 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "lang", "source", "n_features", F.round("log_w", 6).alias("log_w")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination: the 100-TB-scale form of
+# decontaminate_train. The test split's 5-gram set becomes an m-bit,
+# k-hash Bloom filter (a few hundred KB broadcast to every executor);
+# train grams probe the filter map-side and only the tiny bloom-positive
+# remainder pays the exact join. Deterministic md5 hashing makes the
+# filter — including its false positives — bit-identical in the oracle.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17  # filter bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(gram: str, i: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || '|' || {gram}), 1, 8)"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, text, {_split_sql()} AS split FROM documents),
+test_grams AS (
+  SELECT DISTINCT unnest({word_shingles_sql('text', _DECON_N)}) AS gram
+  FROM s WHERE split = 'test'),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('gram', 'i')} AS pos
+  FROM test_grams CROSS JOIN range({_BLOOM_K}) r(i)),
+train AS (
+  SELECT doc_id, lang, {word_shingles_sql('text', _DECON_N)} AS grams
+  FROM s WHERE split = 'train'),
+train_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM train),
+probe AS (
+  SELECT gram, COUNT(*) AS n_hit
+  FROM (SELECT gram, {_bloom_pos_sql('gram', 'i')} AS pos
+        FROM train_grams CROSS JOIN range({_BLOOM_K}) r(i)) p
+  JOIN bits USING (pos)
+  GROUP BY gram),
+bloom_pos AS (SELECT gram FROM probe WHERE n_hit = {_BLOOM_K}),
+exact_pos AS (
+  SELECT b.gram FROM bloom_pos b JOIN test_grams t ON b.gram = t.gram),
+flagged AS (
+  SELECT t.doc_id,
+         MAX(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit,
+         MAX(CASE WHEN ep.gram IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+  LEFT JOIN bloom_pos bp ON t.gram = bp.gram
+  LEFT JOIN exact_pos ep ON t.gram = ep.gram
+  GROUP BY t.doc_id)
+SELECT lang,
+  COUNT(*) AS n_train,
+  CAST(SUM(COALESCE(f.bloom_hit, 0)) AS BIGINT) AS n_bloom_flagged,
+  CAST(SUM(COALESCE(f.exact_hit, 0)) AS BIGINT) AS n_contaminated
+FROM train LEFT JOIN flagged f USING (doc_id)
+GROUP BY lang
+"""
+
+
+@register("bloom_decontaminate", oracle=_BLOOM_ORACLE, tags=("dataset-prep", "dedup-exact"))
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered benchmark decontamination (m = 2^17 bits,
+    k = 3 md5-derived hash functions) with an exact verify pass:
+    per language, the train doc count, the count flagged by the Bloom
+    probe, and the count with a TRUE shared test 5-gram — the gap
+    between the last two is the filter's false-positive cost, measured
+    rather than assumed.
+
+    Scale shape vs decontaminate_train: the broadcast there is the full
+    distinct test-gram set (unbounded as benchmarks grow); here it is
+    the filter's set-bit positions — at most m rows ≈ 128 K ints
+    regardless of benchmark size. Train grams probe map-side (k
+    deterministic md5 positions each, all-k-set ⇒ bloom-positive), and
+    only bloom-positive grams — true hits plus the ~(1-e^{-kn/m})^k
+    false-positive sliver — reach the exact semi-join against the real
+    test grams. The train corpus is scanned once, shuffled never."""
+    d = T(spark, sf_dir, "documents")
+    s = deterministic_split(d, F.col("doc_id"), _FRACTIONS)
+
+    def bloom_pos(gram: Column, i: Column) -> Column:
+        h = F.md5(F.concat(i.cast("string"), F.lit("|"), gram))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_M
+
+    ks = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+    test_grams = (
+        s.filter(F.col("split") == "test")
+        .select(F.explode(word_shingles(F.col("text"), _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    bits = (
+        test_grams.select(F.explode(ks).alias("i"), "gram")
+        .select(bloom_pos(F.col("gram"), F.col("i")).alias("pos"))
+        .distinct()
+    )
+    train = s.filter(F.col("split") == "train").select(
+        "doc_id", "lang", word_shingles(F.col("text"), _DECON_N).alias("grams")
+    )
+    train_grams = train.select(F.explode("grams").alias("gram")).distinct()
+    probe = (
+        train_grams.select("gram", F.explode(ks).alias("i"))
+        .select("gram", bloom_pos(F.col("gram"), F.col("i")).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    bloom_positive = probe.filter(F.col("n_hit") == _BLOOM_K).select("gram")
+    exact_positive = bloom_positive.join(F.broadcast(test_grams), "gram", "left_semi")
+    t_posting = train.select("doc_id", F.explode("grams").alias("gram"))
+    flagged = (
+        t_posting.join(
+            F.broadcast(bloom_positive.withColumn("__bloom", F.lit(1))), "gram", "left"
+        )
+        .join(F.broadcast(exact_positive.withColumn("__exact", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("__bloom"), F.lit(0))).alias("bloom_hit"),
+            F.max(F.coalesce(F.col("__exact"), F.lit(0))).alias("exact_hit"),
+        )
+    )
+    return (
+        train.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).alias("n_bloom_flagged"),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )

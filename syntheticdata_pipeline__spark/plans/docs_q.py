@@ -1632,3 +1632,263 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+# MOSS scheme): hash every positional word 4-gram, slide a window of 8
+# hashes, record the minimum of each full window (leftmost on ties).
+# Guarantees every 11-token span shares >=1 recorded hash with any copy.
+# --------------------------------------------------------------------------
+
+_WIN_K = 4  # tokens per gram
+_WIN_W = 8  # hashes per window
+_POS_BITS = 1 << 20  # combined = hash * 2^20 + pos packs both in a BIGINT
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+seq AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= {_WIN_K}),
+g AS (
+  SELECT doc_id, lang,
+         unnest(range(1, len(toks) - {_WIN_K - 1} + 1)) - 1 AS pos,
+         unnest(list_transform(range(1, len(toks) - {_WIN_K - 1} + 1),
+                i -> array_to_string(list_slice(toks, i, i + {_WIN_K - 1}), ' '))) AS gram
+  FROM seq),
+h AS (
+  SELECT doc_id, lang, pos,
+         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS hv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g),
+wmin AS (
+  SELECT doc_id, lang, pos, n_grams,
+         MIN(hv * {_POS_BITS} + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS comb
+  FROM h),
+sel AS (
+  SELECT DISTINCT doc_id, lang, n_grams,
+         comb % {_POS_BITS} AS sel_pos, comb // {_POS_BITS} AS fp
+  FROM wmin
+  WHERE pos <= n_grams - {_WIN_W})
+SELECT doc_id, lang,
+  CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+  COUNT(*) AS n_selected,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+FROM sel GROUP BY doc_id, lang
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE, tags=("text-analysis", "X4", "dedup-jaccard"))
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document (the MOSS local
+    plagiarism-detection scheme, Schleimer et al. SIGMOD 2003): the
+    32-bit md5 hash of every positional word 4-gram, then the minimum
+    hash of every full window of 8 consecutive hashes is recorded,
+    leftmost position winning ties. The selected (hash, pos) set is the
+    doc's fingerprint sketch — any shared span of w+k-1 = 11 tokens
+    between two documents is guaranteed to share a recorded hash, with
+    expected density 2/(w+1) of all grams.
+
+    The per-window argmin is one window-function pass over combined
+    = hash·2^20 + pos (min of the packed value IS the leftmost-min
+    tie-break; doc positions are < 2^20). Windows partition per doc_id,
+    bounded by document length — never corpus-sized. Docs shorter than
+    w+k-1 tokens have no full window and produce no fingerprints,
+    exactly like the reference scheme.
+
+    Output: per doc, gram count, selected-position count, and distinct
+    fingerprint count (the sketch size an index would store)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    seqs = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _WIN_K
+    )
+    cnt = F.size("toks") - F.lit(_WIN_K - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt).alias(f"t{i}") for i in range(_WIN_K)]
+    )
+    grams = seqs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(zipped).alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.concat_ws(" ", *[F.col("s").getField(f"t{i}") for i in range(_WIN_K)]).alias("gram"),
+    )
+    h = grams.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("hv"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    lead = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wmin = h.select(
+        "doc_id",
+        "lang",
+        "pos",
+        "n_grams",
+        F.min(F.col("hv") * F.lit(_POS_BITS) + F.col("pos")).over(lead).alias("comb"),
+    )
+    sel = (
+        wmin.filter(F.col("pos") <= F.col("n_grams") - _WIN_W)
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            (F.col("comb") % _POS_BITS).alias("sel_pos"),
+            F.floor(F.col("comb") / _POS_BITS).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id", "lang").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.count("*").alias("n_selected"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: what fraction of a language's token
+# stream the top-V vocabulary covers — the corpus-side input to tokenizer
+# vocabulary sizing.
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 50
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest({tokens_sql('text')}) AS tok FROM documents),
+freq AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok),
+vocab AS (
+  SELECT lang, tok, n FROM (
+    SELECT lang, tok, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+    FROM freq) WHERE rn <= {_VOCAB_V}),
+tot AS (SELECT lang, SUM(n) AS total_tokens, COUNT(*) AS distinct_tokens
+        FROM freq GROUP BY lang),
+cov AS (SELECT lang, SUM(n) AS in_vocab FROM vocab GROUP BY lang)
+SELECT t.lang,
+  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+  CAST(t.distinct_tokens AS BIGINT) AS distinct_tokens,
+  round(CAST(c.in_vocab AS DOUBLE) / t.total_tokens, 9) AS coverage,
+  round(1.0 - CAST(c.in_vocab AS DOUBLE) / t.total_tokens, 9) AS oov_rate
+FROM tot t JOIN cov c ON t.lang = c.lang
+"""
+
+
+@register("vocab_coverage_oov", oracle=_VOCAB_ORACLE, tags=("text-analysis", "X4"))
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage and OOV rate per language (V = 50): the
+    fraction of the token stream covered by the V most frequent tokens
+    (frequency desc, token asc tie-break) — the profiling number that
+    sizes a tokenizer vocabulary against a corpus.
+
+    Scale shape: raw tokens reduce to (lang, token) partial counts
+    map-side, so the only full shuffle carries distinct-token rows, not
+    the token stream. The per-lang top-V is a WindowGroupLimit over
+    those counts (Spark pushes k = 50 into the sort; no language's token
+    vocabulary materializes in one task) and the coverage division runs
+    on V·langs rows."""
+    from ..operators.dedup import top_k_per_group
+
+    d = T(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = top_k_per_group(freq, ["lang"], [F.desc("n"), F.col("tok")], _VOCAB_V)
+    tot = freq.groupBy("lang").agg(
+        F.sum("n").alias("total_tokens"), F.count("*").alias("distinct_tokens")
+    )
+    cov = vocab.groupBy("lang").agg(F.sum("n").alias("in_vocab"))
+    return tot.join(cov, "lang").select(
+        "lang",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("distinct_tokens").cast("bigint").alias("distinct_tokens"),
+        F.round(F.col("in_vocab").cast("double") / F.col("total_tokens"), 9).alias("coverage"),
+        F.round(F.lit(1.0) - F.col("in_vocab").cast("double") / F.col("total_tokens"), 9).alias(
+            "oov_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication overlap: for every pair of sources, how many
+# distinct verbatim word-8-grams they share — the boilerplate / re-crawl
+# diagnostic that says which feeds duplicate each other's content.
+# --------------------------------------------------------------------------
+
+_XSRC_N = 8
+
+_XSRC_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT source, unnest({word_shingles_sql('text', _XSRC_N)}) AS gram
+  FROM documents),
+src AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+  COUNT(*) AS n_shared,
+  round(CAST(COUNT(*) AS DOUBLE)
+        / (sa.n_grams + sb.n_grams - COUNT(*)), 9) AS jaccard
+FROM g a
+JOIN g b ON a.gram = b.gram AND a.source < b.source
+JOIN src sa ON sa.source = a.source
+JOIN src sb ON sb.source = b.source
+GROUP BY a.source, b.source, sa.n_grams, sb.n_grams
+"""
+
+
+@register("cross_source_overlap", oracle=_XSRC_ORACLE, tags=("dedup-jaccard", "X1"))
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: distinct verbatim word-8-grams
+    shared between every pair of sources, plus the gram-set Jaccard —
+    which crawls/feeds duplicate each other's content (boilerplate or
+    re-crawl), the first question before setting mixture weights over
+    sources.
+
+    Scale shape: reduce to distinct (source, gram) postings first (one
+    hash shuffle; map-side distinct inside each doc via the shingle
+    set), then self-join the postings on the gram only — a gram present
+    in s sources contributes C(s,2) rows, bounded by source-count
+    squared per gram, never by corpus size. A df-cap on gram postings
+    (as in ngram_jaccard_pruned) drops ubiquitous boilerplate grams
+    before the join at 100 TB; per-source gram totals broadcast onto
+    the pair rows."""
+    d = T(spark, sf_dir, "documents")
+    g = d.select(
+        "source", F.explode(word_shingles(F.col("text"), _XSRC_N)).alias("gram")
+    ).distinct()
+    src = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = src.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    sb = src.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )

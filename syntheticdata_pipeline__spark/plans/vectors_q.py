@@ -876,3 +876,140 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id", "max_cos", (F.col("max_cos") >= _DECON_COS).alias("contaminated")
     )
+
+
+# --------------------------------------------------------------------------
+# Top principal component by matrix-free power iteration — the dominant
+# direction of the centered embedding cloud ("all-but-the-top", Mu &
+# Viswanath 2018: removing it improves embedding isotropy). Three fixed
+# iterations, every cross-engine sum trunc-scaled to BIGINT.
+# --------------------------------------------------------------------------
+
+_PC_ITERS = 3
+_SCALE9 = "1000000000.0"
+
+
+def _pc_oracle(iters: int) -> str:
+    sql = f"""WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+mu AS (
+  SELECT dim, CAST(SUM(CAST(trunc(x * {_SCALE9}) AS BIGINT)) AS DOUBLE)
+              / {_SCALE9} / COUNT(*) AS m
+  FROM flat GROUP BY dim),
+marr AS (SELECT list(m ORDER BY dim) AS marr FROM mu),
+cen AS (
+  SELECT vec_id,
+         list_transform(list_zip(embedding, marr),
+                        p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS cen
+  FROM embeddings CROSS JOIN marr),
+v0 AS (SELECT list_transform(range(1, {_DIM} + 1),
+                             i -> 1.0 / sqrt(CAST({_DIM} AS DOUBLE))) AS cv),
+"""
+    for t in range(1, iters + 1):
+        sql += f"""ci{t} AS (
+  SELECT vec_id, cen, {dot_sql('cen', 'cv')} AS ci FROM cen CROSS JOIN v{t - 1}),
+w{t} AS (
+  SELECT dim, CAST(SUM(CAST(trunc(ci * cval * {_SCALE9}) AS BIGINT)) AS DOUBLE)
+              / {_SCALE9} AS wv
+  FROM (SELECT ci, generate_subscripts(cen, 1) AS dim, unnest(cen) AS cval
+        FROM ci{t})
+  GROUP BY dim),
+n{t} AS (
+  SELECT list(wv ORDER BY dim) AS w,
+         CAST(SUM(CAST(trunc(wv * wv * {_SCALE9}) AS BIGINT)) AS DOUBLE)
+           / {_SCALE9} AS norm2
+  FROM w{t}),
+v{t} AS (SELECT list_transform(w, t -> t / sqrt(norm2)) AS cv, norm2 FROM n{t}),
+"""
+    sql += f"""p AS (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+SELECT CAST(i - 1 AS BIGINT) AS pos,
+       round(cv[i], 6) AS loading,
+       round(sqrt(norm2), 6) AS eigenvalue
+FROM v{iters} CROSS JOIN p"""
+    return sql
+
+
+_PC_ORACLE = _pc_oracle(_PC_ITERS)
+
+
+@register("embedding_top_pc_power", oracle=_PC_ORACLE, tags=("similarity", "A8"))
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the centered embedding cloud via
+    3 matrix-free power iterations: v ← Σᵢ cᵢ·(xᵢ−μ) / ‖·‖ with
+    cᵢ = (xᵢ−μ)·v. Emits (pos, loading, eigenvalue) — the eigenvalue is
+    the scatter-matrix norm ‖Σ(x−μ)(x−μ)ᵀ v‖ after the last multiply.
+
+    Determinism: the per-row dot cᵢ is the strict left fold shared with
+    the ANN family; every cross-row sum (per-dim mean, per-dim w, the
+    norm) goes through trunc-scaled BIGINT so partition order can't
+    shift a bit; round(·,6) absorbs libm sqrt/division slop.
+
+    Scale shape: the d-dim mean and each iteration are ONE aggregate
+    over the vectors producing d rows — the Krylov trick that never
+    materializes the d×d covariance. Vectors never shuffle (posexplode
+    partial-aggregates map-side); each iteration's v re-broadcasts as a
+    1-row crossJoin, so the whole 3-iteration pipeline is 4 narrow
+    passes + 4 d-row shuffles regardless of corpus size. The same plan
+    at 100 TB differs only in scan width."""
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings")
+
+    def tsum(expr: F.Column) -> F.Column:
+        return F.sum((expr * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+
+    flat = e.select("vec_id", F.posexplode("embedding").alias("dim", "xf")).select(
+        "vec_id", "dim", F.col("xf").cast("double").alias("x")
+    )
+    mu = flat.groupBy("dim").agg((tsum(F.col("x")) / F.count("*")).alias("m"))
+    marr = mu.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]).alias(
+            "marr"
+        )
+    )
+    cen = e.crossJoin(F.broadcast(marr)).select(
+        "vec_id",
+        F.zip_with("embedding", "marr", lambda x, m: x.cast("double") - m).alias("cen"),
+    )
+    v = F.broadcast(
+        spark.range(1).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_DIM)),
+                lambda _: F.lit(1.0) / F.sqrt(F.lit(float(_DIM))),
+            ).alias("cv")
+        )
+    )
+    norm2_df = None
+    for _ in range(_PC_ITERS):
+        ci = cen.crossJoin(v).select("vec_id", "cen", dot(F.col("cen"), F.col("cv")).alias("ci"))
+        w = (
+            ci.select("ci", F.posexplode("cen").alias("dim", "cval"))
+            .groupBy("dim")
+            .agg(tsum(F.col("ci") * F.col("cval")).alias("wv"))
+        )
+        n = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "wv"))), lambda s: s["wv"]
+            ).alias("w"),
+            (
+                F.sum((F.col("wv") * F.col("wv") * F.lit(1e9)).cast("bigint")).cast("double")
+                / F.lit(1e9)
+            ).alias("norm2"),
+        )
+        norm2_df = n
+        v = F.broadcast(
+            n.select(
+                F.transform("w", lambda t: t / F.sqrt(F.col("norm2"))).alias("cv"),
+                "norm2",
+            )
+        )
+    final = norm2_df.select(
+        F.transform("w", lambda t: t / F.sqrt(F.col("norm2"))).alias("cv"), "norm2"
+    )
+    return final.select(F.posexplode("cv").alias("pos0", "loading"), "norm2").select(
+        F.col("pos0").cast("bigint").alias("pos"),
+        F.round("loading", 6).alias("loading"),
+        F.round(F.sqrt("norm2"), 6).alias("eigenvalue"),
+    )
