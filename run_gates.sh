@@ -20,7 +20,10 @@ fi
 
 if [ "$MODE" = "full" ]; then
   echo "== gate 2: oracle parity (driver replica, sf0.01) =="
-  if ! python tools/check_oracle.py; then
+  # SELFCHECK.json is the committed full-catalog twin of the driver's
+  # CORRECTNESS_r{N}.json — the driver's own window covers only a
+  # rotating 50-query subset per round.
+  if ! python tools/check_oracle.py --json SELFCHECK.json; then
     echo "GATE FAIL: oracle parity" >&2
     fail=1
   fi

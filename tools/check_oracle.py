@@ -107,29 +107,46 @@ def duck_connect(sf_dir: str = SF_DIR):
     return con
 
 
-def compare_one(spark, con, name: str, qs, oracles, sf_dir: str = SF_DIR):
+def compare_one(spark, con, name: str, qs, oracles, sf_dir: str = SF_DIR, record=None):
     """Run one query on Spark and its oracle on DuckDB; print the driver's
-    verdict line. Returns True on PASS, None on rows-only SKIP."""
+    verdict line. Returns True on PASS, None on rows-only SKIP. When
+    ``record`` is a dict, a CORRECTNESS-shaped row is stored under
+    ``name`` (same keys the external driver emits)."""
+
+    def rec(**kw):
+        if record is not None:
+            record[name] = {
+                "rows_match": kw.get("rows_match", False),
+                "schema_match": kw.get("schema_match", False),
+                "hash_match": kw.get("hash_match", False),
+                "spark_rows": kw.get("spark_rows"),
+                "oracle_rows": kw.get("oracle_rows"),
+                "err": kw.get("err"),
+            }
+
     t0 = time.time()
     try:
         sdf = qs[name](spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         shash, sn = frame_hash(scols, srows)
-    except Exception:
+    except Exception as e:
         print(f"FAIL {name}: SPARK ERROR")
         traceback.print_exc(limit=4)
+        rec(err=f"spark: {e!r}"[:300])
         return False
     if name not in oracles:
         print(f"SKIP {name}: no oracle (rows={sn}) [{time.time()-t0:.1f}s]")
+        rec(rows_match=sn >= 0, spark_rows=sn, err="rows-only (no oracle)")
         return None
     try:
         res = con.execute(oracles[name])
         dcols, drows, dtypes = fetch_duck(res)
         dhash, dn = frame_hash(dcols, drows)
-    except Exception:
+    except Exception as e:
         print(f"FAIL {name}: DUCKDB ERROR")
         traceback.print_exc(limit=4)
+        rec(spark_rows=sn, err=f"duckdb: {e!r}"[:300])
         return False
     stypes = type_map_spark(sdf)
     ok_cols = sorted(scols) == sorted(dcols)
@@ -150,13 +167,31 @@ def compare_one(spark, con, name: str, qs, oracles, sf_dir: str = SF_DIR):
         else:
             extra = f" hash spark={shash} duck={dhash} (rows={sn})"
     print(f"{'PASS' if ok else 'FAIL'} {name}: rows={sn} [{time.time()-t0:.1f}s]{extra}")
+    rec(
+        rows_match=sn == dn,
+        schema_match=ok_cols and not type_mism,
+        hash_match=shash == dhash,
+        spark_rows=sn,
+        oracle_rows=dn,
+        err=None,
+    )
     return ok
 
 
 def main() -> int:
+    """``check_oracle.py [--json OUT] [query ...]`` — with ``--json`` the
+    per-query results are written as a CORRECTNESS-shaped artifact (the
+    committed full-catalog self-check; the driver's own window covers
+    only a rotating subset per round)."""
     from syntheticdata_pipeline__spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
 
     import __spark_entry__ as entrymod
 
@@ -168,11 +203,12 @@ def main() -> int:
 
     con = duck_connect()
 
+    record: dict = {} if json_out else None
     n_pass = n_fail = n_skip = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
-        ok = compare_one(spark, con, name, qs, oracles)
+        ok = compare_one(spark, con, name, qs, oracles, record=record)
         if ok is None:
             n_skip += 1
         elif ok:
@@ -180,6 +216,13 @@ def main() -> int:
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out} ({len(record)} rows)")
     return 1 if n_fail else 0
 
 
