@@ -84,6 +84,7 @@ def kmeans_fixed_iters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     salt: str = "km-init",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Seeded, fixed-iteration Lloyd k-means over an embedding column —
     the centroid-training step of IVF/SemDeDup-style curation, fully
@@ -146,6 +147,13 @@ def kmeans_fixed_iters(
             )
         )
         assigned = assign(new_cents)
-    return assigned.select(
+        cents = new_cents
+    out = assigned.select(
         F.col(id_col), F.col("cid").alias("cluster_id"), F.col("dist")
     )
+    if return_centroids:
+        # the (cid, cv) codebook the FINAL assignment used — the trained
+        # IVF coarse quantizer (probe ranking must use these, not the
+        # one-more-update means of the final assignment).
+        return out, cents
+    return out

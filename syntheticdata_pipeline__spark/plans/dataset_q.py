@@ -869,7 +869,7 @@ GROUP BY lang
 """
 
 
-@register("bloom_decontaminate", oracle=_BLOOM_ORACLE, tags=("dataset-prep", "dedup-exact"))
+@register("bloom_decontaminate", oracle=_BLOOM_ORACLE, bench=True, tags=("dataset-prep", "dedup-exact"))
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pre-filtered benchmark decontamination (m = 2^17 bits,
     k = 3 md5-derived hash functions) with an exact verify pass:

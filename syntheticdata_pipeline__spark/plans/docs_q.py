@@ -1679,7 +1679,7 @@ FROM sel GROUP BY doc_id, lang
 """
 
 
-@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE, tags=("text-analysis", "X4", "dedup-jaccard"))
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE, bench=True, tags=("text-analysis", "X4", "dedup-jaccard"))
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection per document (the MOSS local
     plagiarism-detection scheme, Schleimer et al. SIGMOD 2003): the
@@ -1785,7 +1785,7 @@ FROM tot t JOIN cov c ON t.lang = c.lang
 """
 
 
-@register("vocab_coverage_oov", oracle=_VOCAB_ORACLE, tags=("text-analysis", "X4"))
+@register("vocab_coverage_oov", oracle=_VOCAB_ORACLE, bench=True, tags=("text-analysis", "X4"))
 def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-V vocabulary coverage and OOV rate per language (V = 50): the
     fraction of the token stream covered by the V most frequent tokens
@@ -1847,7 +1847,7 @@ GROUP BY a.source, b.source, sa.n_grams, sb.n_grams
 """
 
 
-@register("cross_source_overlap", oracle=_XSRC_ORACLE, tags=("dedup-jaccard", "X1"))
+@register("cross_source_overlap", oracle=_XSRC_ORACLE, bench=True, tags=("dedup-jaccard", "X1"))
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix: distinct verbatim word-8-grams
     shared between every pair of sources, plus the gram-set Jaccard —

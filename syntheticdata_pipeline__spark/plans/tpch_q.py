@@ -541,7 +541,7 @@ GROUP BY year(o.o_orderdate)
 """
 
 
-@register("tpch_q8_market_share", oracle=_Q8_ORACLE, tags=("tpch", "J2", "J4", "A3"))
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE, bench=True, tags=("tpch", "J2", "J4", "A3"))
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — the fraction of a region's
     PROMO-part revenue supplied by one nation, per order year.
@@ -682,7 +682,7 @@ LIMIT 20
 """
 
 
-@register("tpch_q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("tpch", "J3", "D8"))
+@register("tpch_q21_waiting_suppliers", oracle=_Q21_ORACLE, bench=True, tags=("tpch", "J3", "D8"))
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
     supplier on a multi-supplier finished order (lateness adapted to

@@ -758,7 +758,10 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def _km_oracle(k: int, iters: int) -> str:
+def _km_cte_prefix(k: int, iters: int) -> str:
+    """The WITH-chain through the final Lloyd assignment ``assign{iters}``
+    (vec_id, embedding, cid, dist) — shared by the k-means rollup oracle
+    and the trained-IVF search oracle."""
     u = unit_rand_sql("vec_id", "km-init")
     sq = sqdist_sql("e.embedding", "c.cv")
     assign = (
@@ -783,6 +786,11 @@ assign0 AS ({assign.format(sq=sq, cents='init')}),
     GROUP BY cid, dim) GROUP BY cid),
 assign{i} AS ({assign.format(sq=sq, cents=f'cent{i}')}),
 """
+    return sql
+
+
+def _km_oracle(k: int, iters: int) -> str:
+    sql = _km_cte_prefix(k, iters)
     sql += f"""sizes AS (
   SELECT cid AS cluster_id, COUNT(*) AS n_members,
          CAST(SUM(CAST(trunc(dist * 1000000000.0) AS BIGINT)) AS DOUBLE)
@@ -934,7 +942,7 @@ FROM v{iters} CROSS JOIN p"""
 _PC_ORACLE = _pc_oracle(_PC_ITERS)
 
 
-@register("embedding_top_pc_power", oracle=_PC_ORACLE, tags=("similarity", "A8"))
+@register("embedding_top_pc_power", oracle=_PC_ORACLE, bench=True, tags=("similarity", "A8"))
 def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the centered embedding cloud via
     3 matrix-free power iterations: v ← Σᵢ cᵢ·(xᵢ−μ) / ‖·‖ with
@@ -1012,4 +1020,121 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos0").cast("bigint").alias("pos"),
         F.round("loading", 6).alias("loading"),
         F.round(F.sqrt("norm2"), 6).alias("eigenvalue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trained-codebook IVF: search within the nprobe=2 nearest cells of the
+# k-means run above (the production IVF composition: train codebook →
+# assign → multi-probe cell-local search), measured as recall@k against
+# exact brute force.
+# --------------------------------------------------------------------------
+
+_KM_NPROBE = 2
+
+
+def _ivf_trained_oracle() -> str:
+    sq = sqdist_sql("e.embedding", "c.cv")
+    sql = _km_cte_prefix(_KM_K, _KM_ITERS)
+    sql += f"""cells AS (SELECT vec_id, embedding, cid AS cell FROM assign{_KM_ITERS}),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{_KM_ITERS} c
+    WHERE e.vec_id < {_N_QUERIES}) WHERE rn <= {_KM_NPROBE}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {dot_sql('q.qv', 'c.embedding')} AS score
+  FROM cells c JOIN probe q USING (cell)
+  WHERE c.vec_id != q.query_id),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn
+    FROM scored) WHERE rn <= {_K}),
+bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+brute_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {dot_sql('q.qv', 'c.embedding')} AS score
+  FROM embeddings c CROSS JOIN bq q WHERE c.vec_id != q.query_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rn
+    FROM brute_scored) WHERE rn <= {_K}),
+hits AS (SELECT COUNT(*) AS n_hits FROM topk JOIN brute USING (query_id, neighbor_id)),
+tot AS (SELECT COUNT(*) AS n_true FROM brute)
+SELECT 'ivf_trained' AS method,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       round(CAST(h.n_hits AS DOUBLE) / t.n_true, 6) AS recall
+FROM hits h CROSS JOIN tot t"""
+    return sql
+
+
+_IVF_TRAINED_ORACLE = _ivf_trained_oracle()
+
+
+@register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE, tags=("similarity", "ivf"))
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED codebook with multi-probe: the seeded
+    2-iteration Lloyd run's final cells become the inverted file, each
+    query searches its nprobe=2 nearest cells (ranked against the SAME
+    codebook the assignment used), and the result is scored as recall@5
+    against exact brute force — the full production ANN composition
+    (train → assign → probe → recall acceptance) in one oracle-checked
+    plan, versus ann_ivf_topk's untrained first-k-vectors codebook.
+
+    Scale shape: training shuffles only (cluster, dim) partial sums per
+    iteration; probe ranking is a k-row broadcast per query; cell-local
+    search is an equi-join on the cell id (a neighbor lives in exactly
+    one cell, so multi-probe cannot duplicate candidate pairs); the
+    brute-force side stays query-bounded — 10 broadcast rows against one
+    corpus scan. nprobe trades search cost for recall linearly — the
+    measured recall IS the acceptance number for that trade."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, sqdist
+    from ..operators.clusters import kmeans_fixed_iters
+
+    e = T(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fixed_iters(
+        e, k=_KM_K, iters=_KM_ITERS, return_centroids=True
+    )
+    cells = e.join(assigned.select("vec_id", "cluster_id"), "vec_id").select(
+        "vec_id", "embedding", F.col("cluster_id").alias("cell")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        sqdist(F.col("qv"), F.col("cv")), F.col("cid")
+    )
+    probe = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    brute = ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = topk.join(F.broadcast(brute), ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    tot = brute.agg(F.count("*").alias("n_true"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        F.lit("ivf_trained").alias("method"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias("recall"),
     )
