@@ -1892,3 +1892,98 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repeated span: the longest token span that occurs at
+# least twice WITHIN one document (Lee et al. 2021's self-repetition;
+# the degenerate-generation-loop detector for synthetic text).
+# --------------------------------------------------------------------------
+
+# 3-token grams (vs the cross-doc 8): intra-doc loops are short-period,
+# and the fixture's ~128-token docs carry no verbatim 8-gram repeats at
+# all — a 3-gram repeated twice is already a 5+-token degenerate span.
+# --------------------------------------------------------------------------
+
+_INTRA_N = 3
+
+_INTRA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents),
+seq AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= {_INTRA_N}),
+g AS (
+  SELECT doc_id, lang,
+         unnest(range(1, len(toks) - {_INTRA_N - 1} + 1)) AS pos,
+         unnest(list_transform(range(1, len(toks) - {_INTRA_N - 1} + 1),
+                i -> array_to_string(list_slice(toks, i, i + {_INTRA_N - 1}), ' '))) AS gram
+  FROM seq),
+m AS (
+  SELECT a.doc_id, a.lang, a.pos AS pos_a, b.pos - a.pos AS diag
+  FROM g a JOIN g b
+    ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos),
+runs AS (
+  SELECT doc_id, lang, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pos_a) AS grp,
+         pos_a
+  FROM m),
+spans AS (
+  SELECT doc_id, lang, COUNT(*) + {_INTRA_N - 1} AS span,
+         COUNT(*) AS n_pos
+  FROM runs GROUP BY doc_id, lang, diag, grp)
+SELECT doc_id, lang,
+  CAST(MAX(span) AS BIGINT) AS max_repeat_span,
+  CAST(SUM(n_pos) AS BIGINT) AS n_repeat_grams
+FROM spans GROUP BY doc_id, lang
+"""
+
+
+@register("intradoc_repeated_span", oracle=_INTRA_ORACLE, tags=("dedup-jaccard", "X4", "D3"))
+def intradoc_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest token span repeated WITHIN a document: positional 3-gram
+    self-join per doc (earlier-pos vs later-pos), matches grouped per
+    (doc, diagonal = pos_b − pos_a), gaps-and-islands merge, max run + 2
+    — a repeated span of L ≥ 3 tokens at offset d is exactly an
+    (L−2)-long consecutive run on diagonal d, including overlapping
+    periodic repeats (diag < 3 ⇒ a period-d loop like "the cat the cat
+    …"). Lee et al. 2021's intra-document complement of
+    substring_max_span, and the degenerate-generation-loop detector a
+    synthetic-text pipeline gates on before training.
+
+    Scale shape: the self-join keys on (doc_id, gram) so nothing crosses
+    documents — partitions, joins, and windows are all doc-local and
+    bounded by max-doc-length², never corpus-sized; a chunking pipeline
+    caps doc length upstream. Docs with no repeated 3-gram produce no
+    row (no repetition to report)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    seqs = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _SS_N
+    )
+    cnt = F.size("toks") - F.lit(_INTRA_N - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt).alias(f"t{i}") for i in range(_INTRA_N)]
+    )
+    grams = seqs.select("doc_id", "lang", F.posexplode(zipped).alias("pos0", "s")).select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col("s").getField(f"t{i}") for i in range(_INTRA_N)]).alias("gram"),
+    )
+    a = grams.select("doc_id", "lang", F.col("pos").alias("pos_a"), "gram")
+    b = grams.select("doc_id", F.col("pos").alias("pos_b"), "gram")
+    m = (
+        a.join(b, ["doc_id", "gram"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select("doc_id", "lang", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
+    runs = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "lang", "diag", "grp").agg(
+        (F.count("*") + F.lit(_INTRA_N - 1)).alias("span"),
+        F.count("*").alias("n_pos"),
+    )
+    return spans.groupBy("doc_id", "lang").agg(
+        F.max("span").cast("bigint").alias("max_repeat_span"),
+        F.sum("n_pos").cast("bigint").alias("n_repeat_grams"),
+    )
