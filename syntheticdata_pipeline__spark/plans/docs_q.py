@@ -1958,7 +1958,7 @@ def intradoc_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     seqs = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= _SS_N
+        F.size("toks") >= _INTRA_N
     )
     cnt = F.size("toks") - F.lit(_INTRA_N - 1)
     zipped = F.arrays_zip(
