@@ -43,6 +43,13 @@ STRESS_QUERIES = (
     "substring_dup_pairs",
     "substring_max_span",
     "incremental_dedup_survivors",
+    # doc-local plans (winnowing windows, intra-doc self-join) must grow
+    # at most linearly in docs; cross_source_overlap's JOIN side is
+    # distinct-gram-bound (replicated copies land in the same source, so
+    # pair counts stay flat) — its growth is the scan+explode volume.
+    "winnowing_fingerprints",
+    "intradoc_repeated_span",
+    "cross_source_overlap",
 )
 STRESS_FACTOR = 10
 # second, deeper replication point for the incremental state path: the

@@ -1937,7 +1937,7 @@ FROM spans GROUP BY doc_id, lang
 """
 
 
-@register("intradoc_repeated_span", oracle=_INTRA_ORACLE, tags=("dedup-jaccard", "X4", "D3"))
+@register("intradoc_repeated_span", oracle=_INTRA_ORACLE, bench=True, tags=("dedup-jaccard", "X4", "D3"))
 def intradoc_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest token span repeated WITHIN a document: positional 3-gram
     self-join per doc (earlier-pos vs later-pos), matches grouped per
