@@ -1987,3 +1987,134 @@ def intradoc_repeated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span").cast("bigint").alias("max_repeat_span"),
         F.sum("n_pos").cast("bigint").alias("n_repeat_grams"),
     )
+
+
+# --------------------------------------------------------------------------
+# n-gram containment pairs: asymmetric near-dup — |A∩B| / |A| detects a
+# document quoted or embedded inside a larger one, which symmetric
+# Jaccard dilutes away (Lee et al. 2021 use containment for exactly
+# this). Same inverted-postings plan as the Jaccard family.
+# --------------------------------------------------------------------------
+
+_CONT_THRESHOLD = 0.15
+
+_CONTAIN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {word_shingles_sql('text')} AS sh FROM documents),
+ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM d),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared,
+       CAST(shared AS DOUBLE) / sa.n AS contain_a,
+       CAST(shared AS DOUBLE) / sb.n AS contain_b
+FROM co JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+               CAST(shared AS DOUBLE) / sb.n) >= {_CONT_THRESHOLD}
+"""
+
+
+@register("ngram_containment_pairs", oracle=_CONTAIN_ORACLE, tags=("dedup-jaccard", "X1"))
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment per same-language pair:
+    contain_a = |A∩B|/|A| (how much of A lives inside B) and the mirror,
+    kept where either side ≥ 0.15. A short document quoted verbatim in a
+    long one scores contain_short ≈ 1 while its Jaccard ≈ |short|/|long|
+    ≈ 0 — this is the subset/quotation detector Jaccard cannot be.
+
+    Same scale shape as ngram_jaccard_pairs: |∩| arrives as a postings
+    co-occurrence count (never a per-pair array intersection), pairs
+    sharing zero shingles never materialize, set sizes join back on the
+    doc id; the df-cap and identical-set collapse guards of the Jaccard
+    family apply identically when corpus-sized."""
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id", "lang", word_shingles(F.col("text")).alias("sh")).repartition(
+        "doc_id"
+    )
+    ex = src.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    sz = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "lang", "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "lang", "shingle")
+    co = (
+        a.join(b, ["lang", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = co.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    ca = F.col("shared").cast("double") / F.col("na")
+    cb = F.col("shared").cast("double") / F.col("nb")
+    return j.filter(F.greatest(ca, cb) >= _CONT_THRESHOLD).select(
+        "id_a", "id_b", "shared", ca.alias("contain_a"), cb.alias("contain_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution entropy per source: the information-theoretic
+# diversity number — low entropy = template-looping or tiny effective
+# vocabulary (complements distinct-1/2 diversity and the Zipf slope).
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({tokens_sql('text')}) AS tok FROM documents),
+freq AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok),
+tot AS (SELECT source, SUM(n) AS total, COUNT(*) AS v FROM freq GROUP BY source),
+terms AS (
+  SELECT f.source, t.total, t.v,
+         CAST(trunc((CAST(f.n AS DOUBLE) / t.total)
+                    * ln(CAST(f.n AS DOUBLE) / t.total)
+                    * 1000000000.0) AS BIGINT) AS term9
+  FROM freq f JOIN tot t ON f.source = t.source)
+SELECT source,
+  CAST(MAX(total) AS BIGINT) AS total_tokens,
+  CAST(MAX(v) AS BIGINT) AS distinct_tokens,
+  round(-(CAST(SUM(term9) AS DOUBLE) / 1000000000.0), 6) AS entropy,
+  round(-(CAST(SUM(term9) AS DOUBLE) / 1000000000.0) / ln(CAST(MAX(v) AS DOUBLE)), 6)
+    AS norm_entropy
+FROM terms GROUP BY source
+"""
+
+
+@register("token_entropy_by_source", oracle=_ENTROPY_ORACLE, tags=("text-analysis", "X4"))
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source, plus the
+    vocabulary-normalized form H/ln(V) ∈ (0, 1] — ≈1 means tokens are
+    near-uniform over the vocabulary, low values mean a few templates
+    dominate (the synthetic-text failure mode distinct-1/2 ratios catch
+    only partially).
+
+    Determinism: each token's p·ln p term is computed row-local (same
+    IEEE ops both engines), then trunc-scaled to BIGINT before the
+    cross-row sum so partition order can't shift a bit; final round(·,6)
+    absorbs libm ln slop. Scale shape: the token stream reduces to
+    (source, token) counts map-side; per-source totals broadcast back
+    onto the count rows; one (source)-keyed agg of distinct-token rows."""
+    d = T(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.groupBy("source").agg(
+        F.sum("n").alias("total"), F.count("*").alias("v")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    terms = freq.join(F.broadcast(tot), "source").select(
+        "source",
+        "total",
+        "v",
+        (p * F.log(p) * F.lit(1e9)).cast("bigint").alias("term9"),
+    )
+    h = -(F.sum("term9").cast("double") / F.lit(1e9))
+    return terms.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.max("v").cast("bigint").alias("distinct_tokens"),
+        F.round(h, 6).alias("entropy"),
+        F.round(h / F.log(F.max("v").cast("double")), 6).alias("norm_entropy"),
+    )
