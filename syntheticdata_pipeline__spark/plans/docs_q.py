@@ -2118,3 +2118,120 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("entropy"),
         F.round(h / F.log(F.max("v").cast("double")), 6).alias("norm_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail buckets: the full CCNet move — not just gating
+# the worst quartile but PARTITIONING the corpus into three perplexity
+# tiers per language, so downstream mixture weights can oversample the
+# head (Wenzek et al. 2020).
+# --------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+lm AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(cnt) AS total FROM lm GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         round(AVG(ln(CAST(l.cnt AS DOUBLE) / tt.total)), 6) AS logprob
+  FROM toks t
+  JOIN lm l ON t.lang = l.lang AND t.token = l.token
+  JOIN tot tt ON t.lang = tt.lang
+  GROUP BY 1, 2),
+hist AS (SELECT lang, logprob, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, logprob, SUM(cnt) OVER (PARTITION BY lang ORDER BY logprob) AS cum
+  FROM hist),
+n AS (SELECT lang, COUNT(*) AS n_docs FROM scored GROUP BY 1),
+t1 AS (
+  SELECT c.lang, MIN(c.logprob) AS t1
+  FROM cdf c JOIN n ON c.lang = n.lang
+  WHERE c.cum >= 1.0 * n.n_docs / 3.0 GROUP BY 1),
+t2 AS (
+  SELECT c.lang, MIN(c.logprob) AS t2
+  FROM cdf c JOIN n ON c.lang = n.lang
+  WHERE c.cum >= 2.0 * n.n_docs / 3.0 GROUP BY 1)
+SELECT s.lang,
+  CASE WHEN s.logprob > t2.t2 THEN 'head'
+       WHEN s.logprob > t1.t1 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  COUNT(*) AS n_docs,
+  round(MIN(s.logprob), 6) AS min_logprob,
+  round(MAX(s.logprob), 6) AS max_logprob
+FROM scored s
+JOIN t1 ON s.lang = t1.lang JOIN t2 ON s.lang = t2.lang
+GROUP BY 1, 2
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, tags=("text-analysis", "F4"))
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition per language: the
+    corpus-trained unigram log-prob score (same LM as
+    unigram_perplexity_gate), tertile threshold VALUES from the
+    histogram-CDF exact quantile, each doc bucketed head (best third,
+    strictly above t2), middle, or tail. Emits per-(lang, bucket) doc
+    counts with the score range — the table CCNet's mixture weighting
+    consumes (Wenzek et al. 2020: oversample head, downsample tail).
+
+    Scale: identical to the gate — the only window runs over the
+    per-lang score-value histogram (grid-capped, corpus-size
+    independent); the two threshold rows per language broadcast into a
+    map-side CASE. No per-doc ranking window anywhere."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    tot = lm.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(lm, ["lang", "token"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("logprob")
+        )
+    )
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("lang", "logprob").agg(F.count("*").alias("cnt"))
+    wcdf = (
+        Window.partitionBy("lang")
+        .orderBy("logprob")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(wcdf))
+    n = scored.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+    # threshold arithmetic must be BIT-identical to the oracle's
+    # "cum >= k * n_docs / 3.0" (not (k/3)*n_docs — a 1-ulp difference
+    # can flip the >= when a tertile boundary lands on an integer cum).
+    def tertile(k: float, name: str) -> DataFrame:
+        return (
+            cdf.join(F.broadcast(n), "lang")
+            .filter(F.col("cum") >= F.lit(k) * F.col("n_docs") / F.lit(3.0))
+            .groupBy("lang")
+            .agg(F.min("logprob").alias(name))
+        )
+
+    t1 = tertile(1.0, "t1")
+    t2 = tertile(2.0, "t2")
+    bucketed = (
+        scored.join(F.broadcast(t1), "lang")
+        .join(F.broadcast(t2), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("logprob") > F.col("t2"), "head")
+            .when(F.col("logprob") > F.col("t1"), "middle")
+            .otherwise("tail"),
+        )
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("logprob"), 6).alias("min_logprob"),
+        F.round(F.max("logprob"), 6).alias("max_logprob"),
+    )
