@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg_sql, dstddev_sql
+from ..functions.determinism import davg_sql, dstddev_sql, unit_rand_sql
 from . import register
 from .common import T
 
@@ -478,4 +478,94 @@ def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.col("n").cast("bigint").alias("n_users"),
         F.round(F.col("n").cast("double") / F.col("n_top"), 6).alias("conv_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation stratified sampling: allocate a fixed sample budget
+# across strata proportional to N_h·σ_h (minimum-variance allocation for
+# estimating the mean — the classic eval-set construction), then draw the
+# sample with the deterministic md5 uniform.
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n_rows, {dstddev_sql('value')} AS sd
+  FROM events GROUP BY event_type),
+w AS (SELECT event_type, n_rows, sd, CAST(n_rows AS DOUBLE) * sd AS wt FROM stats),
+tot AS (
+  SELECT CAST(SUM(CAST(trunc(wt * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 AS wsum
+  FROM w),
+alloc AS (
+  SELECT event_type, n_rows, sd,
+         CAST(floor({_NEYMAN_BUDGET} * wt / t.wsum + 0.5) AS BIGINT) AS alloc_n
+  FROM w CROSS JOIN tot t),
+rates AS (
+  SELECT event_type, n_rows, sd, alloc_n,
+         least(CAST(alloc_n AS DOUBLE) / n_rows, 1.0) AS rate
+  FROM alloc),
+drawn AS (
+  SELECT e.event_type, COUNT(*) AS sampled_n
+  FROM events e JOIN rates r ON e.event_type = r.event_type
+  WHERE {unit_rand_sql('e.event_id', 'neyman')} < r.rate
+  GROUP BY e.event_type)
+SELECT r.event_type, CAST(r.n_rows AS BIGINT) AS n_rows, r.sd, r.alloc_n,
+       CAST(COALESCE(d.sampled_n, 0) AS BIGINT) AS sampled_n
+FROM rates r LEFT JOIN drawn d ON r.event_type = d.event_type
+"""
+
+
+@register("neyman_allocation_sample", oracle=_NEYMAN_ORACLE, tags=("M4", "A7", "dataset-prep"))
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (minimum-variance) allocation of a 1000-row sample budget
+    over event-type strata — n_h ∝ N_h·σ_h — followed by the draw itself
+    via the seeded md5 uniform at rate n_h/N_h. High-variance strata get
+    oversampled exactly as survey theory prescribes; the realized count
+    is binomial around the allocation and bit-reproducible.
+
+    Determinism: σ_h comes from exact decimal sums (dstddev), the
+    allocation denominator Σ N_h·σ_h is a trunc-scaled BIGINT sum over
+    the strata rows (order-free), floor(x+0.5) rounding, and the draw is
+    the md5-keyed uniform — no rand(), no sort. Scale: two aggregates
+    over the fact table plus one broadcast of |strata| rate rows into a
+    map-side filter; nothing shuffles wider than (event_type)."""
+    from ..functions.determinism import dstddev, unit_rand
+
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), dstddev(F.col("value")).alias("sd")
+    )
+    w = stats.withColumn("wt", F.col("n_rows").cast("double") * F.col("sd"))
+    tot = w.agg(
+        (
+            F.sum((F.col("wt") * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+        ).alias("wsum")
+    )
+    alloc = w.crossJoin(F.broadcast(tot)).withColumn(
+        "alloc_n",
+        F.floor(F.lit(_NEYMAN_BUDGET) * F.col("wt") / F.col("wsum") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    rates = alloc.withColumn(
+        "rate", F.least(F.col("alloc_n").cast("double") / F.col("n_rows"), F.lit(1.0))
+    ).select("event_type", "n_rows", "sd", "alloc_n", "rate")
+    drawn = (
+        ev.join(F.broadcast(rates.select("event_type", "rate")), "event_type")
+        .filter(unit_rand(F.col("event_id"), "neyman") < F.col("rate"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("sampled_n"))
+    )
+    return (
+        rates.join(drawn, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "sd",
+            "alloc_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).cast("bigint").alias("sampled_n"),
+        )
     )
