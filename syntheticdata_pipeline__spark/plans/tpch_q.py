@@ -727,3 +727,297 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --- Q2-shape: minimum-cost supplier -----------------------------------------
+# The fixture has no partsupp table; the part-supplier cost relation is
+# derived from lineitem as MIN(unit price) per (part, supplier) — pure
+# IEEE double division, bit-identical across engines, so the correlated
+# MIN-equality join stays exact without any rounding grid.
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+cand AS (
+  SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal,
+         e.n_name AS nation, ps.supplycost
+  FROM part p
+  JOIN ps ON ps.pk = p.p_partkey
+  JOIN eu e ON e.s_suppkey = ps.sk
+  WHERE p.p_type = 'SMALL' AND p.p_size BETWEEN 10 AND 30),
+mn AS (SELECT p_partkey, MIN(supplycost) AS min_cost FROM cand GROUP BY 1)
+SELECT c.s_acctbal, c.s_name, c.nation, c.p_partkey, c.p_name, c.supplycost
+FROM cand c
+JOIN mn ON c.p_partkey = mn.p_partkey AND c.supplycost = mn.min_cost
+ORDER BY c.s_acctbal DESC, c.nation, c.s_name, c.p_partkey
+LIMIT 20
+"""
+
+
+@register("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("tpch", "J2", "A6"))
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the European supplier(s)
+    offering it at the minimum derived unit cost (correlated MIN subquery
+    decorrelated into a per-part aggregate joined back on the same key).
+
+    Plan shape at 100 TB: the derived part-supplier cost relation is ONE
+    partial-agg shuffle of the fact table keyed (partkey, suppkey); the
+    region-pruned supplier dim broadcasts into it; the per-part MIN reuses
+    the candidate set (already tiny after the part filter) — the fact
+    table is scanned and shuffled exactly once. Final top-20 is
+    orderBy+limit (TakeOrdered), no global window."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 30)
+    )
+    cand = ps.join(F.broadcast(p), F.col("pk") == F.col("p_partkey")).join(
+        F.broadcast(eu), F.col("sk") == F.col("s_suppkey")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("mpk"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(20)
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "supplycost")
+    )
+
+
+# --- Q9-shape: product-type profit by nation and year ------------------------
+
+_Q9_COST = "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(2,1))"
+_Q9_AMOUNT = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+    " AS DECIMAL(38,4))"
+    f" - CAST(CAST({_Q9_COST} AS DECIMAL(21,3)) * CAST(l_quantity AS DECIMAL(18,2))"
+    " AS DECIMAL(38,4))"
+)
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM({_Q9_AMOUNT}) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE 'hot %'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("tpch", "J2", "J4", "A1"))
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'hot' parts by supplier nation and order
+    year. Supply cost is derived as 60% of the part's retail price (the
+    fixture has no partsupp); the whole profit expression stays in exact
+    decimal arithmetic until the final double export.
+
+    Plan shape at 100 TB: lineitem⨝orders is the one big shuffle; the
+    name-filtered part dim prunes the fact rows through a broadcast
+    BEFORE that shuffle (Catalyst pushes the BHJ below the exchange), and
+    supplier/nation broadcast too. One aggregate pass."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("hot %"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.6).cast("decimal(2,1)")
+    ).cast("decimal(21,3)")
+    amount = _rev(j).cast("decimal(38,4)") - (
+        cost * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(38,4)")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(F.sum(amount).cast("double").alias("sum_profit"))
+
+
+# --- Q11-shape: important stock identification -------------------------------
+
+_Q11_FRACTION = 0.001
+
+_Q11_ORACLE = f"""
+WITH natval AS (
+  SELECT l.l_partkey,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey),
+tot AS (SELECT SUM(val) AS total FROM natval)
+SELECT n.l_partkey AS p_partkey, CAST(n.val AS DOUBLE) AS part_value
+FROM natval n, tot t
+WHERE n.val > {_Q11_FRACTION} * t.total
+"""
+
+
+@register("tpch_q11_important_stock", oracle=_Q11_ORACLE, tags=("tpch", "A1", "J4"))
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value at one nation's
+    suppliers exceeds a fixed fraction of that nation's total (value
+    derived from lineitem extended price — the fixture has no partsupp).
+
+    Plan shape at 100 TB: one partial-agg shuffle keyed by part; the
+    HAVING-vs-scalar-subquery comparison is a 1-row broadcast crossJoin
+    over the already-aggregated per-part rows — the fact table is never
+    re-scanned for the global total (Spark reuses the agg output; the
+    fraction threshold adapts to corpus size automatically). Exact
+    decimal sums make the > comparison engine-portable."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natli = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    )
+    natval = natli.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("val")
+    )
+    tot = natval.agg(F.sum("val").alias("total"))
+    return (
+        natval.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.lit(_Q11_FRACTION) * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+# --- Q16-shape: parts/supplier relationship ----------------------------------
+
+_Q16_ORACLE = """
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0),
+rel AS (
+  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+    AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+FROM rel
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_relationship", oracle=_Q16_ORACLE, tags=("tpch", "J3", "A11"))
+def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for qualifying parts, excluding 'complaint' suppliers (adapted: the
+    fixture has no s_comment, negative account balance stands in). The
+    NOT IN is a broadcast left-anti join; the count-distinct is a
+    two-level aggregate (distinct shuffle keyed by the group+supplier,
+    then a count) — both map-side-partial at 100 TB."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    rel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return rel.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+# --- Q20-shape: potential part promotion -------------------------------------
+
+_Q20_ORACLE = """
+WITH pq AS (
+  SELECT l.l_partkey, l.l_suppkey,
+    SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS total_qty,
+    SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             THEN CAST(l.l_quantity AS DECIMAL(38,2))
+             ELSE CAST(0 AS DECIMAL(38,2)) END) AS qty_1997
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small %'
+  GROUP BY 1, 2),
+hoarders AS (
+  SELECT DISTINCT l_suppkey FROM pq
+  WHERE qty_1997 > 0 AND total_qty > 2.0 * qty_1997)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_12'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM hoarders)
+"""
+
+
+@register("tpch_q20_part_promotion", oracle=_Q20_ORACLE, tags=("tpch", "J3", "A1"))
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock of
+    'small' parts (NATION_12 suppliers) — shipped some in 1997 but their all-time volume on
+    that part is more than twice the 1997 volume (availqty proxied by
+    total shipped quantity; the fixture has no partsupp).
+
+    Plan shape at 100 TB: the nested IN-chain decorrelates into ONE
+    partial-agg shuffle of the name-filtered fact keyed (part, supplier)
+    with a conditional sum for the year slice — no second scan for the
+    inner subquery — then a distinct-supplier semi-join against the
+    nation-pruned supplier dim (broadcast)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("small %")).select("p_partkey")
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    qty = F.col("l_quantity").cast("decimal(38,2)")
+    zero = F.lit(0).cast("decimal(38,2)")
+    pq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(F.when(in_1997, qty).otherwise(zero)).alias("qty_1997"),
+        )
+    )
+    hoarders = (
+        pq.filter((F.col("qty_1997") > 0) & (F.col("total_qty") > F.lit(2.0) * F.col("qty_1997")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(hoarders, s.s_suppkey == hoarders.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
