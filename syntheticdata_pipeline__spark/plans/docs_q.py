@@ -2235,3 +2235,116 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("logprob"), 6).alias("min_logprob"),
         F.round(F.max("logprob"), 6).alias("max_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH band-configuration sweep: candidate volume per (bands, rows) split
+# of the same 12-hash MinHash signature — the tuning table you compute
+# BEFORE committing a 100 TB dedup run to one precision/recall point.
+# --------------------------------------------------------------------------
+
+_SWEEP_CONFIGS = ((6, 2), (4, 3), (3, 4), (2, 6))
+
+
+def _sweep_oracle() -> str:
+    cfgs = []
+    for b, r in _SWEEP_CONFIGS:
+        union = " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, array_to_string(sig[{j * r + 1}:{(j + 1) * r}], '') AS bh FROM sigs"
+            for j in range(b)
+        )
+        thr = (1.0 / b) ** (1.0 / r)
+        cfgs.append(
+            f"""SELECT {b} AS n_bands, {r} AS rows_per_band, CAST({thr!r} AS DOUBLE) AS sim_threshold,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT DISTINCT l.doc_id AS a, rr.doc_id AS b2
+     FROM ({union}) l JOIN ({union}) rr
+       ON l.band = rr.band AND l.bh = rr.bh AND l.doc_id < rr.doc_id))
+    AS n_candidate_pairs"""
+        )
+    body = "\nUNION ALL\n".join(cfgs)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS shingles FROM documents),
+sigs AS (
+  SELECT doc_id, {minhash_signature_sql('shingles', _MH_HASHES)} AS sig FROM sh)
+{body}
+"""
+
+
+@register("lsh_band_sweep", oracle=_sweep_oracle(), tags=("dedup-minhash", "tuning"))
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair volume for four (bands × rows) splits of the same
+    12-hash MinHash signature, with each config's ~50%-collision
+    similarity threshold (1/b)^(1/r) — more bands with fewer rows pulls
+    the threshold down (recall up, candidates up); the sweep quantifies
+    that trade on the actual corpus.
+
+    Scale shape: signatures are computed ONCE over collapsed distinct
+    shingle-sets; each config re-bands those in-memory arrays (no
+    re-shingling, no re-hashing) and counts DISTINCT colliding rep pairs
+    via the band equi-join. Duplicate documents never enter any join —
+    their pair counts are reconstructed arithmetically (identical sets
+    collide in every config: within-group C(m,2) plus rep-pair m_a·m_b),
+    so the whole sweep scales with distinct documents. The oracle counts
+    the uncollapsed quadratic truth; the hash match proves the
+    reconstruction exact."""
+    from ..operators.neardup import collapse_identical_sets, minhash_signature
+
+    d = T(spark, sf_dir, "documents")
+    shingled = (
+        d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh"))
+        .repartition("id")
+    )
+    groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
+    sizes = groups.select("id", F.size("members").cast("bigint").alias("m"))
+    within = sizes.agg(
+        F.sum(F.expr("m * (m - 1) DIV 2")).cast("bigint").alias("within_pairs")
+    )
+    sigs = groups.select("id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig"))
+    out = None
+    for b, r in _SWEEP_CONFIGS:
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.concat_ws("", F.slice("sig", j * r + 1, r)).alias("bh"),
+                )
+                for j in range(b)
+            ]
+        )
+        long = sigs.select("id", F.explode(bands_arr).alias("x")).select(
+            "id", "x.band", "x.bh"
+        )
+        pairs = (
+            long.alias("l")
+            .join(
+                long.alias("r2"),
+                (F.col("l.band") == F.col("r2.band"))
+                & (F.col("l.bh") == F.col("r2.bh"))
+                & (F.col("l.id") < F.col("r2.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r2.id").alias("id_b"))
+            .distinct()
+        )
+        cross = (
+            pairs.join(F.broadcast(sizes.withColumnRenamed("m", "m_a")), pairs.id_a == sizes.id)
+            .drop("id")
+            .join(
+                F.broadcast(
+                    sizes.select(F.col("id").alias("idb"), F.col("m").alias("m_b"))
+                ),
+                F.col("id_b") == F.col("idb"),
+            )
+            .agg(F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0)).cast("bigint").alias("cross_pairs"))
+        )
+        row = cross.crossJoin(F.broadcast(within)).select(
+            F.lit(b).alias("n_bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit((1.0 / b) ** (1.0 / r)).alias("sim_threshold"),
+            (F.col("cross_pairs") + F.col("within_pairs")).cast("bigint").alias(
+                "n_candidate_pairs"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -569,3 +569,98 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sampled_n"), F.lit(0)).cast("bigint").alias("sampled_n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler: the diagnostic you run BEFORE picking a partitioning
+# at 100 TB — which keys are heavy, and how much of the stream they own.
+# --------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(SUM(n_events) AS DOUBLE) AS total,
+         COUNT(*) AS n_keys
+  FROM counts),
+top AS (
+  SELECT user_id, n_events FROM counts
+  ORDER BY n_events DESC, user_id LIMIT {_SKEW_TOPK})
+SELECT t.user_id, t.n_events,
+  round(CAST(t.n_events AS DOUBLE) / x.total, 6) AS share,
+  CAST(x.n_keys AS BIGINT) AS n_distinct_keys
+FROM top t CROSS JOIN tot x
+"""
+
+
+@register("key_skew_profile", oracle=_SKEW_ORACLE, tags=("A1", "D8", "skew"))
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key profile of the event stream: the top-10 user keys by row
+    count, each with its share of the total, plus the global distinct-key
+    count — the skew diagnostic that decides whether a downstream
+    groupBy/join on this key needs salting or AQE skew handling.
+
+    Scale shape: one map-side-partial count shuffle keyed by user; top-10
+    is orderBy+limit (TakeOrdered, no global window); the totals are a
+    second aggregate over the ALREADY-REDUCED per-key counts, broadcast
+    back as one row. Nothing rescans the fact table."""
+    ev = T(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    tot = counts.agg(
+        F.sum("n_events").cast("double").alias("total"),
+        F.count("*").cast("bigint").alias("n_distinct_keys"),
+    )
+    top = counts.orderBy(F.col("n_events").desc(), "user_id").limit(_SKEW_TOPK)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
+        "n_distinct_keys",
+    )
+
+
+# --------------------------------------------------------------------------
+# Burst detection: per-user max event count inside any trailing 5-minute
+# window — the rate-limit/abuse gate of a crawl pipeline (R4 as an
+# analytic instead of a throttle).
+# --------------------------------------------------------------------------
+
+_BURST_WINDOW_US = 300_000_000  # 5 minutes
+_BURST_FLAG_AT = 5
+
+_BURST_ORACLE = f"""
+WITH w AS (
+  SELECT user_id,
+    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING AND CURRENT ROW)
+      AS burst
+  FROM events)
+SELECT user_id, MAX(burst) AS max_burst_5min,
+  (MAX(burst) >= {_BURST_FLAG_AT}) AS flagged
+FROM w GROUP BY user_id
+"""
+
+
+@register("burst_detection", oracle=_BURST_ORACLE, tags=("R4", "A1", "windows"))
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user peak burst rate: the maximum number of events falling in
+    any trailing 5-minute window, flagged when it reaches 5 — all exact
+    integer-µs arithmetic, no timestamps, no floats.
+
+    Scale shape: the RANGE window partitions by user — per-user event
+    counts are bounded (same class as the accepted moving-average and
+    interarrival windows), so no partition concentrates the stream; the
+    rollup to one row per user is map-side partial after the window."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts_us")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_BURST_WINDOW_US, 0)
+    )
+    bursts = ev.withColumn("burst", F.count("*").over(w))
+    return bursts.groupBy("user_id").agg(
+        F.max("burst").alias("max_burst_5min"),
+        (F.max("burst") >= F.lit(_BURST_FLAG_AT)).alias("flagged"),
+    )

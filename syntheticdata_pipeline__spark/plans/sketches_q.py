@@ -115,3 +115,49 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumn("hll_est", F.round("distinct_est", 6)).drop("distinct_est").join(
         exact, "event_type"
     ).select("event_type", "hll_est", "n_exact")
+
+
+_DAY_US = 86_400_000_000
+
+_HLL_MERGE_ORACLE = f"""
+WITH est AS ({hll_distinct_sql('events', 'event_type', 'user_id', _HLL_P)}),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT e.event_type, round(e.distinct_est, 6) AS hll_merged_est, x.n_exact
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+@register("hll_window_merge", oracle=_HLL_MERGE_ORACLE, tags=("sketch", "A11", "R7"))
+def hll_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability proven against the one-shot oracle: the stream is
+    cut into DAILY chunks, per-day register partials are computed
+    independently, then merged (register-wise max) up to the full range —
+    and the estimate must hash-match the oracle's single-pass sketch
+    exactly, because max-of-max over any chunking yields identical
+    registers.
+
+    This is the property that makes the sketch usable at 100 TB: daily
+    partials are tiny (≤64 rows per group per day), persist as rollup
+    state, and any window — week, month, all-time — is answered by
+    merging partials instead of rescanning the raw stream. The oracle
+    deliberately computes the UNCHUNKED sketch; a hash match is the
+    associativity proof at driver scale."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_partials
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_us DIV {_DAY_US}").alias("day"), "user_id"
+    )
+    daily = hll_partials(ev, ["event_type", "day"], F.col("user_id"), p=_HLL_P)
+    merged = hll_merge(daily, ["event_type"])
+    est = hll_estimate(merged, ["event_type"], p=_HLL_P)
+    exact = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        est.withColumn("hll_merged_est", F.round("distinct_est", 6))
+        .drop("distinct_est")
+        .join(exact, "event_type")
+        .select("event_type", "hll_merged_est", "n_exact")
+    )
