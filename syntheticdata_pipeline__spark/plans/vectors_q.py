@@ -1138,3 +1138,160 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("bigint").alias("n_true"),
         F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cosine-similarity histogram over hash-bucketed vector pairs: the
+# threshold-selection table for semantic dedup — where does the corpus's
+# similarity mass sit, and where does the near-dup tail start?
+# --------------------------------------------------------------------------
+
+_CPH_BUCKETS = 50
+_CPH_BIN = 20  # bins of width 1/20 over [-1, 1]
+
+_CPH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {hash_bucket_sql('vec_id', _CPH_BUCKETS, 'cph')} AS bkt
+  FROM embeddings),
+pairs AS (
+  SELECT {dot_sql('a.embedding', 'b2.embedding')} AS score
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+SELECT CAST(floor(score * {_CPH_BIN}) AS BIGINT) AS bin,
+  CAST(floor(score * {_CPH_BIN}) AS DOUBLE) / {_CPH_BIN} AS bin_lo,
+  COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+@register("cosine_pair_histogram", oracle=_CPH_ORACLE, tags=("similarity", "tuning"))
+def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (bins of 0.05) of cosine similarity over a deterministic
+    hash-bucketed sample of vector pairs — the corpus-level similarity
+    profile that picks the semantic-dedup threshold before a full run.
+
+    Scale shape: vectors land in md5 buckets and only WITHIN-bucket pairs
+    are scored — an equi-join, never the all-pairs cross join. Bucket
+    count scales with corpus size to hold per-bucket population (and so
+    per-bucket pair count) constant; the sampled-pair total is then
+    linear in the corpus, and the md5 assignment makes the sample
+    reproducible across engines and runs. Unit-norm corpus ⇒ cosine is a
+    single fold dot product inside codegen."""
+    from ..functions.determinism import hash_bucket
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", hash_bucket(F.col("vec_id"), _CPH_BUCKETS, "cph").alias("bkt")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bkt")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bkt")
+    pairs = a.join(b, ["bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    score = dot(F.col("va"), F.col("vb"))
+    binned = pairs.select(F.floor(score * _CPH_BIN).cast("bigint").alias("bin"))
+    return binned.groupBy("bin").agg(F.count("*").alias("n_pairs")).select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(_CPH_BIN)).alias("bin_lo"),
+        "n_pairs",
+    )
+
+
+# --------------------------------------------------------------------------
+# Dimension-truncation recall (Matryoshka-style): how much ANN quality
+# survives scoring on a prefix of the embedding — the cost/recall table
+# for running retrieval at reduced dimension.
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_oracle() -> str:
+    per_dim = []
+    for d in _TRUNC_DIMS:
+        per_dim.append(
+            f"""SELECT {d} AS dim, query_id, neighbor_id FROM (
+  SELECT q.query_id, c.neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {cosine_sql('list_slice(q.qv, 1, ' + str(d) + ')', 'list_slice(c.cv, 1, ' + str(d) + ')')} DESC,
+               c.neighbor_id) AS rn
+  FROM c CROSS JOIN q WHERE c.neighbor_id != q.query_id)
+WHERE rn <= {_K}"""
+        )
+    union = "\nUNION ALL\n".join(per_dim)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+full_rank AS (
+  SELECT q.query_id, c.neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {dot_sql('q.qv', 'c.cv')} DESC, c.neighbor_id) AS rn
+  FROM c CROSS JOIN q WHERE c.neighbor_id != q.query_id),
+truth AS (SELECT query_id, neighbor_id FROM full_rank WHERE rn <= {_K}),
+trunc AS ({union})
+SELECT t.dim,
+  CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hits,
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+  round(CAST(COUNT(x.neighbor_id) AS DOUBLE)
+        / (SELECT COUNT(*) FROM truth), 6) AS recall
+FROM trunc t
+LEFT JOIN truth x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY t.dim
+"""
+
+
+@register("ann_dim_truncation_recall", oracle=_trunc_oracle(), tags=("similarity", "tuning"))
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force retrieval scored on the first 8/16/32
+    embedding dimensions against the full-dimension truth — the
+    Matryoshka-style cost/recall table that decides how much of each
+    vector a 100 TB retrieval pass actually has to read.
+
+    Scale shape: each truncated pass is the same broadcast-queries ×
+    corpus-scan plan as ann_brute_topk (run on a sample at scale; the
+    IVF/LSH paths inherit the chosen dimension); truncated vectors are
+    re-normalized inside the cosine, and the per-query rank windows are
+    query-partitioned (bounded). The intersection with the truth set is
+    a broadcast join on (query, neighbor)."""
+    from ..functions.vectors import cosine, dot
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    from pyspark.sql import Window
+
+    base = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = lambda s: Window.partitionBy("query_id").orderBy(F.col(s).desc(), "neighbor_id")  # noqa: E731
+    truth = (
+        base.select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("s"))
+        .withColumn("rn", F.row_number().over(w("s")))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    out = None
+    for d in _TRUNC_DIMS:
+        sc = cosine(F.slice("qv", 1, d), F.slice("cv", 1, d))
+        tr = (
+            base.select("query_id", "neighbor_id", sc.alias("s"))
+            .withColumn("rn", F.row_number().over(w("s")))
+            .filter(F.col("rn") <= _K)
+            .select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        )
+        out = tr if out is None else out.unionByName(tr)
+    tot = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    hits = (
+        out.join(
+            F.broadcast(truth.withColumn("__hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_hits",
+        "n_true",
+        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias("recall"),
+    )
