@@ -2348,3 +2348,114 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: V(N) ≈ K·N^β over nested corpus prefixes.
+# Natural text sits near β ≈ 0.5; template-generated corpora flatten out.
+# --------------------------------------------------------------------------
+
+_HEAPS_FRACS = (0.2, 0.4, 0.6, 0.8, 1.0)
+
+_HEAPS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+first AS (SELECT token, MIN(doc_id) AS first_seen FROM toks GROUP BY token),
+dl AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+cps AS (
+  SELECT f AS frac, CAST(ceil(f * n_docs) AS BIGINT) AS cut
+  FROM (SELECT unnest([{', '.join(f'{f}::DOUBLE' for f in _HEAPS_FRACS)}]) AS f), nd),
+vocab AS (
+  SELECT c.frac, c.cut, COUNT(*) AS vocab
+  FROM first f JOIN cps c ON f.first_seen < c.cut GROUP BY 1, 2),
+ntok AS (
+  SELECT c.frac, c.cut, CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens
+  FROM dl d JOIN cps c ON d.doc_id < c.cut GROUP BY 1, 2),
+pts AS (
+  SELECT v.frac, v.cut, n.n_tokens, v.vocab,
+         ln(CAST(n.n_tokens AS DOUBLE)) AS x, ln(CAST(v.vocab AS DOUBLE)) AS y
+  FROM vocab v JOIN ntok n ON v.frac = n.frac AND v.cut = n.cut),
+s AS (
+  SELECT COUNT(*) AS k,
+    CAST(SUM(CAST(trunc(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+    CAST(SUM(CAST(trunc(y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+    CAST(SUM(CAST(trunc(x * y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxy,
+    CAST(SUM(CAST(trunc(x * x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxx
+  FROM pts)
+SELECT p.frac, p.cut AS prefix_docs, p.n_tokens, CAST(p.vocab AS BIGINT) AS vocab,
+  round((s.k * s.sxy - s.sx * s.sy) / (s.k * s.sxx - s.sx * s.sx), 6) AS heaps_beta
+FROM pts p CROSS JOIN s
+"""
+
+
+@register("heaps_vocab_growth", oracle=_HEAPS_ORACLE, tags=("text-analysis", "tuning"))
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size at five nested corpus prefixes (20%…100% of docs)
+    with the fitted Heaps exponent β from log-log least squares — natural
+    corpora grow vocabulary like N^0.5; a flat curve exposes
+    template/boilerplate generation, an exponent near 1 exposes noise.
+
+    Scale shape: ONE token explode feeds two partial aggs — per-token
+    first-seen doc and per-doc token count; each checkpoint is then a
+    broadcast of 5 cutoff rows into those (already reduced) outputs, so
+    vocabulary growth over any number of checkpoints costs one scan of
+    the corpus. Regression sums are trunc-scaled BIGINTs over 5 points
+    (exact, order-free); ln() slop absorbed by round(·,6)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    first = toks.groupBy("token").agg(F.min("doc_id").alias("first_seen"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    cps = (
+        nd.select(
+            F.explode(F.array(*[F.lit(f) for f in _HEAPS_FRACS])).alias("frac"),
+            "n_docs",
+        )
+        .withColumn("cut", F.ceil(F.col("frac") * F.col("n_docs")).cast("bigint"))
+        .select("frac", "cut")
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_seen") < F.col("cut"))
+        .groupBy("frac", "cut")
+        .agg(F.count("*").cast("bigint").alias("vocab"))
+    )
+    ntok = (
+        dl.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("frac", "cut")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+    pts = vocab.join(ntok, ["frac", "cut"]).select(
+        "frac",
+        "cut",
+        "n_tokens",
+        "vocab",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+
+    def tsum(expr: str) -> Column:
+        return (
+            F.sum(F.expr(f"CAST({expr} * 1000000000.0 AS BIGINT)")).cast("double")
+            / 1000000000.0
+        )
+
+    s = pts.agg(
+        F.count("*").alias("k"),
+        tsum("x").alias("sx"),
+        tsum("y").alias("sy"),
+        tsum("x * y").alias("sxy"),
+        tsum("x * x").alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return pts.crossJoin(F.broadcast(s)).select(
+        "frac",
+        F.col("cut").alias("prefix_docs"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+    )
