@@ -2459,3 +2459,183 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         F.round(beta, 6).alias("heaps_beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: token pairs that co-occur far above chance — the
+# multiword-expression / boilerplate-phrase detector.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+_PMI_EXPR = (
+    "ln((CAST(b.bcnt AS DOUBLE) / bt.n2) / "
+    "((CAST(u1.cnt AS DOUBLE) / ut.total) * (CAST(u2.cnt AS DOUBLE) / ut.total)))"
+)
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+uni AS (
+  SELECT lang, token, COUNT(*) AS cnt
+  FROM (SELECT lang, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+utot AS (SELECT lang, SUM(cnt) AS total FROM uni GROUP BY 1),
+trans AS (
+  SELECT lang,
+         unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2),
+bi AS (SELECT lang, w1, w2, COUNT(*) AS bcnt FROM trans GROUP BY 1, 2, 3),
+btot AS (SELECT lang, SUM(bcnt) AS n2 FROM bi GROUP BY 1),
+scored AS (
+  SELECT b.lang, b.w1, b.w2, b.bcnt, round({_PMI_EXPR}, 6) AS pmi
+  FROM bi b
+  JOIN btot bt ON b.lang = bt.lang
+  JOIN uni u1 ON b.lang = u1.lang AND b.w1 = u1.token
+  JOIN uni u2 ON b.lang = u2.lang AND b.w2 = u2.token
+  JOIN utot ut ON b.lang = ut.lang
+  WHERE b.bcnt >= {_PMI_MIN_COUNT}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pmi DESC, w1, w2) AS rnk
+  FROM scored)
+SELECT lang, w1, w2, CAST(bcnt AS BIGINT) AS n_pair, pmi, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", oracle=_PMI_ORACLE, tags=("text-analysis",))
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pointwise-mutual-information bigrams per language (count
+    floor 5): PMI = ln(p(w1,w2) / p(w1)p(w2)) finds phrases glued
+    together far above chance — the collocation/boilerplate-phrase
+    signal used for tokenizer-merge candidates and template detection.
+
+    Scale shape: everything after the one bigram explode runs at
+    VOCABULARY size — the PMI join chain touches only the (lang, w1, w2)
+    count table and two unigram lookups; the totals broadcast; the
+    count floor prunes the long tail before ranking, and the per-lang
+    top-20 window runs over floor-surviving collocations only (Spark
+    pushes the rank limit into the per-partition sort)."""
+    from ..operators.dedup import top_k_per_group
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("lang", tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select("lang", F.explode("t").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    utot = uni.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    trans = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt"))
+    btot = bi.groupBy("lang").agg(F.sum("bcnt").alias("n2"))
+    scored = (
+        bi.filter(F.col("bcnt") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(btot), "lang")
+        .join(uni.select("lang", F.col("token").alias("w1"), F.col("cnt").alias("c1")), ["lang", "w1"])
+        .join(uni.select("lang", F.col("token").alias("w2"), F.col("cnt").alias("c2")), ["lang", "w2"])
+        .join(F.broadcast(utot), "lang")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            "bcnt",
+            F.round(
+                F.log(
+                    (F.col("bcnt").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("total"))
+                        * (F.col("c2").cast("double") / F.col("total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["lang"],
+        [F.col("pmi").desc(), F.col("w1"), F.col("w2")],
+        _PMI_TOPK,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "lang",
+        "w1",
+        "w2",
+        F.col("bcnt").cast("bigint").alias("n_pair"),
+        "pmi",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Continuation detection: doc A's last 3 tokens == doc B's first 3 tokens
+# — the split-document / pagination-reassembly signal of a crawl corpus.
+# --------------------------------------------------------------------------
+
+_CONT_M = 3
+
+_CONT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+ok AS (SELECT * FROM toks WHERE len(t) >= {_CONT_M}),
+tails AS (
+  SELECT doc_id AS id_prev, lang,
+         array_to_string(list_slice(t, len(t) - {_CONT_M - 1}, len(t)), ' ') AS boundary
+  FROM ok),
+heads AS (
+  SELECT doc_id AS id_next, lang,
+         array_to_string(list_slice(t, 1, {_CONT_M}), ' ') AS boundary
+  FROM ok)
+SELECT t.id_prev, h.id_next, t.boundary
+FROM tails t JOIN heads h
+  ON t.lang = h.lang AND t.boundary = h.boundary AND t.id_prev != h.id_next
+"""
+
+
+@register("doc_continuation_pairs", oracle=_CONT_ORACLE, tags=("dedup-exact", "T6"))
+def doc_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs where one doc's last 3 tokens verbatim equal
+    another's first 3 — the signal that a source document was split
+    across crawl records (pagination, chunked exports) and should be
+    reassembled rather than treated as two near-dups.
+
+    Scale shape: one fixed-width boundary key per document on each side,
+    then a single equi-join on (lang, boundary) — real prose boundaries are
+    near-unique so postings are short and the join is skew-light (the
+    fixture's small synthetic vocabulary is the worst case; raise the
+    boundary width for natural text); no
+    window, no quadratic stage, linear in the corpus."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= _CONT_M)
+    tails = toks.select(
+        F.col("doc_id").alias("id_prev"),
+        "lang",
+        F.array_join(F.slice("t", -_CONT_M, _CONT_M), " ").alias("boundary"),
+    )
+    heads = toks.select(
+        F.col("doc_id").alias("id_next"),
+        "lang",
+        F.array_join(F.slice("t", 1, _CONT_M), " ").alias("boundary"),
+    )
+    return (
+        tails.join(heads, ["lang", "boundary"])
+        .filter(F.col("id_prev") != F.col("id_next"))
+        .select("id_prev", "id_next", "boundary")
+    )

@@ -1295,3 +1295,104 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank centrality over the embedding-similarity graph: the most
+# central docs in a near-dup neighborhood are the boilerplate/template
+# cores — rank them before deciding survivors.
+# --------------------------------------------------------------------------
+
+_PR_TAU = 0.1
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""c{k} AS (
+  SELECT e.dst,
+    SUM(CAST(trunc((p.r / d.deg) * 1000000000.0) AS BIGINT)) AS s
+  FROM edges e
+  JOIN {prev} p ON e.src = p.vec_id
+  JOIN deg d ON e.src = d.vec_id
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT v.vec_id,
+    {1 - _PR_DAMP} + {_PR_DAMP} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1000000000.0) AS r
+  FROM verts v LEFT JOIN c{k} c ON v.vec_id = c.dst)""")
+        prev = f"r{k}"
+    body = ",\n".join(iters)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {hash_bucket_sql('vec_id', _CPH_BUCKETS, 'cph')} AS bkt
+  FROM embeddings),
+e0 AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+  WHERE {dot_sql('a.embedding', 'b2.embedding')} >= {_PR_TAU}),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS vec_id, COUNT(*) AS deg FROM edges GROUP BY src),
+verts AS (SELECT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, 1.0::DOUBLE AS r FROM verts),
+{body}
+SELECT vec_id, round(r, 6) AS pagerank FROM {prev}
+"""
+
+
+@register("similarity_pagerank", oracle=_pagerank_oracle(), tags=("similarity", "graph"))
+def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic PageRank iterations over the similarity graph
+    (edges: same-hash-bucket vector pairs with dot ≥ 0.1, undirected) —
+    high-rank vectors sit at the center of dense near-dup neighborhoods,
+    the template cores a curation pass should inspect first. Complements
+    connected components (membership) with centrality (importance).
+
+    Scale shape: the edge list is the bucketed similarity join (linear,
+    never all-pairs); each iteration is one edge⨝rank equi-join plus a
+    groupBy(dst) — O(iters) shuffles of the edge list, the canonical
+    Pregel-on-DataFrames pattern. Per-node contribution sums are
+    trunc-scaled BIGINTs, so the float accumulation is order-free and
+    the 3-iteration unroll is bit-identical in any engine or
+    partitioning."""
+    from ..functions.determinism import hash_bucket
+    from ..functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", hash_bucket(F.col("vec_id"), _CPH_BUCKETS, "cph").alias("bkt")
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "bkt")
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), "bkt")
+    e0 = (
+        a.join(b, ["bkt"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(dot(F.col("va"), F.col("vb")) >= _PR_TAU)
+        .select("src", "dst")
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    verts = T(spark, sf_dir, "embeddings").select("vec_id")
+    ranks = verts.withColumn("r", F.lit(1.0))
+    ej = edges.join(deg, "src")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ej.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+            .select(
+                "dst",
+                F.expr("CAST((r / deg) * 1000000000.0 AS BIGINT)").alias("sc"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("sc").alias("s"))
+        )
+        ranks = verts.join(contrib, verts.vec_id == contrib.dst, "left").select(
+            "vec_id",
+            (
+                F.lit(1 - _PR_DAMP)
+                + F.lit(_PR_DAMP)
+                * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9))
+            ).alias("r"),
+        )
+    return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
