@@ -1,0 +1,163 @@
+"""Equivalence/invariance tests for the round-6 analytics batch —
+properties the DuckDB oracle can't see: partitioning-independence, the
+collapse reconstruction in the band sweep, and sketch-merge identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    """The trunc-scaled contribution sums make PageRank order-free: the
+    same query on an adversarially repartitioned edge input must produce
+    bit-identical ranks."""
+    from syntheticdata_pipeline__spark.plans.vectors_q import similarity_pagerank
+
+    base = _rows(similarity_pagerank(spark, SF_SMOKE), "vec_id", "pagerank")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = _rows(similarity_pagerank(spark, SF_SMOKE), "vec_id", "pagerank")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert base == again
+    # sanity: ranks deviate from the teleport floor somewhere (graph non-empty)
+    assert any(abs(r - 0.15) > 1e-9 for _, r in base)
+
+
+def test_band_sweep_matches_expanded_join(spark):
+    """The sweep reconstructs duplicate-doc pair counts arithmetically
+    (within-group C(m,2) + rep-pair m_a*m_b). Recompute each config's
+    count the expensive way — banding ALL docs, no collapse — and
+    compare."""
+    from syntheticdata_pipeline__spark.operators.neardup import (
+        minhash_signature,
+        word_shingles,
+    )
+    from syntheticdata_pipeline__spark.plans.docs_q import (
+        _MH_HASHES,
+        _SWEEP_CONFIGS,
+        lsh_band_sweep,
+    )
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    got = {
+        (r["n_bands"], r["rows_per_band"]): r["n_candidate_pairs"]
+        for r in lsh_band_sweep(spark, SF_SMOKE).collect()
+    }
+    d = T(spark, SF_SMOKE, "documents")
+    sigs = d.select(
+        F.col("doc_id").alias("id"),
+        minhash_signature(word_shingles(F.col("text")), _MH_HASHES).alias("sig"),
+    ).cache()
+    for b, r in _SWEEP_CONFIGS:
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.concat_ws("", F.slice("sig", j * r + 1, r)).alias("bh"),
+                )
+                for j in range(b)
+            ]
+        )
+        long = sigs.select("id", F.explode(bands_arr).alias("x")).select(
+            "id", "x.band", "x.bh"
+        )
+        naive = (
+            long.alias("l")
+            .join(
+                long.alias("r2"),
+                (F.col("l.band") == F.col("r2.band"))
+                & (F.col("l.bh") == F.col("r2.bh"))
+                & (F.col("l.id") < F.col("r2.id")),
+            )
+            .select(F.col("l.id"), F.col("r2.id"))
+            .distinct()
+            .count()
+        )
+        assert got[(b, r)] == naive, f"config ({b},{r})"
+    sigs.unpersist()
+
+
+def test_band_sweep_monotone_in_bands(spark):
+    """More, narrower bands can only add candidate pairs (a collision in
+    any band suffices, and every r'-row band hash refines an r-row one is
+    not guaranteed — but the 50%-threshold ordering must hold on
+    candidate volume for nested configs of the same signature)."""
+    from syntheticdata_pipeline__spark.plans.docs_q import lsh_band_sweep
+
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r["n_candidate_pairs"]
+        for r in lsh_band_sweep(spark, SF_SMOKE).collect()
+    }
+    # (6,2) has the lowest collision threshold => at least as many
+    # candidates as the strictest config (2,6).
+    assert rows[(6, 2)] >= rows[(2, 6)]
+
+
+def test_hll_window_merge_equals_one_shot(spark):
+    """Merging daily register partials must equal the one-shot sketch —
+    max-of-max associativity, the property that lets rollup state answer
+    any window at 100 TB."""
+    from syntheticdata_pipeline__spark.operators.sketches import hll_distinct
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.sketches_q import _HLL_P, hll_window_merge
+
+    merged = _rows(hll_window_merge(spark, SF_SMOKE), "event_type", "hll_merged_est")
+    ev = T(spark, SF_SMOKE, "events")
+    oneshot = _rows(
+        hll_distinct(ev, ["event_type"], F.col("user_id"), p=_HLL_P).select(
+            "event_type", F.round("distinct_est", 6).alias("est")
+        ),
+        "event_type",
+        "est",
+    )
+    assert merged == oneshot
+
+
+def test_burst_detection_bounds(spark):
+    """Burst counts are within [1, user event total] and the flag matches
+    the threshold exactly."""
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.events_q import (
+        _BURST_FLAG_AT,
+        burst_detection,
+    )
+
+    out = burst_detection(spark, SF_SMOKE)
+    totals = (
+        T(spark, SF_SMOKE, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    j = out.join(totals, "user_id").collect()
+    assert len(j) == totals.count()
+    for r in j:
+        assert 1 <= r["max_burst_5min"] <= r["n"]
+        assert r["flagged"] == (r["max_burst_5min"] >= _BURST_FLAG_AT)
+
+
+def test_continuation_pairs_are_true_boundaries(spark):
+    """Every reported pair really has tail(prev) == head(next) on the
+    raw token arrays."""
+    from syntheticdata_pipeline__spark.functions.text import tokens
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.docs_q import (
+        _CONT_M,
+        doc_continuation_pairs,
+    )
+
+    pairs = doc_continuation_pairs(spark, SF_SMOKE).collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in T(spark, SF_SMOKE, "documents")
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+        .collect()
+    }
+    assert pairs, "fixture should contain at least one boundary match"
+    for p in pairs:
+        assert toks[p["id_prev"]][-_CONT_M:] == toks[p["id_next"]][:_CONT_M]
