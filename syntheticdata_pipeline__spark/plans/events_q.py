@@ -664,3 +664,240 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("burst").alias("max_burst_5min"),
         (F.max("burst") >= F.lit(_BURST_FLAG_AT)).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: the behavioral
+# fingerprint (and anomaly baseline) of the stream.
+# --------------------------------------------------------------------------
+
+_TRANS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+  round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANS_ORACLE, tags=("A2", "windows"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    consecutive (prev → next) pair inside a user's time-ordered stream,
+    the count and the row-normalized transition probability — the
+    behavioral baseline that downstream funnel and anomaly checks
+    compare against.
+
+    Scale shape: the only window is a lag over per-user partitions
+    (bounded, the accepted moving-average class); everything after runs
+    at |event_type|² size. Ties on ts break by event_id, so the
+    sequence — and thus the matrix — is total-order deterministic."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    pairs = (
+        seq.groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median by two-level histogram refinement: the scalable selection
+# algorithm — no per-group total order over the data, ever.
+# --------------------------------------------------------------------------
+
+_MED_B = 512
+
+
+def _median_oracle() -> str:
+    b = _MED_B
+    return f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1),
+k AS (SELECT event_type, n, mn, mx, (n + 1) // 2 AS k FROM stats),
+b1 AS (
+  SELECT e.event_type, k.k, k.mn, k.mx,
+    CASE WHEN k.mx = k.mn THEN 0
+         ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
+    END AS bkt
+  FROM events e JOIN k ON e.event_type = k.event_type),
+h1 AS (SELECT event_type, bkt, COUNT(*) AS cnt FROM b1 GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, bkt, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum
+  FROM h1),
+t1 AS (
+  SELECT c.event_type, MIN(c.bkt) AS tb
+  FROM c1 c JOIN k ON c.event_type = k.event_type
+  WHERE c.cum >= k.k GROUP BY 1),
+o1 AS (
+  SELECT t.event_type, t.tb,
+    COALESCE((SELECT MAX(c.cum) FROM c1 c
+              WHERE c.event_type = t.event_type AND c.bkt < t.tb), 0) AS before1
+  FROM t1 t),
+b2 AS (
+  SELECT x.event_type, x.bkt, o.before1, k.k, x.value,
+    CASE WHEN k.mx = k.mn THEN 0
+         ELSE least({b - 1}, CAST(floor(
+           ((x.value - k.mn) / (k.mx - k.mn) * {b} - x.bkt) * {b}) AS BIGINT))
+    END AS sb
+  FROM (SELECT e.event_type, e.value,
+          CASE WHEN k.mx = k.mn THEN 0
+               ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
+          END AS bkt
+        FROM events e JOIN k ON e.event_type = k.event_type) x
+  JOIN t1 o2 ON x.event_type = o2.event_type AND x.bkt = o2.tb
+  JOIN o1 o ON x.event_type = o.event_type
+  JOIN k ON x.event_type = k.event_type),
+h2 AS (SELECT event_type, sb, COUNT(*) AS cnt FROM b2 GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, sb, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY sb) AS cum
+  FROM h2),
+t2 AS (
+  SELECT c.event_type, MIN(c.sb) AS tsb
+  FROM c2 c JOIN o1 o ON c.event_type = o.event_type
+  JOIN k ON c.event_type = k.event_type
+  WHERE o.before1 + c.cum >= k.k GROUP BY 1),
+o2 AS (
+  SELECT t.event_type, t.tsb,
+    COALESCE((SELECT MAX(c.cum) FROM c2 c
+              WHERE c.event_type = t.event_type AND c.sb < t.tsb), 0) AS before2
+  FROM t2 t),
+fin AS (
+  SELECT b.event_type, b.value,
+    row_number() OVER (PARTITION BY b.event_type ORDER BY b.value) AS rn,
+    b.k - b.before1 - o.before2 AS want
+  FROM b2 b
+  JOIN t2 t ON b.event_type = t.event_type AND b.sb = t.tsb
+  JOIN o2 o ON b.event_type = o.event_type)
+SELECT f.event_type, CAST(k.n AS BIGINT) AS n, f.value AS median
+FROM fin f JOIN k ON f.event_type = k.event_type
+WHERE f.rn = f.want
+"""
+
+
+@register("exact_median_two_pass", oracle=_median_oracle(), tags=("A7", "skew"))
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median of a continuous double column by two-level
+    histogram refinement — the distributed selection algorithm: bucket
+    the range into 512, locate the bucket holding the k-th value from the
+    histogram CDF, re-bucket ONLY that bucket 512-ways, and take the
+    residual rank inside the final sub-bucket. Each level shrinks the
+    candidate set ×512, so l levels bound the final ordered set by
+    n/512^l — two levels cover 10^8 rows per group with a ≤512-row
+    terminal selection, and the level count grows logarithmically, never
+    the partition size. No per-group total order over the data ever
+    materializes (contrast the banned percent_rank-over-docs shape).
+
+    Determinism: bucket arithmetic and the selected value are pure IEEE
+    doubles computed identically in both engines; counts are exact; the
+    only windows run over ≤512 histogram rows per group."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    k = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx")
+    ).withColumn("k", F.expr("(n + 1) DIV 2"))
+    b = _MED_B
+
+    def bucket(val, mn, mx):
+        return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(b - 1).cast("bigint"),
+                F.floor((val - mn) / (mx - mn) * b).cast("bigint"),
+            )
+        )
+
+    b1 = ev.join(F.broadcast(k), "event_type").withColumn(
+        "bkt", bucket(F.col("value"), F.col("mn"), F.col("mx"))
+    )
+    h1 = b1.groupBy("event_type", "bkt").agg(F.count("*").alias("cnt"))
+    w1 = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c1 = h1.withColumn("cum", F.sum("cnt").over(w1))
+    t1 = (
+        c1.join(F.broadcast(k.select("event_type", "k")), "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("bkt").alias("tb"))
+    )
+    o1 = (
+        c1.join(F.broadcast(t1), "event_type")
+        .filter(F.col("bkt") < F.col("tb"))
+        .groupBy("event_type")
+        .agg(F.max("cum").alias("before1"))
+    )
+    # before1 is absent when the target is the first bucket
+    t1full = t1.join(o1, "event_type", "left").na.fill({"before1": 0})
+    b2 = (
+        b1.join(F.broadcast(t1full), "event_type")
+        .filter(F.col("bkt") == F.col("tb"))
+        .withColumn(
+            "sb",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+                F.least(
+                    F.lit(b - 1).cast("bigint"),
+                    F.floor(
+                        (
+                            (F.col("value") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn"))
+                            * b
+                            - F.col("bkt")
+                        )
+                        * b
+                    ).cast("bigint"),
+                )
+            ),
+        )
+    )
+    h2 = b2.groupBy("event_type", "sb").agg(F.count("*").alias("cnt"))
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c2 = h2.withColumn("cum", F.sum("cnt").over(w2))
+    t2 = (
+        c2.join(F.broadcast(t1full.select("event_type", "before1")), "event_type")
+        .join(F.broadcast(k.select("event_type", "k")), "event_type")
+        .filter(F.col("before1") + F.col("cum") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("sb").alias("tsb"))
+    )
+    o2 = (
+        c2.join(F.broadcast(t2), "event_type")
+        .filter(F.col("sb") < F.col("tsb"))
+        .groupBy("event_type")
+        .agg(F.max("cum").alias("before2"))
+    )
+    t2full = t2.join(o2, "event_type", "left").na.fill({"before2": 0})
+    wfin = Window.partitionBy("event_type").orderBy("value")
+    fin = (
+        b2.join(F.broadcast(t2full), "event_type")
+        .filter(F.col("sb") == F.col("tsb"))
+        .withColumn("rn", F.row_number().over(wfin))
+        .filter(F.col("rn") == F.col("k") - F.col("before1") - F.col("before2"))
+    )
+    return fin.select(
+        "event_type", F.col("n").cast("bigint").alias("n"), F.col("value").alias("median")
+    )
