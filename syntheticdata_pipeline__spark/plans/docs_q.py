@@ -2272,7 +2272,7 @@ sigs AS (
 """
 
 
-@register("lsh_band_sweep", oracle=_sweep_oracle(), tags=("dedup-minhash", "tuning"))
+@register("lsh_band_sweep", oracle=_sweep_oracle(), bench=True, tags=("dedup-minhash", "tuning"))
 def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair volume for four (bands × rows) splits of the same
     12-hash MinHash signature, with each config's ~50%-collision
@@ -2389,7 +2389,7 @@ FROM pts p CROSS JOIN s
 """
 
 
-@register("heaps_vocab_growth", oracle=_HEAPS_ORACLE, tags=("text-analysis", "tuning"))
+@register("heaps_vocab_growth", oracle=_HEAPS_ORACLE, bench=True, tags=("text-analysis", "tuning"))
 def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary size at five nested corpus prefixes (20%…100% of docs)
     with the fitted Heaps exponent β from log-log least squares — natural
@@ -2504,7 +2504,7 @@ FROM ranked WHERE rnk <= {_PMI_TOPK}
 """
 
 
-@register("pmi_collocations", oracle=_PMI_ORACLE, tags=("text-analysis",))
+@register("pmi_collocations", oracle=_PMI_ORACLE, bench=True, tags=("text-analysis",))
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 pointwise-mutual-information bigrams per language (count
     floor 5): PMI = ln(p(w1,w2) / p(w1)p(w2)) finds phrases glued

@@ -795,7 +795,7 @@ WHERE f.rn = f.want
 """
 
 
-@register("exact_median_two_pass", oracle=_median_oracle(), tags=("A7", "skew"))
+@register("exact_median_two_pass", oracle=_median_oracle(), bench=True, tags=("A7", "skew"))
 def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-type median of a continuous double column by two-level
     histogram refinement — the distributed selection algorithm: bucket

@@ -829,7 +829,7 @@ GROUP BY n.n_name, year(o.o_orderdate)
 """
 
 
-@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, tags=("tpch", "J2", "J4", "A1"))
+@register("tpch_q9_product_profit", oracle=_Q9_ORACLE, bench=True, tags=("tpch", "J2", "J4", "A1"))
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'hot' parts by supplier nation and order
     year. Supply cost is derived as 60% of the part's retail price (the

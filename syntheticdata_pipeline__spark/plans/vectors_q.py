@@ -1343,7 +1343,7 @@ SELECT vec_id, round(r, 6) AS pagerank FROM {prev}
 """
 
 
-@register("similarity_pagerank", oracle=_pagerank_oracle(), tags=("similarity", "graph"))
+@register("similarity_pagerank", oracle=_pagerank_oracle(), bench=True, tags=("similarity", "graph"))
 def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three deterministic PageRank iterations over the similarity graph
     (edges: same-hash-bucket vector pairs with dot ≥ 0.1, undirected) —
