@@ -938,3 +938,171 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset version diff: the snapshot-reconciliation primitive of corpus
+# versioning — what changed between release N and N+1, by content key.
+# --------------------------------------------------------------------------
+
+_VDIFF_DROP = 0.10
+_VDIFF_MOD = 0.10
+_VDIFF_ADD = 0.05
+_VDIFF_OFFSET = 1_000_000
+
+_VDIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS ck FROM documents),
+survivors AS (
+  SELECT doc_id,
+    CASE WHEN {unit_rand_sql('doc_id', 'v2mod')} < {_VDIFF_MOD}
+         THEN md5(text || '|v2') ELSE md5(text) END AS ck
+  FROM documents
+  WHERE {unit_rand_sql('doc_id', 'v2drop')} >= {_VDIFF_DROP}),
+added AS (
+  SELECT doc_id + {_VDIFF_OFFSET} AS doc_id, md5(text || '|new') AS ck
+  FROM documents
+  WHERE {unit_rand_sql('doc_id', 'v2add')} < {_VDIFF_ADD}),
+v2 AS (SELECT * FROM survivors UNION ALL SELECT * FROM added),
+classed AS (
+  SELECT CASE
+    WHEN v1.doc_id IS NULL THEN 'added'
+    WHEN v2.doc_id IS NULL THEN 'removed'
+    WHEN v1.ck = v2.ck THEN 'unchanged'
+    ELSE 'modified' END AS change_class
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT change_class, COUNT(*) AS n_docs
+FROM classed GROUP BY change_class
+"""
+
+
+@register("dataset_version_diff", oracle=_VDIFF_ORACLE, tags=("dataset-prep", "D5"))
+def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two corpus snapshots by doc id + content key: counts of
+    added / removed / modified / unchanged documents (v2 is derived from
+    v1 by seeded md5 draws — 10% dropped, 10% rewritten, 5% cloned in
+    under offset ids — so the diff is deterministic and oracle-checkable).
+
+    Scale shape: ONE full-outer shuffle join keyed by doc id, comparing
+    fixed-width md5 content keys instead of text bodies, then a
+    4-row rollup — the dataset-versioning primitive that runs between
+    corpus releases without ever comparing payloads."""
+    d = T(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("ck"))
+    survivors = d.filter(unit_rand(F.col("doc_id"), "v2drop") >= _VDIFF_DROP).select(
+        "doc_id",
+        F.when(
+            unit_rand(F.col("doc_id"), "v2mod") < _VDIFF_MOD,
+            F.md5(F.concat(F.col("text"), F.lit("|v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("ck"),
+    )
+    added = d.filter(unit_rand(F.col("doc_id"), "v2add") < _VDIFF_ADD).select(
+        (F.col("doc_id") + _VDIFF_OFFSET).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit("|new"))).alias("ck"),
+    )
+    v2 = survivors.unionByName(added)
+    j = v1.withColumnRenamed("ck", "ck1").join(
+        v2.withColumnRenamed("ck", "ck2").withColumnRenamed("doc_id", "doc_id2"),
+        v1.doc_id == F.col("doc_id2"),
+        "full_outer",
+    )
+    cls = (
+        F.when(F.col("doc_id").isNull(), F.lit("added"))
+        .when(F.col("doc_id2").isNull(), F.lit("removed"))
+        .when(F.col("ck1") == F.col("ck2"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(cls.alias("change_class")).groupBy("change_class").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-normalized quality blending: percentile-normalize heterogeneous
+# per-doc signals on their value HISTOGRAMS (the de-skewed CDF machinery),
+# then average — scores on incomparable scales become comparable ranks.
+# --------------------------------------------------------------------------
+
+from ..operators.textops import LANG_STOPWORDS as _RB_STOPS  # noqa: E402
+
+_RANKBLEND_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         round(
+           (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
+                 WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+           + least(CAST(len(list_intersect(toks, {list(_RB_STOPS['en'])!r})) AS DOUBLE) / 4.0, 1.0) * 0.3
+           + coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                        / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3,
+         4) AS qv
+  FROM (SELECT doc_id, n_chars, text, {tokens_sql('text')} AS toks
+        FROM documents)),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+qh AS (SELECT qv, COUNT(*) AS cnt FROM t GROUP BY qv),
+qc AS (
+  SELECT qv, SUM(cnt) OVER (ORDER BY qv) - cnt AS cum_lt FROM qh),
+lh AS (SELECT n_chars, COUNT(*) AS cnt FROM t GROUP BY n_chars),
+lc AS (
+  SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) - cnt AS cum_lt FROM lh)
+SELECT t.doc_id,
+  round(CAST(qc.cum_lt AS DOUBLE) / n.n_docs, 6) AS pct_quality,
+  round(CAST(lc.cum_lt AS DOUBLE) / n.n_docs, 6) AS pct_length,
+  round((round(CAST(qc.cum_lt AS DOUBLE) / n.n_docs, 6)
+         + round(CAST(lc.cum_lt AS DOUBLE) / n.n_docs, 6)) / 2.0, 6) AS composite
+FROM t
+JOIN qc ON t.qv = qc.qv
+JOIN lc ON t.n_chars = lc.n_chars
+CROSS JOIN n
+"""
+
+
+@register("rank_normalized_quality", oracle=_RANKBLEND_ORACLE, tags=("dataset-prep", "F4"))
+def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blend two incomparable per-doc signals — the heuristic quality
+    score and raw document length — by mapping each onto its empirical
+    percentile (fraction of docs strictly below) and averaging: the
+    rank-normalized ensemble used to combine curation signals whose
+    scales mean nothing to each other.
+
+    Scale shape: the quality signal is rounded to a 4-decimal grid FIRST,
+    so both percentile maps are computed on value HISTOGRAMS with
+    grid-bounded cardinality (≤10⁴ quality values; length values bounded
+    by max doc length) — the de-skewed CDF pattern: the only windows run
+    over histogram rows, and each doc picks up its percentiles through
+    two broadcastable value-keyed joins. No per-doc ranking window
+    anywhere."""
+    from ..operators.textops import quality_score
+
+    d = quality_score(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", F.round("quality", 4).alias("qv")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    wq = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    qc = (
+        d.groupBy("qv")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("q_cum_lt", F.sum("cnt").over(wq) - F.col("cnt"))
+        .select("qv", "q_cum_lt")
+    )
+    wl = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    lc = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("l_cum_lt", F.sum("cnt").over(wl) - F.col("cnt"))
+        .select("n_chars", "l_cum_lt")
+    )
+    out = (
+        d.join(F.broadcast(qc), "qv")
+        .join(F.broadcast(lc), "n_chars")
+        .crossJoin(F.broadcast(n))
+    )
+    pq = F.round(F.col("q_cum_lt").cast("double") / F.col("n_docs"), 6)
+    pl = F.round(F.col("l_cum_lt").cast("double") / F.col("n_docs"), 6)
+    return out.select(
+        "doc_id",
+        pq.alias("pct_quality"),
+        pl.alias("pct_length"),
+        F.round((pq + pl) / 2.0, 6).alias("composite"),
+    )
