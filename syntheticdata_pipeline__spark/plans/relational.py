@@ -714,3 +714,59 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lev <= _LEV_MAX)
         .select("id_a", "id_b", "name_a", "name_b", lev.cast("int").alias("lev"))
     )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-parent hierarchical rollup: each nation's share of its
+# region's revenue — the two-level ratio report shape.
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS nation_rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+reg AS (SELECT region, SUM(nation_rev) AS region_rev FROM rev GROUP BY 1)
+SELECT v.region, v.nation,
+  CAST(v.nation_rev AS DOUBLE) AS nation_rev,
+  CAST(g.region_rev AS DOUBLE) AS region_rev,
+  round(CAST(v.nation_rev AS DOUBLE) / CAST(g.region_rev AS DOUBLE), 6) AS share
+FROM rev v JOIN reg g ON v.region = g.region
+"""
+
+
+@register("region_nation_revenue_share", oracle=_SHARE_ORACLE, tags=("A3", "J4"))
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's total supplier revenue — the
+    percent-of-parent hierarchical rollup: the child level aggregates the
+    fact table ONCE (exact decimal sums), the parent level re-aggregates
+    the child rows (25 rows, no second fact scan), and the ratio joins
+    child to parent on the region key. The same cascade holds at any
+    depth at 100 TB — each level above the first costs only the previous
+    level's group count."""
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    rev = j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("nation_rev"))
+    reg = rev.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
+    return rev.join(F.broadcast(reg), "region").select(
+        "region",
+        "nation",
+        F.col("nation_rev").cast("double").alias("nation_rev"),
+        F.col("region_rev").cast("double").alias("region_rev"),
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("region_rev").cast("double"), 6
+        ).alias("share"),
+    )
