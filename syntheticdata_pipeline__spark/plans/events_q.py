@@ -901,3 +901,80 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin.select(
         "event_type", F.col("n").cast("bigint").alias("n"), F.col("value").alias("median")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS trend: is `value` drifting over time within each event
+# type? The least-squares slope per group — feed-regression detection.
+# --------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH span AS (
+  SELECT event_type, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1),
+pts AS (
+  SELECT e.event_type,
+    CASE WHEN s.mx = s.mn THEN 0.0
+         ELSE CAST(epoch_us(e.ts) - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
+    END AS x,
+    e.value AS y
+  FROM events e JOIN span s ON e.event_type = s.event_type),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(trunc(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sx,
+    CAST(SUM(CAST(trunc(y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sy,
+    CAST(SUM(CAST(trunc(x * y * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxy,
+    CAST(SUM(CAST(trunc(x * x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxx
+  FROM pts GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+FROM agg
+"""
+
+
+@register("value_trend_by_type", oracle=_TREND_ORACLE, tags=("A7", "R7"))
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of event value over normalized time per event
+    type — the drift detector that catches a feed whose metric creeps
+    between corpus snapshots. Time normalizes to [0,1] over the group's
+    span, so the slope reads as 'value change across the full window'.
+
+    Scale shape: one agg for per-type spans (broadcast back), then ONE
+    partial-agg pass accumulating the four regression sums as
+    trunc-scaled BIGINTs — exact, order-free, no window anywhere. The
+    [0,1] x-normalization also bounds the scaled xy terms, keeping the
+    BIGINT accumulators far from overflow at any realistic group size."""
+    ev = T(spark, sf_dir, "events").select("event_type", "ts_us", "value")
+    span = ev.groupBy("event_type").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    pts = ev.join(F.broadcast(span), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(
+            (F.col("ts_us") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double")
+        )
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def tsum(expr: str):
+        return (
+            F.sum(F.expr(f"CAST({expr} * 1000000000.0 AS BIGINT)")).cast("double")
+            / 1000000000.0
+        )
+
+    agg = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        tsum("x").alias("sx"),
+        tsum("y").alias("sy"),
+        tsum("x * y").alias("sxy"),
+        tsum("x * x").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "event_type", F.col("n").cast("bigint").alias("n"), F.round(slope, 6).alias("slope")
+    )
