@@ -161,3 +161,94 @@ def test_continuation_pairs_are_true_boundaries(spark):
     assert pairs, "fixture should contain at least one boundary match"
     for p in pairs:
         assert toks[p["id_prev"]][-_CONT_M:] == toks[p["id_next"]][:_CONT_M]
+
+
+def test_prefix_filter_join_lossless_vs_python(spark):
+    """Recompute the tau-threshold shingle-Jaccard pairs in pure Python
+    from the raw fixture and compare — the prefix filter must lose
+    nothing (its defining guarantee vs LSH)."""
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.docs_q import (
+        _PF_TAU,
+        jaccard_prefix_filter_join,
+    )
+    from syntheticdata_pipeline__spark.operators.neardup import word_shingles
+
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in jaccard_prefix_filter_join(spark, SF_SMOKE).collect()
+    )
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in T(spark, SF_SMOKE, "documents")
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .collect()
+    }
+    ids = sorted(sets)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= _PF_TAU:
+                want.append((a, b))
+    assert got == sorted(want)
+    assert want, "fixture should contain near-dup pairs at this threshold"
+
+
+def test_exact_median_matches_python_sort(spark):
+    """The two-level refinement must select exactly the lower median
+    (k = (n+1)//2-th smallest) per group, recomputed by a full Python
+    sort of the raw values."""
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.events_q import exact_median_two_pass
+
+    got = {
+        r["event_type"]: (r["n"], r["median"])
+        for r in exact_median_two_pass(spark, SF_SMOKE).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in T(spark, SF_SMOKE, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for t, vs in vals.items():
+        vs.sort()
+        k = (len(vs) + 1) // 2
+        assert got[t] == (len(vs), vs[k - 1]), t
+
+
+def test_value_trend_matches_python_ols(spark):
+    """Slope per type equals an unscaled numpy-free Python OLS on the
+    same [0,1]-normalized points, within the trunc-grid tolerance."""
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.events_q import value_trend_by_type
+
+    got = {r["event_type"]: r["slope"] for r in value_trend_by_type(spark, SF_SMOKE).collect()}
+    rows = (
+        T(spark, SF_SMOKE, "events").select("event_type", "ts_us", "value").collect()
+    )
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["ts_us"], r["value"]))
+    for t, pts in by_type.items():
+        mn = min(p[0] for p in pts)
+        mx = max(p[0] for p in pts)
+        xs = [0.0 if mx == mn else (p[0] - mn) / (mx - mn) for p in pts]
+        ys = [p[1] for p in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(got[t] - slope) < 1e-4, t
+
+
+def test_version_diff_partitions_every_doc(spark):
+    """added + removed + modified + unchanged must account for exactly
+    |v1 ∪ v2| docs, and the class counts must match the seeded draws."""
+    from syntheticdata_pipeline__spark.plans.common import T
+    from syntheticdata_pipeline__spark.plans.dataset_q import dataset_version_diff
+
+    got = {r["change_class"]: r["n_docs"] for r in dataset_version_diff(spark, SF_SMOKE).collect()}
+    n_v1 = T(spark, SF_SMOKE, "documents").count()
+    assert set(got) == {"added", "removed", "modified", "unchanged"}
+    # v1 docs split into removed/modified/unchanged; added rows are extra.
+    assert got["removed"] + got["modified"] + got["unchanged"] == n_v1
+    assert got["added"] > 0 and got["removed"] > 0 and got["modified"] > 0
