@@ -101,3 +101,76 @@ class StateTable:
         if not self.exists():
             return work
         return work.join(self.load(), on=self.key_cols, how="left_anti")
+
+
+def incremental_transition_counts(
+    chunk: DataFrame,
+    last_state: DataFrame | None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Markov transition counts over an event stream ingested in
+    time-ordered chunks: within-chunk (prev → next) pairs from a per-user
+    lag, PLUS the boundary transition from each user's last event of the
+    previous chunks (the state) into their first event of this chunk.
+
+    Precondition (like incremental_minhash_dedup's monotone ids): chunks
+    arrive in event-time order per user — every row in the state is
+    earlier than every row of the chunk for that user. Under it the
+    operator is associative: any chunking sums to the one-shot lag
+    counts (tests/test_round6_analytics.py proves chunked == batch).
+
+    Returns ``(counts, new_state)``: counts is (from_type, to_type, n)
+    for THIS chunk (merge across chunks by summing — counts are a
+    monoid); new_state is one (user, type, ts, id) row per user seen so
+    far, the O(users) rollup state a 100 TB stream keeps instead of its
+    history.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = chunk.withColumn("__prev", F.lag(type_col).over(w))
+    within = (
+        seq.filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    firsts = (
+        chunk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(user_col, F.col(type_col).alias("__first_type"))
+    )
+    chunk_last = (
+        chunk.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(user_col).orderBy(
+                    F.col(ts_col).desc(), F.col(id_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(user_col, type_col, ts_col, id_col)
+    )
+    if last_state is None or not last_state.columns:
+        return within, chunk_last
+    boundary = (
+        last_state.select(user_col, F.col(type_col).alias("__last_type"))
+        .join(firsts, user_col)
+        .groupBy(
+            F.col("__last_type").alias("from_type"),
+            F.col("__first_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    counts = (
+        within.unionByName(boundary)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    # users absent from this chunk keep their old state row
+    carried = last_state.join(chunk_last.select(user_col), user_col, "left_anti")
+    return counts, carried.unionByName(chunk_last)

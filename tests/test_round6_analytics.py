@@ -252,3 +252,49 @@ def test_version_diff_partitions_every_doc(spark):
     # v1 docs split into removed/modified/unchanged; added rows are extra.
     assert got["removed"] + got["modified"] + got["unchanged"] == n_v1
     assert got["added"] > 0 and got["removed"] > 0 and got["modified"] > 0
+
+
+def test_incremental_transitions_equal_batch(spark):
+    """Chunk the stream into 3 time-ordered slices, thread the last-event
+    state through incremental_transition_counts, sum the chunk counts —
+    must equal the one-shot per-user lag counts (boundary transitions
+    included), proving the operator associative under the time-order
+    precondition."""
+    from pyspark.sql import Window
+
+    from syntheticdata_pipeline__spark.operators.state import (
+        incremental_transition_counts,
+    )
+    from syntheticdata_pipeline__spark.plans.common import T
+
+    ev = T(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    chunks = [
+        ev.filter(F.col("ts_us") <= cut1),
+        ev.filter((F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2)),
+        ev.filter(F.col("ts_us") > cut2),
+    ]
+    state = None
+    totals: dict[tuple, int] = {}
+    for c in chunks:
+        counts, state = incremental_transition_counts(c, state)
+        state = state.cache()
+        for r in counts.collect():
+            k = (r["from_type"], r["to_type"])
+            totals[k] = totals.get(k, 0) + r["n"]
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r["prev"], r["event_type"]): r["n"] for r in batch}
+    assert totals == want
+    # state holds exactly one row per user ever seen
+    assert state.count() == ev.select("user_id").distinct().count()
