@@ -770,3 +770,88 @@ def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_rev").cast("double") / F.col("region_rev").cast("double"), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end: block → pairwise score → transitive
+# cluster → canonicalize. The master-data pipeline over noisy names.
+# --------------------------------------------------------------------------
+
+_ER_LEV = 2
+
+_ER_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT p_partkey, p_name,
+         list_extract(string_split(p_name, ' '), -1) AS noun
+  FROM part WHERE p_partkey < {_FUZZY_CAP}),
+e0 AS (
+  SELECT a.p_partkey AS s, b.p_partkey AS d
+  FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= {_ER_LEV}),
+edges AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.src, e.d FROM reach JOIN edges e ON reach.dst = e.s),
+lab AS (SELECT src, MIN(dst) AS rep FROM reach GROUP BY src),
+labeled AS (
+  SELECT a.p_partkey, COALESCE(l.rep, a.p_partkey) AS canonical_id
+  FROM p a LEFT JOIN lab l ON a.p_partkey = l.src)
+SELECT x.p_partkey, x.canonical_id, n.p_name AS canonical_name,
+       COUNT(*) OVER (PARTITION BY x.canonical_id) AS cluster_size
+FROM labeled x JOIN p n ON x.canonical_id = n.p_partkey
+"""
+
+
+@register("entity_resolution_parts", oracle=_ER_ORACLE, tags=("dedup-jaccard", "clusters", "D1"))
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end over part names: BLOCK on the head
+    noun (no all-pairs), SCORE blocked pairs by edit distance ≤ 2,
+    CLUSTER transitively via distributed min-label propagation, and
+    CANONICALIZE every part to its cluster representative's name —
+    singletons map to themselves. The master-data-dedup pipeline as one
+    Catalyst plan.
+
+    Scale shape: blocking bounds the candidate join exactly like the
+    inverted-index dedup family; label propagation is O(diameter) rounds
+    of node-keyed joins (the quadratic transitive closure exists only in
+    the DuckDB oracle); canonical names arrive through one broadcastable
+    rep-keyed join; the only window counts rows per already-computed
+    cluster id."""
+    from ..operators.clusters import connected_components
+
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < _FUZZY_CAP)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+        )
+    )
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "noun")
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "noun")
+    edges = (
+        a.join(b, "noun")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= _ER_LEV)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    labeled = (
+        p.join(labels.withColumnRenamed("node", "p_partkey"), "p_partkey", "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("lab"), F.col("p_partkey")).alias("canonical_id"),
+        )
+    )
+    canon = p.select(
+        F.col("p_partkey").alias("canonical_id"), F.col("p_name").alias("canonical_name")
+    )
+    sizes = labeled.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(F.broadcast(canon), "canonical_id")
+        .join(F.broadcast(sizes), "canonical_id")
+        .select("p_partkey", "canonical_id", "canonical_name", "cluster_size")
+    )
