@@ -298,3 +298,48 @@ def test_incremental_transitions_equal_batch(spark):
     assert totals == want
     # state holds exactly one row per user ever seen
     assert state.count() == ev.select("user_id").distinct().count()
+
+
+def test_incremental_transitions_random_chunkings(spark):
+    """Property over 6 seeded random streams: for ANY time-ordered
+    chunking (random cut count/positions), summed incremental counts
+    equal the one-shot lag counts, and the final state is each user's
+    true last event."""
+    import random
+
+    from syntheticdata_pipeline__spark.operators.state import (
+        incremental_transition_counts,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(8, 40)
+        rows = [
+            (rng.randint(0, 4), rng.choice("abc"), t * 10 + rng.randint(0, 5), t)
+            for t in range(n)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long, event_id long")
+        cuts = sorted(rng.sample(range(0, n * 10), rng.randint(0, 3))) + [n * 10 + 10]
+        state, totals, lo = None, {}, -1
+        for c in cuts:
+            chunk = df.filter((F.col("ts_us") > lo) & (F.col("ts_us") <= c))
+            counts, state = incremental_transition_counts(chunk, state)
+            for r in counts.collect():
+                k = (r["from_type"], r["to_type"])
+                totals[k] = totals.get(k, 0) + r["n"]
+            lo = c
+        # python reference
+        by_user: dict[int, list[tuple[int, int, str]]] = {}
+        for u, t, ts, eid in rows:
+            by_user.setdefault(u, []).append((ts, eid, t))
+        want: dict[tuple, int] = {}
+        last = {}
+        for u, seq in by_user.items():
+            seq.sort()
+            for (p, n_) in zip(seq, seq[1:]):
+                k = (p[2], n_[2])
+                want[k] = want.get(k, 0) + 1
+            last[u] = seq[-1][2]
+        assert totals == want, f"seed {seed}"
+        got_last = {r["user_id"]: r["event_type"] for r in state.collect()}
+        assert got_last == last, f"seed {seed}"
