@@ -978,3 +978,49 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", F.col("n").cast("bigint").alias("n"), F.round(slope, 6).alias("slope")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-in-state: how long does a user sit in each event type before the
+# next event — the dwell/engagement metric of the stream.
+# --------------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS next_us
+  FROM events)
+SELECT event_type,
+  COUNT(next_us) AS n_intervals,
+  CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
+  round(CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us), 6) AS avg_dwell_us
+FROM seq WHERE next_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("dwell_time_by_type", oracle=_DWELL_ORACLE, tags=("R7", "A7", "windows"))
+def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event type: the gap from each event to the same
+    user's next event, summed and averaged per type — pure integer-µs
+    lead arithmetic, the engagement metric that tells which states users
+    linger in.
+
+    Scale shape: one lead() over bounded per-user partitions (the
+    accepted lag/moving-average class), then a map-side-partial rollup
+    keyed by event type. Integer sums are exact and order-free; the only
+    float is the final average division."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dwell = F.col("next_us") - F.col("ts_us")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dwell).cast("bigint").alias("total_dwell_us"),
+        F.round(
+            F.sum(dwell).cast("double") / F.count("*"), 6
+        ).alias("avg_dwell_us"),
+    )
