@@ -2675,8 +2675,9 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the prefix index is a posting-list equi-join like the
     n-gram inverted index, but postings hold only prefix occurrences of
     the RAREST tokens — the frequency ordering empties the long lists a
-    naive token join would choke on. The only window ranks the global
-    vocabulary histogram (corpus-sublinear, the zipf precedent); exact
+    naive token join would choke on. No window anywhere: the rarest-
+    first order comes from sorting each doc's (frequency, shingle)
+    structs locally after an equi-join with the frequency table; exact
     verification joins the two token arrays per surviving candidate
     only."""
     d = T(spark, sf_dir, "documents")
@@ -2686,17 +2687,15 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    wr = Window.orderBy("cnt", "token")
-    rank = freq.withColumn("rnk", F.row_number().over(wr)).select("token", "rnk")
-    # rarest-first ordering: attach each token's global rank, sort the
-    # per-doc list by rank, keep the prefix that any qualifying partner
-    # must intersect.
+    # rarest-first ordering WITHOUT a global rank window: sorting each
+    # doc's shingles by the (frequency, shingle) struct gives the exact
+    # row_number-over-(cnt, token) order — the key is unique per shingle
+    # — so no single-task sort of the (corpus-sized) vocabulary ever
+    # materializes; the frequency table is only equi-joined.
     long = toks.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("token"))
-    ranked = long.join(rank, "token")
+    ranked = long.join(freq, "token")
     ordered = ranked.groupBy("doc_id", "n").agg(
-        F.array_sort(F.collect_list(F.struct("rnk", "token"))).alias("rt")
+        F.array_sort(F.collect_list(F.struct("cnt", "token"))).alias("rt")
     )
     prefix_len = (F.col("n") - F.ceil(F.lit(_PF_TAU) * F.col("n")) + 1).cast("int")
     prefix = ordered.select(
