@@ -50,6 +50,11 @@ STRESS_QUERIES = (
     "winnowing_fingerprints",
     "intradoc_repeated_span",
     "cross_source_overlap",
+    # prefix-filter join: postings/candidates run on DISTINCT sets after
+    # the identical-set collapse — growth must track unique docs + the
+    # re-expanded output, never the quadratic duplicate count.
+    "jaccard_prefix_filter_join",
+    "doc_continuation_pairs",
 )
 STRESS_FACTOR = 10
 # second, deeper replication point for the incremental state path: the

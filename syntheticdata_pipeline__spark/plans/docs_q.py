@@ -2607,7 +2607,7 @@ FROM tails t JOIN heads h
 """
 
 
-@register("doc_continuation_pairs", oracle=_CONT_ORACLE, tags=("dedup-exact", "T6"))
+@register("doc_continuation_pairs", oracle=_CONT_ORACLE, bench=True, tags=("dedup-exact", "T6"))
 def doc_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs where one doc's last 3 tokens verbatim equal
     another's first 3 — the signal that a source document was split
@@ -2662,7 +2662,7 @@ FROM pairs WHERE jac >= {_PF_TAU}
 """
 
 
-@register("jaccard_prefix_filter_join", oracle=_PF_ORACLE, tags=("dedup-jaccard", "D1"))
+@register("jaccard_prefix_filter_join", oracle=_PF_ORACLE, bench=True, tags=("dedup-jaccard", "D1"))
 def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-gram-shingle-set Jaccard ≥ 0.6, found by
     PREFIX FILTERING (AllPairs/PPJoin, Bayardo et al. 2007): order each
@@ -2679,11 +2679,23 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     first order comes from sorting each doc's (frequency, shingle)
     structs locally after an equi-join with the frequency table; exact
     verification joins the two token arrays per surviving candidate
-    only."""
+    only — and every stage downstream of shingling sees only DISTINCT
+    shingle sets (identical-set collapse), so duplicate-heavy corpora
+    cost postings proportional to unique documents."""
+    from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
+
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", word_shingles(F.col("text")).alias("ts"))
+    shingled = d.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("ts")
+    ).repartition("id")
+    # identical shingle sets collapse to one representative first: the
+    # postings, candidate join, and verification all run on DISTINCT
+    # sets; duplicate-heavy corpora re-expand only at output (within-
+    # group pairs are Jaccard 1.0 by definition).
+    groups = collapse_identical_sets(shingled, id_col="id", set_col="ts")
+    reps = groups.select("id", "ts")
     freq = (
-        toks.select(F.explode("ts").alias("token"))
+        reps.select(F.explode("ts").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -2692,31 +2704,34 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number-over-(cnt, token) order — the key is unique per shingle
     # — so no single-task sort of the (corpus-sized) vocabulary ever
     # materializes; the frequency table is only equi-joined.
-    long = toks.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("token"))
+    long = reps.select("id", F.size("ts").alias("n"), F.explode("ts").alias("token"))
     ranked = long.join(freq, "token")
-    ordered = ranked.groupBy("doc_id", "n").agg(
+    ordered = ranked.groupBy("id", "n").agg(
         F.array_sort(F.collect_list(F.struct("cnt", "token"))).alias("rt")
     )
     prefix_len = (F.col("n") - F.ceil(F.lit(_PF_TAU) * F.col("n")) + 1).cast("int")
     prefix = ordered.select(
-        "doc_id",
+        "id",
         F.explode(F.slice(F.col("rt.token"), 1, prefix_len)).alias("token"),
     )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "token")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    ta = reps.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = reps.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
     union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
-    return (
+    rep_pairs = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("jac", inter / union)
         .filter(F.col("jac") >= _PF_TAU)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+    return expand_collapsed_pairs(
+        rep_pairs, groups, id_col="id", within_payload={"jac": F.lit(1.0)}
     )
