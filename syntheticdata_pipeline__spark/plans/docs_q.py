@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.determinism import unit_rand_sql
 from ..functions.text import tokens, tokens_sql
 from ..operators.neardup import (
     hamming16_sql,
@@ -2734,4 +2735,103 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return expand_collapsed_pairs(
         rep_pairs, groups, id_col="id", within_payload={"jac": F.lit(1.0)}
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampled duplication-rate estimate: measure the corpus's exact-dup rate
+# on a seeded sample (with a Wilson interval) BEFORE paying for the full
+# dedup run — the job-planning primitive at 100 TB.
+# --------------------------------------------------------------------------
+
+_DUPEST_RATE = 0.2
+_DUPEST_Z = 1.96
+
+_DUPEST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(ts) - 7, 1) + 1),
+                          i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS ck
+  FROM toks),
+grp AS (SELECT ck, COUNT(*) AS n FROM grams GROUP BY ck),
+truth AS (
+  SELECT CAST(SUM(n - 1) AS DOUBLE) / SUM(n) AS true_rate FROM grp),
+samp AS (
+  SELECT g.ck FROM grams g
+  WHERE {unit_rand_sql('g.ck', 'dupest')} < {_DUPEST_RATE}),
+sgrp AS (SELECT ck, COUNT(*) AS n FROM samp GROUP BY ck),
+est AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_sampled,
+         CAST(SUM(n - 1) AS DOUBLE) / SUM(n) AS est_rate
+  FROM sgrp)
+SELECT e.n_sampled, round(e.est_rate, 6) AS est_rate,
+  round(greatest(0.0,
+    (e.est_rate + {_DUPEST_Z}*{_DUPEST_Z}/(2*e.n_sampled)
+     - {_DUPEST_Z} * sqrt((e.est_rate*(1-e.est_rate)
+        + {_DUPEST_Z}*{_DUPEST_Z}/(4*e.n_sampled)) / e.n_sampled))
+    / (1 + {_DUPEST_Z}*{_DUPEST_Z}/e.n_sampled)), 6) AS ci_lo,
+  round(least(1.0,
+    (e.est_rate + {_DUPEST_Z}*{_DUPEST_Z}/(2*e.n_sampled)
+     + {_DUPEST_Z} * sqrt((e.est_rate*(1-e.est_rate)
+        + {_DUPEST_Z}*{_DUPEST_Z}/(4*e.n_sampled)) / e.n_sampled))
+    / (1 + {_DUPEST_Z}*{_DUPEST_Z}/e.n_sampled)), 6) AS ci_hi,
+  round(t.true_rate, 6) AS true_rate
+FROM est e CROSS JOIN truth t
+"""
+
+
+@register("dup_rate_estimate", oracle=_DUPEST_ORACLE, tags=("dedup-exact", "tuning", "M4"))
+def dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim 8-gram repetition rate (the Lee et al. 2021 duplication
+    measure) estimated from a seeded 20% document sample with its Wilson
+    95% interval, next to the full-corpus truth — the estimate you
+    compute on a sliver before committing a 100 TB dedup run (the truth
+    columns exist for the oracle check; production reads only the sample
+    row). The draw samples by gram KEY, not by document: every
+    occurrence of a sampled gram is kept, so each gram group survives
+    intact and the estimator is unbiased for the group-structured rate —
+    sampling by row/doc would destroy exactly the cross-document repeats
+    being measured (both endpoints must land in a row sample, deflating
+    the estimate by the sampling fraction).
+
+    Scale shape: the sample is a map-side md5 filter on the gram, one
+    groupBy over one-fifth of the gram keys; the truth pass is the same
+    shape. All scalar math rides a 1-row crossJoin."""
+    from ..functions.determinism import unit_rand
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 7, 1)), "
+                "i -> concat_ws(' ', slice(ts, i, 8)))"
+            )
+        ).alias("ck"),
+    )
+    grp = grams.groupBy("ck").agg(F.count("*").alias("n"))
+    truth = grp.agg(
+        (F.sum(F.col("n") - 1).cast("double") / F.sum("n")).alias("true_rate")
+    )
+    samp = grams.filter(unit_rand(F.col("ck"), "dupest") < _DUPEST_RATE)
+    sgrp = samp.groupBy("ck").agg(F.count("*").alias("n"))
+    est = sgrp.agg(
+        F.sum("n").cast("bigint").alias("n_sampled"),
+        (F.sum(F.col("n") - 1).cast("double") / F.sum("n")).alias("est_rate"),
+    )
+    z2 = _DUPEST_Z * _DUPEST_Z
+    p, ns = F.col("est_rate"), F.col("n_sampled")
+    center = p + F.lit(z2) / (2 * ns)
+    half = F.lit(_DUPEST_Z) * F.sqrt((p * (1 - p) + F.lit(z2) / (4 * ns)) / ns)
+    denom = 1 + F.lit(z2) / ns
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_sampled",
+        F.round(p, 6).alias("est_rate"),
+        F.round(F.greatest(F.lit(0.0), (center - half) / denom), 6).alias("ci_lo"),
+        F.round(F.least(F.lit(1.0), (center + half) / denom), 6).alias("ci_hi"),
+        F.round(F.col("true_rate"), 6).alias("true_rate"),
     )
