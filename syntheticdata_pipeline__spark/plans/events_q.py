@@ -812,9 +812,23 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles computed identically in both engines; counts are exact; the
     only windows run over ≤512 histogram rows per group."""
     ev = T(spark, sf_dir, "events").select("event_type", "value")
-    k = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx")
-    ).withColumn("k", F.expr("(n + 1) DIV 2"))
+    # The per-group stats/threshold tables are tiny (|groups| and ≤512
+    # histogram rows) but their lineage re-embeds the fact scan; without
+    # truncation every downstream reference re-expands it and the final
+    # plan re-scans the fact combinatorially (the connected_components
+    # precedent). localCheckpoint pins each tiny table after one
+    # computation, so the fact table is scanned O(passes) times, not
+    # O(references).
+    k = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .withColumn("k", F.expr("(n + 1) DIV 2"))
+        .localCheckpoint(eager=False)
+    )
     b = _MED_B
 
     def bucket(val, mn, mx):
@@ -848,7 +862,11 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cum").alias("before1"))
     )
     # before1 is absent when the target is the first bucket
-    t1full = t1.join(o1, "event_type", "left").na.fill({"before1": 0})
+    t1full = (
+        t1.join(o1, "event_type", "left")
+        .na.fill({"before1": 0})
+        .localCheckpoint(eager=False)
+    )
     b2 = (
         b1.join(F.broadcast(t1full), "event_type")
         .filter(F.col("bkt") == F.col("tb"))
@@ -890,7 +908,11 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("cum").alias("before2"))
     )
-    t2full = t2.join(o2, "event_type", "left").na.fill({"before2": 0})
+    t2full = (
+        t2.join(o2, "event_type", "left")
+        .na.fill({"before2": 0})
+        .localCheckpoint(eager=False)
+    )
     wfin = Window.partitionBy("event_type").orderBy("value")
     fin = (
         b2.join(F.broadcast(t2full), "event_type")
