@@ -2298,11 +2298,19 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("id")
     )
     groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
-    sizes = groups.select("id", F.size("members").cast("bigint").alias("m"))
+    # sigs/sizes/within feed all four configs: truncate their lineage so
+    # the shingling+collapse subtree computes once, not once per config
+    # (same fix as the two-pass median; without it the final plan carried
+    # 20 document scans).
+    sizes = groups.select(
+        "id", F.size("members").cast("bigint").alias("m")
+    ).localCheckpoint(eager=False)
     within = sizes.agg(
         F.sum(F.expr("m * (m - 1) DIV 2")).cast("bigint").alias("within_pairs")
-    )
-    sigs = groups.select("id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig"))
+    ).localCheckpoint(eager=False)
+    sigs = groups.select(
+        "id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig")
+    ).localCheckpoint(eager=False)
     out = None
     for b, r in _SWEEP_CONFIGS:
         bands_arr = F.array(

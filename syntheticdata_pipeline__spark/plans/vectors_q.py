@@ -1261,7 +1261,13 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
     from pyspark.sql import Window
 
-    base = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    # base feeds the truth pass plus one pass per truncation dim:
+    # truncate its lineage so the scored cross join computes once.
+    base = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .localCheckpoint(eager=False)
+    )
     w = lambda s: Window.partitionBy("query_id").orderBy(F.col(s).desc(), "neighbor_id")  # noqa: E731
     truth = (
         base.select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("s"))
@@ -1376,7 +1382,10 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     verts = T(spark, sf_dir, "embeddings").select("vec_id")
     ranks = verts.withColumn("r", F.lit(1.0))
-    ej = edges.join(deg, "src")
+    # Pin the edge list once and each iteration's ranks: otherwise the
+    # similarity join re-derives per iteration and the plan doubles each
+    # round (the connected_components precedent).
+    ej = edges.join(deg, "src").localCheckpoint(eager=False)
     for _ in range(_PR_ITERS):
         contrib = (
             ej.join(ranks.withColumnRenamed("vec_id", "src"), "src")
@@ -1387,12 +1396,16 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("sc").alias("s"))
         )
-        ranks = verts.join(contrib, verts.vec_id == contrib.dst, "left").select(
-            "vec_id",
-            (
-                F.lit(1 - _PR_DAMP)
-                + F.lit(_PR_DAMP)
-                * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9))
-            ).alias("r"),
+        ranks = (
+            verts.join(contrib, verts.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(1 - _PR_DAMP)
+                    + F.lit(_PR_DAMP)
+                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
