@@ -579,10 +579,14 @@ def cluster_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import connected_components
     from .docs_q import minhash_lsh_candidates
 
+    # pin the pair list and labels: both feed the per-doc AND per-cluster
+    # policies below, and without truncation each reference re-runs the
+    # whole LSH pipeline (the plan carried 20 document scans).
     pairs = (
         minhash_lsh_candidates(spark, sf_dir)
         .filter(F.col("jac") >= _CLUSTER_JAC)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     labels = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "node", "doc_id"

@@ -303,7 +303,11 @@ def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    # vocabulary-sized LM table, referenced twice (totals + the scoring
+    # join): pin it so the token explode underneath runs once for it.
+    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=False
+    )
     tot = lm.groupBy("lang").agg(F.sum("cnt").alias("total"))
     scored = (
         toks.join(lm, ["lang", "token"])
@@ -1435,7 +1439,9 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt"))
+    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt")).localCheckpoint(
+        eager=False
+    )
     w1tot = bi.groupBy("lang", "w1").agg(F.sum("bcnt").alias("w1cnt"))
     lm = (
         bi.join(w1tot, ["lang", "w1"])
@@ -2185,7 +2191,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    # vocabulary-sized LM table, referenced twice (totals + the scoring
+    # join): pin it so the token explode underneath runs once for it.
+    lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=False
+    )
     tot = lm.groupBy("lang").agg(F.sum("cnt").alias("total"))
     scored = (
         toks.join(lm, ["lang", "token"])
@@ -2549,7 +2559,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt"))
+    bi = trans.groupBy("lang", "w1", "w2").agg(F.count("*").alias("bcnt")).localCheckpoint(
+        eager=False
+    )
     btot = bi.groupBy("lang").agg(F.sum("bcnt").alias("n2"))
     scored = (
         bi.filter(F.col("bcnt") >= _PMI_MIN_COUNT)

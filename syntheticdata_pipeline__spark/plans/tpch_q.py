@@ -788,8 +788,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part").filter(
         (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 30)
     )
-    cand = ps.join(F.broadcast(p), F.col("pk") == F.col("p_partkey")).join(
-        F.broadcast(eu), F.col("sk") == F.col("s_suppkey")
+    # cand feeds both the per-part MIN and the final equality join; pin
+    # it so the fact-table aggregation underneath runs once.
+    cand = (
+        ps.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .localCheckpoint(eager=False)
     )
     mn = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(
         F.min("supplycost").alias("min_cost")

@@ -253,13 +253,20 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_kernel.py asserts the recall floor). Reuses the
     three registered ANN plans; the intersection join is on (query_id,
     neighbor_id) — query-sized, broadcastable at any corpus scale."""
-    brute = ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # each top-k result is k x queries rows but its lineage is a full ANN
+    # pipeline; pin them so the multi-reference recall math below never
+    # re-runs a search path.
+    brute = (
+        ann_brute_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     lsh = ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=False)
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=False)
     cand = lsh.unionByName(ivf)
     methods = cand.select("method").distinct()
     hits = cand.join(F.broadcast(brute), ["query_id", "neighbor_id"]).groupBy(
