@@ -105,6 +105,7 @@ _NLJ_ALLOWED = {
     "pipeline_end_to_end",
     "max_page_number",
     "embedding_int8_quantize",  # broadcast scale-array crossJoin (1 row)
+    "dup_rate_estimate",  # 1-row estimate x 1-row truth scalar crossJoin
     "funnel_conversion_ordered",  # broadcast per-step scalar thresholds
     "negative_sample_pairs",  # bounded seeded pairing (J1 budget class)
 }
