@@ -2855,3 +2855,83 @@ def dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), (center + half) / denom), 6).alias("ci_hi"),
         F.round(F.col("true_rate"), 6).alias("true_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH parameter chooser: close the tuning loop over the band sweep —
+# collision probability at the target similarity per config, feasibility,
+# and the cheapest feasible config chosen.
+# --------------------------------------------------------------------------
+
+_CHOOSER_TAU = 0.8
+_CHOOSER_FLOOR = 0.9
+
+
+def _chooser_oracle() -> str:
+    rows = []
+    for b, r in _SWEEP_CONFIGS:
+        p = 1.0 - (1.0 - _CHOOSER_TAU**r) ** b
+        rows.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band, CAST({p!r} AS DOUBLE) AS p_collision"
+        )
+    probs = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH sweep AS ({_sweep_oracle()}),
+probs AS ({probs}),
+j AS (
+  SELECT s.n_bands, s.rows_per_band, s.n_candidate_pairs,
+         round(p.p_collision, 6) AS p_collision,
+         (p.p_collision >= {_CHOOSER_FLOOR}) AS feasible
+  FROM sweep s JOIN probs p
+    ON s.n_bands = p.n_bands AND s.rows_per_band = p.rows_per_band),
+best AS (
+  SELECT MIN(n_candidate_pairs) AS best_cand FROM j WHERE feasible)
+SELECT j.n_bands, j.rows_per_band, j.n_candidate_pairs, j.p_collision, j.feasible,
+  (j.feasible AND j.n_candidate_pairs = b.best_cand) AS chosen
+FROM j CROSS JOIN best b
+"""
+
+
+@register("lsh_param_chooser", oracle=_chooser_oracle(), tags=("dedup-minhash", "tuning"))
+def lsh_param_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the LSH tuning loop: for each (bands × rows) split of the
+    12-hash signature, the analytic collision probability
+    1−(1−τ^r)^b at the target similarity τ=0.8, a feasibility flag
+    (probability ≥ 0.9), and the measured candidate volume from the band
+    sweep — the CHOSEN config is the cheapest feasible one. This is the
+    table a 100 TB dedup run reads to pick its banding before touching
+    the corpus.
+
+    Scale shape: inherits the sweep's collapsed candidate counting; the
+    probability column is a per-config literal; choosing the winner
+    compares 4 rows against a 1-row broadcast minimum."""
+    sweep = lsh_band_sweep(spark, sf_dir)
+    probs = None
+    for b, r in _SWEEP_CONFIGS:
+        p = 1.0 - (1.0 - _CHOOSER_TAU**r) ** b
+        row = spark.range(1).select(
+            F.lit(b).alias("n_bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit(p).alias("p_collision"),
+        )
+        probs = row if probs is None else probs.unionByName(row)
+    j = sweep.join(F.broadcast(probs), ["n_bands", "rows_per_band"]).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidate_pairs",
+        F.round("p_collision", 6).alias("p_collision"),
+        (F.col("p_collision") >= _CHOOSER_FLOOR).alias("feasible"),
+    )
+    best = j.filter(F.col("feasible")).agg(
+        F.min("n_candidate_pairs").alias("best_cand")
+    )
+    return j.crossJoin(F.broadcast(best)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidate_pairs",
+        "p_collision",
+        "feasible",
+        (F.col("feasible") & (F.col("n_candidate_pairs") == F.col("best_cand"))).alias(
+            "chosen"
+        ),
+    )

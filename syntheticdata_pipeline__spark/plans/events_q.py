@@ -1046,3 +1046,68 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dwell).cast("double") / F.count("*"), 6
         ).alias("avg_dwell_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent 3-step sequences: the top event-type trigrams across user
+# streams — sequence mining one order above the transition matrix.
+# --------------------------------------------------------------------------
+
+_TRIGRAM_TOPK = 10
+
+_SEQ3_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t2,
+         lag(event_type, 1) OVER w AS t1,
+         lag(event_type, 2) OVER w AS t0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+tri AS (
+  SELECT t0, t1, t2, COUNT(*) AS n FROM seq
+  WHERE t0 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT SUM(n) AS total FROM tri),
+ranked AS (
+  SELECT t0, t1, t2, n,
+         row_number() OVER (ORDER BY n DESC, t0, t1, t2) AS rnk
+  FROM tri)
+SELECT r.t0, r.t1, r.t2, r.n, round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+  CAST(r.rnk AS INTEGER) AS rank
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= {_TRIGRAM_TOPK}
+"""
+
+
+@register("top_event_trigrams", oracle=_SEQ3_ORACLE, tags=("A2", "windows"))
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type sequences across all user streams,
+    with each trigram's share of all observed trigrams — the sequence-
+    mining view one order above the transition matrix (funnel discovery
+    rather than funnel verification).
+
+    Scale shape: two lags over bounded per-user partitions, then a
+    rollup at |event_type|³ size; the top-10 rank window runs over that
+    cube (125 rows here, bounded by the type vocabulary cubed — never
+    the stream), and the share total is a 1-row broadcast."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        ev.withColumn("t1", F.lag("event_type", 1).over(w))
+        .withColumn("t0", F.lag("event_type", 2).over(w))
+        .filter(F.col("t0").isNotNull())
+    )
+    tri = seq.groupBy(
+        F.col("t0"), F.col("t1"), F.col("event_type").alias("t2")
+    ).agg(F.count("*").alias("n"))
+    tot = tri.agg(F.sum("n").alias("total"))
+    wr = Window.orderBy(F.col("n").desc(), "t0", "t1", "t2")
+    ranked = tri.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= _TRIGRAM_TOPK
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "t0",
+        "t1",
+        "t2",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.col("rnk").cast("int").alias("rank"),
+    )

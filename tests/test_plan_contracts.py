@@ -106,6 +106,8 @@ _NLJ_ALLOWED = {
     "max_page_number",
     "embedding_int8_quantize",  # broadcast scale-array crossJoin (1 row)
     "dup_rate_estimate",  # 1-row estimate x 1-row truth scalar crossJoin
+    "top_event_trigrams",  # 1-row share-total broadcast crossJoin
+    "lsh_param_chooser",  # 4-row config table x 1-row best-candidate minimum
     "funnel_conversion_ordered",  # broadcast per-step scalar thresholds
     "negative_sample_pairs",  # bounded seeded pairing (J1 budget class)
 }
