@@ -161,3 +161,84 @@ def hll_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .select("event_type", "hll_merged_est", "n_exact")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation by Count-Min inner product: the planner-style
+# cardinality estimate — predict |A ⋈ B| from two tiny sketches before
+# running the join.
+# --------------------------------------------------------------------------
+
+_JS_DEPTH, _JS_WIDTH = 3, 64
+
+_js_hash = (
+    lambda d, rel: f"CAST(CAST('0x' || substr(md5('cm{d}|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_JS_WIDTH} AS INTEGER)"  # noqa: E731
+)
+
+_js_union = lambda rel: " UNION ALL ".join(  # noqa: E731
+    f"SELECT {d} AS d, {_js_hash(d, rel)} AS bucket FROM {rel}" for d in range(_JS_DEPTH)
+)
+
+_JS_ORACLE = f"""
+WITH a AS (SELECT user_id FROM events WHERE event_id % 2 = 0),
+b AS (SELECT user_id FROM events WHERE event_id % 2 = 1),
+cma AS (SELECT d, bucket, COUNT(*) AS n FROM ({_js_union('a')}) GROUP BY 1, 2),
+cmb AS (SELECT d, bucket, COUNT(*) AS n FROM ({_js_union('b')}) GROUP BY 1, 2),
+inner_d AS (
+  SELECT x.d, SUM(x.n * y.n) AS est
+  FROM cma x JOIN cmb y ON x.d = y.d AND x.bucket = y.bucket
+  GROUP BY x.d),
+est AS (SELECT CAST(MIN(est) AS BIGINT) AS join_size_est FROM inner_d),
+exact AS (
+  SELECT CAST(SUM(ka.n * kb.n) AS BIGINT) AS join_size_exact
+  FROM (SELECT user_id, COUNT(*) AS n FROM a GROUP BY 1) ka
+  JOIN (SELECT user_id, COUNT(*) AS n FROM b GROUP BY 1) kb USING (user_id))
+SELECT e.join_size_est, x.join_size_exact,
+  round(CAST(e.join_size_est AS DOUBLE) / x.join_size_exact, 6) AS over_factor
+FROM est e CROSS JOIN exact x
+"""
+
+
+@register("join_size_estimate_cm", oracle=_JS_ORACLE, tags=("sketch", "tuning", "J2"))
+def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict an equi-join's output cardinality WITHOUT running it: the
+    Count-Min inner product. |A ⋈_k B| = Σ_k a_k·b_k, and the inner
+    product of two CM rows overestimates it (collisions only add), so
+    min over depths is the classic upper-bound estimate — here for the
+    self-join of the event stream's two halves on user, next to the
+    exact answer and the overestimate factor. This is the estimate a
+    planner (or a capacity check before a 100 TB join) reads from
+    sketches of d·w counters each.
+
+    Scale shape: each side's sketch is one map-side partial count
+    shuffle of at most d·w rows; the estimate joins two d·w-row tables;
+    the exact twin reduces each side to per-key counts first (never the
+    raw join). All counts exact integers — even the approximation error
+    is oracle-checked bit-for-bit."""
+    from ..operators.sketches import countmin_tables
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    cma = countmin_tables(a, F.col("user_id"), depth=_JS_DEPTH, width=_JS_WIDTH)
+    cmb = countmin_tables(b, F.col("user_id"), depth=_JS_DEPTH, width=_JS_WIDTH)
+    inner = (
+        cma.alias("x")
+        .join(cmb.alias("y"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.n") * F.col("y.n")).alias("est"))
+    )
+    est = inner.agg(F.min("est").cast("bigint").alias("join_size_est"))
+    ka = a.groupBy("user_id").agg(F.count("*").alias("na"))
+    kb = b.groupBy("user_id").agg(F.count("*").alias("nb"))
+    exact = (
+        ka.join(kb, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("join_size_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "join_size_exact",
+        F.round(
+            F.col("join_size_est").cast("double") / F.col("join_size_exact"), 6
+        ).alias("over_factor"),
+    )
