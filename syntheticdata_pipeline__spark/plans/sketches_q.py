@@ -242,3 +242,118 @@ def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("join_size_est").cast("double") / F.col("join_size_exact"), 6
         ).alias("over_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra: union / intersection / Jaccard estimates between two
+# user sets from their k-minimum-value sketches — set operations without
+# touching the raw sets.
+# --------------------------------------------------------------------------
+
+_KS_K = 64
+_KS_A, _KS_B = "view", "purchase"
+
+_ks_h = unit_rand_sql("__k", "kmvset")
+
+_KMVSET_ORACLE = f"""
+WITH dedup AS (
+  SELECT DISTINCT event_type, user_id AS __k FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+hashed AS (SELECT event_type, __k, {_ks_h} AS __h FROM dedup),
+sk AS (
+  SELECT * FROM (
+    SELECT event_type, __h,
+           row_number() OVER (PARTITION BY event_type ORDER BY __h) AS __r
+    FROM hashed)
+  WHERE __r <= {_KS_K}),
+merged AS (
+  SELECT __h, COUNT(DISTINCT event_type) AS n_types FROM sk GROUP BY __h),
+kk AS (
+  SELECT * FROM (
+    SELECT __h, n_types, row_number() OVER (ORDER BY __h) AS __r FROM merged)
+  WHERE __r <= {_KS_K}),
+est AS (
+  SELECT COUNT(*) AS nk,
+    MAX(CASE WHEN __r = {_KS_K} THEN __h END) AS hk,
+    CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rho
+  FROM kk),
+ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT __k) AS BIGINT) AS n_union_exact,
+    CAST(SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact
+  FROM (SELECT __k, COUNT(DISTINCT event_type) = 2 AS in_both FROM dedup GROUP BY __k))
+SELECT
+  round(CASE WHEN e.nk < {_KS_K} THEN CAST(e.nk AS DOUBLE)
+             ELSE {float(_KS_K - 1)} / e.hk END, 6) AS union_est,
+  round(e.rho * (CASE WHEN e.nk < {_KS_K} THEN CAST(e.nk AS DOUBLE)
+                      ELSE {float(_KS_K - 1)} / e.hk END), 6) AS inter_est,
+  round(e.rho, 6) AS jaccard_est,
+  x.n_union_exact, x.n_inter_exact,
+  round(CAST(x.n_inter_exact AS DOUBLE) / x.n_union_exact, 6) AS jaccard_exact
+FROM est e CROSS JOIN ex x
+"""
+
+
+@register("kmv_set_overlap", oracle=_KMVSET_ORACLE, tags=("sketch", "A11", "tuning"))
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV sketches: union size, intersection size, and
+    Jaccard between the 'view' and 'purchase' user sets estimated from
+    two 64-value sketches (combine sketches, take the k smallest of the
+    union, ρ = fraction present in both), next to the exact answers —
+    the audience-overlap question answered from kilobytes of state
+    instead of the raw identity sets.
+
+    Scale shape: per-set sketches are bounded top-k windows over hashed
+    DISTINCT keys (WindowGroupLimit pushes k into the sort); the combine
+    step ranks ≤2k rows; exact twins reduce to per-key aggregates. The
+    md5 hash makes sketches — and thus the approximation error —
+    bit-reproducible in both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.determinism import unit_rand
+
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    dedup = ev.select("event_type", F.col("user_id").alias("__k")).distinct()
+    hashed = dedup.withColumn("__h", unit_rand(F.col("__k"), "kmvset"))
+    wt = Window.partitionBy("event_type").orderBy("__h")
+    sk = hashed.withColumn("__r", F.row_number().over(wt)).filter(
+        F.col("__r") <= _KS_K
+    )
+    merged = sk.groupBy("__h").agg(F.countDistinct("event_type").alias("n_types"))
+    wg = Window.orderBy("__h")
+    kk = merged.withColumn("__r", F.row_number().over(wg)).filter(
+        F.col("__r") <= _KS_K
+    )
+    est = kk.agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("__r") == _KS_K, F.col("__h"))).alias("hk"),
+        (
+            F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("rho"),
+    )
+    ex = (
+        dedup.groupBy("__k")
+        .agg((F.countDistinct("event_type") == 2).alias("both"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_union_exact"),
+            F.sum(F.when(F.col("both"), 1).otherwise(0)).cast("bigint").alias(
+                "n_inter_exact"
+            ),
+        )
+    )
+    u = F.when(F.col("nk") < _KS_K, F.col("nk").cast("double")).otherwise(
+        F.lit(float(_KS_K - 1)) / F.col("hk")
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.round(u, 6).alias("union_est"),
+        F.round(F.col("rho") * u, 6).alias("inter_est"),
+        F.round("rho", 6).alias("jaccard_est"),
+        "n_union_exact",
+        "n_inter_exact",
+        F.round(
+            F.col("n_inter_exact").cast("double") / F.col("n_union_exact"), 6
+        ).alias("jaccard_exact"),
+    )
