@@ -1111,3 +1111,74 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
         F.col("rnk").cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deadline attribution: did a view convert to a purchase within 24h?
+# Conversion rate per view-day — the funnel metric with a time budget.
+# --------------------------------------------------------------------------
+
+_CONV_DEADLINE_US = 86_400_000_000  # 24h
+_DAY_US_ATTR = 86_400_000_000
+
+_ATTR_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+  FROM events),
+views AS (
+  SELECT (us // {_DAY_US_ATTR}) * {_DAY_US_ATTR} AS view_day_us,
+    (next_purchase_us IS NOT NULL
+     AND next_purchase_us - us <= {_CONV_DEADLINE_US}) AS converted
+  FROM seq WHERE event_type = 'view')
+SELECT view_day_us, COUNT(*) AS n_views,
+  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+  round(CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS conversion_rate
+FROM views GROUP BY view_day_us
+"""
+
+
+@register("conversion_deadline_attribution", oracle=_ATTR_ORACLE, tags=("R7", "windows", "A3"))
+def conversion_deadline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day conversion rate of views into a purchase by the SAME user
+    within 24 hours — attribution with a deadline, the funnel metric a
+    time-unbounded join overcounts. The forward-looking 'next purchase'
+    timestamp comes from one reversed-frame MIN window per user (rows
+    CURRENT→UNBOUNDED FOLLOWING), so each view learns its earliest
+    following purchase without any self-join.
+
+    Scale shape: a single per-user window (bounded, the accepted class)
+    plus a day-bucket rollup in integer µs; no range self-join of the
+    fact table against itself, no timestamp arithmetic outside integer
+    space."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seq = ev.withColumn(
+        "next_purchase_us",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).over(w),
+    )
+    views = seq.filter(F.col("event_type") == "view").select(
+        F.expr(f"(ts_us DIV {_DAY_US_ATTR}) * {_DAY_US_ATTR}").alias("view_day_us"),
+        (
+            F.col("next_purchase_us").isNotNull()
+            & (F.col("next_purchase_us") - F.col("ts_us") <= _CONV_DEADLINE_US)
+        ).alias("converted"),
+    )
+    return views.groupBy("view_day_us").agg(
+        F.count("*").alias("n_views"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("bigint").alias(
+            "n_converted"
+        ),
+        F.round(
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("conversion_rate"),
+    )
