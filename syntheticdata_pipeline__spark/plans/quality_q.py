@@ -653,3 +653,81 @@ def ks_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("ns").cast("bigint").alias("n_docs"), "ks_stat")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-balance chi-square: is language distribution independent of
+# source? Big residuals expose feeds that over/under-sample a language.
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+margins AS (
+  SELECT c.lang, c.source, c.o,
+    SUM(c.o) OVER (PARTITION BY c.lang) AS row_n,
+    SUM(c.o) OVER (PARTITION BY c.source) AS col_n,
+    SUM(c.o) OVER () AS n
+  FROM cells c),
+resid AS (
+  SELECT lang, source, o,
+    CAST(row_n AS DOUBLE) * col_n / n AS e
+  FROM margins),
+stat AS (
+  SELECT COUNT(*) AS n_cells,
+    CAST(SUM(CAST(trunc((o - e) * (o - e) / e * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000000.0 AS chi2
+  FROM resid)
+SELECT r.lang, r.source, r.o AS n_docs, round(r.e, 6) AS expected,
+  round((r.o - r.e) / sqrt(r.e), 6) AS std_residual,
+  round(s.chi2, 6) AS chi2_total,
+  CAST(s.n_cells AS BIGINT) AS n_cells
+FROM resid r CROSS JOIN stat s
+"""
+
+
+@register("lang_source_chi2", oracle=_CHI2_ORACLE, tags=("quality", "A7"))
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence check of the language × source
+    contingency table, with each cell's standardized residual — the
+    corpus-balance diagnostic: a large positive residual marks a feed
+    over-sampling a language (and the mixture weights that need
+    correcting).
+
+    Scale shape: one fact rollup to |lang|×|source| cells; margins are
+    windows over that contingency table (bounded by the category
+    product, never the corpus); the statistic accumulates trunc-scaled
+    BIGINTs so the float sum is order-free."""
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    m = (
+        cells.withColumn("row_n", F.sum("o").over(wl))
+        .withColumn("col_n", F.sum("o").over(ws))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    resid = m.withColumn(
+        "e", F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    )
+    stat = resid.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST((o - e) * (o - e) / e * 1000000000.0 AS BIGINT)"
+                )
+            ).cast("double")
+            / 1000000000.0
+        ).alias("chi2"),
+    )
+    return resid.crossJoin(F.broadcast(stat)).select(
+        "lang",
+        "source",
+        F.col("o").alias("n_docs"),
+        F.round("e", 6).alias("expected"),
+        F.round((F.col("o") - F.col("e")) / F.sqrt("e"), 6).alias("std_residual"),
+        F.round("chi2", 6).alias("chi2_total"),
+        "n_cells",
+    )

@@ -110,6 +110,7 @@ _NLJ_ALLOWED = {
     "lsh_param_chooser",  # 4-row config table x 1-row best-candidate minimum
     "join_size_estimate_cm",  # 1-row estimate x 1-row exact scalar crossJoin
     "kmv_set_overlap",  # 1-row sketch estimate x 1-row exact scalar crossJoin
+    "lang_source_chi2",  # contingency cells x 1-row statistic crossJoin
     "funnel_conversion_ordered",  # broadcast per-step scalar thresholds
     "negative_sample_pairs",  # bounded seeded pairing (J1 budget class)
 }
