@@ -855,3 +855,92 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "canonical_id")
         .select("p_partkey", "canonical_id", "canonical_name", "cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: how unequal is customer value? Top-decile share
+# and the Gini coefficient, from a value histogram — no customer-level
+# total order anywhere.
+# --------------------------------------------------------------------------
+
+_CONC_ORACLE = """
+WITH clv AS (
+  SELECT o_custkey, CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,2)))) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey),
+hist AS (SELECT v, COUNT(*) AS c FROM clv GROUP BY v),
+cum AS (
+  SELECT v, c, c * v AS r,
+    SUM(c) OVER (ORDER BY v) AS cum_c,
+    SUM(c * v) OVER (ORDER BY v) AS cum_r
+  FROM hist),
+tot AS (
+  SELECT MAX(cum_c) AS n, MAX(cum_r) AS rev,
+    CAST(SUM(c * (2 * (cum_r - r) + r)) AS DOUBLE) AS lorenz2
+  FROM cum),
+topd AS (
+  SELECT SUM(CASE WHEN cum_c > CAST(0.9 * t.n AS BIGINT) THEN r ELSE 0 END)
+           AS approx_top_rev
+  FROM cum CROSS JOIN tot t)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+  CAST(t.rev AS BIGINT) AS total_revenue,
+  round(CAST(d.approx_top_rev AS DOUBLE) / t.rev, 6) AS top_decile_share,
+  round(1.0 - t.lorenz2 / (CAST(t.n AS DOUBLE) * t.rev), 6) AS gini
+FROM tot t CROSS JOIN topd d
+"""
+
+
+@register("customer_revenue_concentration", oracle=_CONC_ORACLE, tags=("A7", "quality"))
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is customer value: the revenue share of the top
+    value decile (customers in histogram bins wholly above the 90th count
+    percentile) and the exact Gini coefficient — both computed from the
+    whole-dollar CLV HISTOGRAM, never a per-customer ranking. Gini uses
+    the trapezoid identity G = 1 − Σ cᵢ(2R₍ᵢ₋₁₎+rᵢ)/(N·R) over
+    value-ordered bins: integer-exact sums until the final division.
+
+    Scale shape: one fact rollup to per-customer decimal revenue, rounded
+    to a whole-dollar grid so the histogram cardinality is bounded by the
+    value range; the cumulative windows run over that grid, and the
+    summary is a scalar crossJoin."""
+    o = T(spark, sf_dir, "orders")
+    clv = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,2)")))
+        .cast("bigint")
+        .alias("v")
+    )
+    hist = clv.groupBy("v").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("r", F.col("c") * F.col("v"))
+        .withColumn("cum_c", F.sum("c").over(wc))
+        .withColumn("cum_r", F.sum(F.col("c") * F.col("v")).over(wc))
+    )
+    tot = cum.agg(
+        F.max("cum_c").alias("n"),
+        F.max("cum_r").alias("rev"),
+        F.sum(
+            F.col("c") * (2 * (F.col("cum_r") - F.col("r")) + F.col("r"))
+        ).cast("double").alias("lorenz2"),
+    )
+    topd = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cum_c") > (F.lit(0.9) * F.col("n")).cast("bigint"),
+                    F.col("r"),
+                ).otherwise(0)
+            ).alias("approx_top_rev")
+        )
+    )
+    return tot.crossJoin(F.broadcast(topd)).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("rev").cast("bigint").alias("total_revenue"),
+        F.round(F.col("approx_top_rev").cast("double") / F.col("rev"), 6).alias(
+            "top_decile_share"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("lorenz2") / (F.col("n").cast("double") * F.col("rev")),
+            6,
+        ).alias("gini"),
+    )

@@ -111,6 +111,7 @@ _NLJ_ALLOWED = {
     "join_size_estimate_cm",  # 1-row estimate x 1-row exact scalar crossJoin
     "kmv_set_overlap",  # 1-row sketch estimate x 1-row exact scalar crossJoin
     "lang_source_chi2",  # contingency cells x 1-row statistic crossJoin
+    "customer_revenue_concentration",  # histogram x 1-row totals crossJoins
     "funnel_conversion_ordered",  # broadcast per-step scalar thresholds
     "negative_sample_pairs",  # bounded seeded pairing (J1 budget class)
 }
