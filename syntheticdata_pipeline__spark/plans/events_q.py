@@ -1182,3 +1182,88 @@ def conversion_deadline_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("conversion_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interarrival latency percentiles: P50/P90/P99 per event type from a
+# millisecond-grid histogram CDF — the telemetry latency report.
+# --------------------------------------------------------------------------
+
+_LAT_GRID_US = 1_000  # 1 ms buckets
+
+_LAT_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events),
+g AS (
+  SELECT event_type, (gap_us // {_LAT_GRID_US}) * {_LAT_GRID_US} AS gap_ms_us
+  FROM seq WHERE gap_us IS NOT NULL),
+hist AS (SELECT event_type, gap_ms_us, COUNT(*) AS c FROM g GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, gap_ms_us, c,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY gap_ms_us) AS cum_c
+  FROM hist),
+n AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+q AS (
+  SELECT c.event_type,
+    MIN(CASE WHEN c.cum_c >= 0.50 * n.n THEN c.gap_ms_us END) AS p50_us,
+    MIN(CASE WHEN c.cum_c >= 0.90 * n.n THEN c.gap_ms_us END) AS p90_us,
+    MIN(CASE WHEN c.cum_c >= 0.99 * n.n THEN c.gap_ms_us END) AS p99_us
+  FROM cum c JOIN n ON c.event_type = n.event_type
+  GROUP BY c.event_type)
+SELECT q.event_type, CAST(n.n AS BIGINT) AS n_gaps,
+  q.p50_us, q.p90_us, q.p99_us
+FROM q JOIN n ON q.event_type = n.event_type
+"""
+
+
+@register("interarrival_percentiles", oracle=_LAT_ORACLE, tags=("R7", "A7", "windows"))
+def interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of the per-user interarrival gap per event type — the
+    telemetry latency report, computed the de-skewed way: gaps bucket to
+    a 1 ms grid, the percentile comes from the grid histogram's CDF
+    (smallest bucket whose cumulative count reaches the quantile), and
+    the only windows are a per-user lag plus a CDF over histogram rows
+    whose cardinality is bounded by the gap range in milliseconds —
+    never the stream.
+
+    The bucketed percentile is exact at grid resolution: for latency
+    work 1 ms is the reporting unit anyway, and the grid is what makes
+    the histogram mergeable rollup state across windows/days."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (
+        ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"(gap_us DIV {_LAT_GRID_US}) * {_LAT_GRID_US}").alias("gap_ms_us"),
+        )
+    )
+    hist = g.groupBy("event_type", "gap_ms_us").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_ms_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum_c", F.sum("c").over(wc))
+    n = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n), "event_type")
+
+    def pq(frac):
+        return F.min(
+            F.when(F.col("cum_c") >= F.lit(frac) * F.col("n"), F.col("gap_ms_us"))
+        )
+
+    q = j.groupBy("event_type").agg(
+        pq(0.50).alias("p50_us"), pq(0.90).alias("p90_us"), pq(0.99).alias("p99_us")
+    )
+    return q.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        "p50_us",
+        "p90_us",
+        "p99_us",
+    )
