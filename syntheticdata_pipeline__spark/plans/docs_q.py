@@ -2935,3 +2935,113 @@ def lsh_param_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chosen"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality × duplication lift: are low-quality docs more likely to be
+# near-duplicates? Per quality quartile, the near-dup membership rate —
+# the interaction table that justifies (or kills) quality-first dedup.
+# --------------------------------------------------------------------------
+
+_LIFT_QUALITY_EXPR = """round(
+  (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
+        WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+  + least(CAST(len(list_intersect(toks, {stops})) AS DOUBLE) / 4.0, 1.0) * 0.3
+  + coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3,
+4)"""
+
+
+def _lift_oracle() -> str:
+    from ..operators.textops import LANG_STOPWORDS
+
+    qexpr = _LIFT_QUALITY_EXPR.format(stops=repr(list(LANG_STOPWORDS["en"])))
+    return f"""
+WITH pairs AS ({_MINHASH_ORACLE}),
+members AS (
+  SELECT DISTINCT m FROM (
+    SELECT id_a AS m FROM pairs WHERE jac >= {_CLUSTER_JAC}
+    UNION ALL
+    SELECT id_b AS m FROM pairs WHERE jac >= {_CLUSTER_JAC})),
+q AS (
+  SELECT doc_id, {qexpr} AS qv
+  FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)),
+hist AS (SELECT qv, COUNT(*) AS c FROM q GROUP BY qv),
+cdf AS (
+  SELECT qv, c, SUM(c) OVER (ORDER BY qv) - c AS cum_lt FROM hist),
+n AS (SELECT COUNT(*) AS n_docs FROM q),
+tiles AS (
+  SELECT c.qv,
+    least(4, CAST(floor(4.0 * c.cum_lt / n.n_docs) AS BIGINT) + 1) AS tile
+  FROM cdf c CROSS JOIN n),
+labeled AS (
+  SELECT q.doc_id, t.tile, (m.m IS NOT NULL) AS is_dup
+  FROM q JOIN tiles t ON q.qv = t.qv
+  LEFT JOIN members m ON q.doc_id = m.m)
+SELECT CAST(tile AS INTEGER) AS quality_quartile,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members,
+  round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS dup_rate
+FROM labeled GROUP BY tile
+"""
+
+
+@register("quality_duplication_lift", oracle=_lift_oracle(), tags=("quality", "dedup-minhash", "tuning"))
+def quality_duplication_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup membership rate per quality quartile: docs bucket into
+    value-based quartiles of the 4-dp quality grid (histogram-CDF tiles,
+    the de-skewed pattern), and a doc counts as a near-dup member if it
+    appears in any verified LSH pair at the cluster threshold — the
+    interaction table behind quality-first dedup policies (if low
+    quality correlates with duplication, dedup order matters).
+
+    Scale shape: the pair list is the existing collapsed LSH pipeline
+    (pinned — referenced once per side of the membership union); tiles
+    come from windows over the grid-bounded quality histogram; the
+    membership check is one left join against a distinct-member table
+    bounded by the candidate-pair count."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import quality_score
+
+    pairs = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .filter(F.col("jac") >= _CLUSTER_JAC)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("m"))
+        .unionByName(pairs.select(F.col("id_b").alias("m")))
+        .distinct()
+    )
+    q = quality_score(T(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("quality", 4).alias("qv")
+    )
+    hist = q.groupBy("qv").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.withColumn("cum_lt", F.sum("c").over(wc) - F.col("c"))
+    n = q.agg(F.count("*").alias("n_docs"))
+    tiles = cdf.crossJoin(F.broadcast(n)).select(
+        "qv",
+        F.least(
+            F.lit(4).cast("bigint"),
+            F.floor(F.lit(4.0) * F.col("cum_lt") / F.col("n_docs")) + 1,
+        ).alias("tile"),
+    )
+    labeled = (
+        q.join(F.broadcast(tiles), "qv")
+        .join(members.withColumnRenamed("m", "doc_id").withColumn("__d", F.lit(1)), "doc_id", "left")
+    )
+    return labeled.groupBy(F.col("tile").cast("int").alias("quality_quartile")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_members"
+        ),
+        F.round(
+            F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
