@@ -112,6 +112,7 @@ _NLJ_ALLOWED = {
     "kmv_set_overlap",  # 1-row sketch estimate x 1-row exact scalar crossJoin
     "lang_source_chi2",  # contingency cells x 1-row statistic crossJoin
     "customer_revenue_concentration",  # histogram x 1-row totals crossJoins
+    "quality_duplication_lift",  # 1-row doc-count broadcast crossJoin (tiles)
     "funnel_conversion_ordered",  # broadcast per-step scalar thresholds
     "negative_sample_pairs",  # bounded seeded pairing (J1 budget class)
 }
