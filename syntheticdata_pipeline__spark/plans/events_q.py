@@ -1267,3 +1267,168 @@ def interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_us",
         "p99_us",
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day activity profile: the diurnal shape per event type, with
+# the peak hour — capacity planning's first chart.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+_HOURLY_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+    CAST((epoch_us(ts) % {24 * _HOUR_US}) // {_HOUR_US} AS INTEGER) AS hour_utc
+  FROM events),
+cnt AS (SELECT event_type, hour_utc, COUNT(*) AS n FROM h GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(n) AS total FROM cnt GROUP BY 1),
+mx AS (SELECT event_type, MAX(n) AS max_n FROM cnt GROUP BY 1)
+SELECT c.event_type, c.hour_utc, c.n,
+  round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+  (c.n = m.max_n) AS is_peak
+FROM cnt c
+JOIN tot t ON c.event_type = t.event_type
+JOIN mx m ON c.event_type = m.event_type
+"""
+
+
+@register("hourly_profile_by_type", oracle=_HOURLY_ORACLE, tags=("R7", "A2"))
+def hourly_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: event share per UTC hour-of-day per
+    type, with the peak hour(s) flagged — the first chart of capacity
+    planning, computed entirely in integer-µs modular arithmetic (no
+    timestamp functions, so no session-timezone dependence anywhere).
+
+    Scale shape: one rollup to |type|×24 cells; totals and maxima are
+    re-aggregations of those cells (broadcast back); a pure map-side
+    pass over the stream."""
+    ev = T(spark, sf_dir, "events").select("event_type", "ts_us")
+    h = ev.select(
+        "event_type",
+        F.expr(f"CAST((ts_us % {24 * _HOUR_US}) DIV {_HOUR_US} AS INT)").alias(
+            "hour_utc"
+        ),
+    )
+    cnt = h.groupBy("event_type", "hour_utc").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("total"))
+    mx = cnt.groupBy("event_type").agg(F.max("n").alias("max_n"))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(mx), "event_type")
+        .select(
+            "event_type",
+            "hour_utc",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            (F.col("n") == F.col("max_n")).alias("is_peak"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-user behavioral feature table: burst + dwell + type entropy in one
+# join — the feature-engineering step before any bot/anomaly model.
+# --------------------------------------------------------------------------
+
+_UBF_ORACLE = f"""
+WITH bursts AS (
+  SELECT user_id, MAX(b) AS max_burst FROM (
+    SELECT user_id,
+      COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING AND CURRENT ROW) AS b
+    FROM events) GROUP BY user_id),
+dwell AS (
+  SELECT user_id,
+    CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
+    COUNT(next_us) AS n_gaps
+  FROM (
+    SELECT user_id, epoch_us(ts) AS us,
+      lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        AS next_us
+    FROM events)
+  WHERE next_us IS NOT NULL GROUP BY user_id),
+tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+un AS (SELECT user_id, SUM(c) AS n FROM tc GROUP BY 1),
+ent AS (
+  SELECT t.user_id,
+    round(-CAST(SUM(CAST(trunc((CAST(t.c AS DOUBLE) / u.n)
+        * ln(CAST(t.c AS DOUBLE) / u.n) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000000.0, 6) AS type_entropy
+  FROM tc t JOIN un u ON t.user_id = u.user_id
+  GROUP BY t.user_id)
+SELECT b.user_id, b.max_burst,
+  d.total_dwell_us, CAST(d.n_gaps AS BIGINT) AS n_gaps,
+  CAST(d.total_dwell_us AS DOUBLE) / d.n_gaps AS mean_dwell_us,
+  e.type_entropy
+FROM bursts b
+JOIN dwell d ON b.user_id = d.user_id
+JOIN ent e ON b.user_id = e.user_id
+"""
+
+
+@register("user_behavior_features", oracle=_UBF_ORACLE, tags=("R4", "A7", "windows"))
+def user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector in one plan: peak 5-minute
+    burst, total/mean dwell, and the Shannon entropy of the user's
+    event-type mix — the feature-engineering join that feeds a bot or
+    anomaly model (a scripted client shows high burst, low dwell, low
+    entropy simultaneously; each signal alone false-positives).
+
+    Scale shape: three feature pipelines — a per-user RANGE window, a
+    per-user lead, and a (user, type) rollup — each reduced to one row
+    per user BEFORE the 3-way join on the user key; entropy terms
+    accumulate as trunc-scaled BIGINTs (order-free)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    wb = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_BURST_WINDOW_US, 0)
+    bursts = (
+        ev.withColumn("b", F.count("*").over(wb))
+        .groupBy("user_id")
+        .agg(F.max("b").alias("max_burst"))
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dwell = (
+        ev.withColumn("next_us", F.lead("ts_us").over(wl))
+        .filter(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("next_us") - F.col("ts_us")).cast("bigint").alias(
+                "total_dwell_us"
+            ),
+            F.count("*").cast("bigint").alias("n_gaps"),
+        )
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    un = tc.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        tc.join(un, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                -F.sum(F.expr(
+                    "CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)"
+                    " * 1000000000.0 AS BIGINT)"
+                )).cast("double")
+                / 1000000000.0,
+                6,
+            ).alias("type_entropy")
+        )
+    )
+    return (
+        bursts.join(dwell, "user_id")
+        .join(ent, "user_id")
+        .select(
+            "user_id",
+            "max_burst",
+            "total_dwell_us",
+            "n_gaps",
+            # no round: at ~4e10 µs a 6-decimal grid is beyond double
+            # precision and the engines' rounding differs by an ulp; the
+            # raw IEEE division of identical integers is bit-identical.
+            (F.col("total_dwell_us").cast("double") / F.col("n_gaps")).alias(
+                "mean_dwell_us"
+            ),
+            "type_entropy",
+        )
+    )
