@@ -944,3 +944,129 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-aging report: open orders bucketed by age at a reference date —
+# the operations backlog chart.
+# --------------------------------------------------------------------------
+
+_AGING_REF = "2001-01-01 00:00:00"
+
+_AGING_ORACLE = f"""
+WITH open_o AS (
+  SELECT o_orderkey, o_totalprice,
+    date_diff('day', o_orderdate, TIMESTAMP '{_AGING_REF}') AS age_days
+  FROM orders
+  WHERE o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '{_AGING_REF}'),
+b AS (
+  SELECT CASE WHEN age_days <= 30 THEN '0-30'
+              WHEN age_days <= 90 THEN '31-90'
+              WHEN age_days <= 365 THEN '91-365'
+              ELSE '365+' END AS age_bucket,
+         o_totalprice
+  FROM open_o)
+SELECT age_bucket, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS open_value
+FROM b GROUP BY age_bucket
+"""
+
+
+@register("order_aging_report", oracle=_AGING_ORACLE, tags=("A2", "F1"))
+def order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: open orders bucketed by age at a fixed reference
+    date (0-30 / 31-90 / 91-365 / 365+ days) with count and exact-decimal
+    open value per bucket — the operations chart every fulfillment team
+    reads first. One pushed-down scan, integer day arithmetic, map-side
+    rollup to four rows."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") < F.lit(_AGING_REF).cast("timestamp_ntz"))
+    )
+    age = F.datediff(F.lit(_AGING_REF).cast("timestamp_ntz"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double").alias(
+            "open_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year part velocity: the top movers table — which parts'
+# volumes grew or collapsed between two years.
+# --------------------------------------------------------------------------
+
+_YOY_TOPK = 15
+
+_YOY_ORACLE = f"""
+WITH v AS (
+  SELECT l_partkey,
+    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             THEN CAST(l_quantity AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
+      AS q96,
+    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             THEN CAST(l_quantity AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
+      AS q97
+  FROM lineitem GROUP BY l_partkey),
+g AS (
+  SELECT l_partkey, CAST(q96 AS DOUBLE) AS qty_1996, CAST(q97 AS DOUBLE) AS qty_1997,
+    CAST(q97 AS DOUBLE) / CAST(q96 AS DOUBLE) AS growth
+  FROM v WHERE q96 > 0 AND q97 > 0)
+SELECT p.p_partkey, p.p_name, g.qty_1996, g.qty_1997, round(g.growth, 6) AS growth
+FROM g JOIN part p ON g.l_partkey = p.p_partkey
+ORDER BY g.growth DESC, p.p_partkey
+LIMIT {_YOY_TOPK}
+"""
+
+
+@register("part_velocity_movers", oracle=_YOY_ORACLE, tags=("A3", "D8", "tpch"))
+def part_velocity_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 parts by 1996→1997 shipped-volume growth (both years
+    active): one conditional-sum pass over the fact table builds both
+    year slices — no second scan, no join of year-filtered copies — then
+    a broadcast of the part dim and a TakeOrdered top-k on the exact
+    decimal-derived ratio."""
+    li = T(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(38,2)")
+    zero = F.lit(0).cast("decimal(38,2)")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.when(in96, qty).otherwise(zero)).alias("q96"),
+        F.sum(F.when(in97, qty).otherwise(zero)).alias("q97"),
+    )
+    g = (
+        v.filter((F.col("q96") > 0) & (F.col("q97") > 0))
+        .select(
+            "l_partkey",
+            F.col("q96").cast("double").alias("qty_1996"),
+            F.col("q97").cast("double").alias("qty_1997"),
+            (F.col("q97").cast("double") / F.col("q96").cast("double")).alias("growth"),
+        )
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        g.join(F.broadcast(p), g.l_partkey == p.p_partkey)
+        .orderBy(F.col("growth").desc(), "p_partkey")
+        .limit(_YOY_TOPK)
+        .select(
+            "p_partkey",
+            "p_name",
+            "qty_1996",
+            "qty_1997",
+            F.round("growth", 6).alias("growth"),
+        )
+    )
