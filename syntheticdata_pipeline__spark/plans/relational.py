@@ -1070,3 +1070,60 @@ def part_velocity_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("growth", 6).alias("growth"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SLA compliance with an ALL-quantifier: an order meets the SLA only if
+# EVERY lineitem shipped within 60 days — relational division as a
+# per-order min/max aggregate, never a correlated subquery.
+# --------------------------------------------------------------------------
+
+_SLA_DAYS = 60
+
+_SLA_ORACLE = f"""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+    MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS worst_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey),
+j AS (
+  SELECT o.o_orderpriority, (p.worst_days <= {_SLA_DAYS}) AS met
+  FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN met THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+  round(CAST(SUM(CASE WHEN met THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS sla_rate
+FROM j GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_sla", oracle=_SLA_ORACLE, tags=("A3", "J2"))
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority SLA compliance where an order counts only if EVERY
+    lineitem shipped within 60 days of ordering — the ALL-quantifier
+    (relational division) expressed as one per-order MAX of the shipping
+    delay, so the universal condition costs a single aggregate instead
+    of a correlated NOT-EXISTS over the fact table. Integer day
+    arithmetic; one fact shuffle keyed by order."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias(
+                "worst_days"
+            )
+        )
+    )
+    j = per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("worst_days") <= _SLA_DAYS).alias("met")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("met"), 1).otherwise(0)).cast("bigint").alias("n_met"),
+        F.round(
+            F.sum(F.when(F.col("met"), 1).otherwise(0)).cast("double") / F.count("*"),
+            6,
+        ).alias("sla_rate"),
+    )
