@@ -35,15 +35,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["report_order_fulfillment"].build(spark, _SMOKE_SF_DIR)
 
 
-# Queries whose implementation changed since the last driver round: verify
-# them right after the never-checked ones even if previously green.
+# Queries whose implementation changed since their MOST RECENT driver
+# check: verify them FIRST, before even the never-checked tier — a stale
+# green on rewritten semantics affirmatively describes code that no
+# longer exists, which is worse evidence than no check at all
+# (round-6 verdict, "Next round" #2). Entries leave this list only once
+# a driver round has re-checked them post-rewrite (substring_max_span
+# and ann_recall_at_k cycled out via CORRECTNESS_r06; the rest of the
+# r6 rewrites below never made the r6 window and stay listed).
 _CHANGED_THIS_ROUND = (
+    # --- changed in round 7 ---
+    "ann_ivf_trained_topk",  # codebook now trained on a seeded 20% sample
+    "jaccard_prefix_filter_join",  # empty-shingle-set guard before collapse
+    # --- rewritten in round 6, driver green still predates the rewrite ---
     "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
     "doc_length_quartiles",  # value-based tiles on length histogram
     "bm25_topk_docs",  # two-phase TakeOrdered top-k
     "ann_lsh_topk",  # Hamming-1 multi-probe
-    "ann_recall_at_k",  # new: ANN recall vs brute force
-    "substring_max_span",  # new: positional max-span duplication
     "incremental_dedup_survivors",  # id-monotonicity guard on state join
     "doc_length_percentiles",  # histogram-CDF exact quantile (no group buffering)
 )
@@ -53,12 +61,19 @@ def _catalog_order(names: list[str]) -> list[str]:
     """Order the catalog so the driver's (possibly capped) verification pass
     covers the queries with the least evidence first:
 
-    0. never driver-checked,
-    1. changed this round (re-verify even if previously green),
+    0. changed since their most recent driver check (a stale green on
+       rewritten semantics is actively misleading — worse than no check),
+    1. never driver-checked,
     2. red at their MOST RECENT check (an old green does not excuse a
        current failure),
     3. green at their most recent check, stalest round first — every query
        keeps cycling back through the window over successive rounds.
+
+    The catalog is FROZEN at 190 queries as of round 7 (round-6 verdict
+    "Next round" #1): with a 50-slot driver window per round, tiers 0+1
+    (~26 entries) plus the stalest 24 of the r2 cohort drain this round
+    and the r3/r4 cohorts next round, bringing every query's external
+    evidence within two rounds of current.
 
     Within a tier, ties keep registry (module import) order."""
     import glob
@@ -89,9 +104,9 @@ def _catalog_order(names: list[str]) -> list[str]:
 
     def key(name: str) -> tuple[int, int, int]:
         idx_n = idx[name]
-        if name not in last_round:
-            return (0, 0, idx_n)
         if name in _CHANGED_THIS_ROUND:
+            return (0, 0, idx_n)
+        if name not in last_round:
             return (1, 0, idx_n)
         if not last_ok[name]:
             return (2, 0, idx_n)
