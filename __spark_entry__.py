@@ -46,7 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = (
     # --- changed in round 7 ---
     "ann_ivf_trained_topk",  # codebook now trained on a seeded 20% sample
-    "jaccard_prefix_filter_join",  # empty-shingle-set guard before collapse
+    "jaccard_prefix_filter_join",  # NULL-text guard before collapse
+    "minhash_lsh_candidates",  # NULL-text guard before collapse
+    "lsh_band_sweep",  # NULL-text guard before collapse
     # --- rewritten in round 6, driver green still predates the rewrite ---
     "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
     "doc_length_quartiles",  # value-based tiles on length histogram

@@ -221,6 +221,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("id"), F.col("text").alias("__txt"))
         .repartition("id")
         .select("id", word_shingles(F.col("__txt")).alias("sh"))
+        # NULL-text docs (NULL shingle set) would collapse into the
+        # empty-encoding group and emit within-group jac=1.0 pairs the
+        # oracle's NULL jaccard drops; whitespace docs keep their ['']
+        # singleton (both engines pair those at jac=1.0).
+        .filter(F.size("sh") > 0)
         .repartition("id")
     )
     groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
@@ -2305,6 +2310,11 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     shingled = (
         d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("sh"))
+        # same NULL-text guard as minhash_lsh_candidates: a NULL shingle
+        # set must not join the empty-encoding collapse group, whose
+        # arithmetic pair reconstruction the oracle's quadratic truth
+        # (NULL signatures collide nowhere) would contradict.
+        .filter(F.size("sh") > 0)
         .repartition("id")
     )
     groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
@@ -2706,9 +2716,16 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
 
     d = T(spark, sf_dir, "documents")
-    shingled = d.select(
-        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("ts")
-    ).repartition("id")
+    # NULL-text docs must never reach the collapse: their NULL shingle
+    # set (size() = -1) would fingerprint into the empty-encoding group
+    # and emit within-group jac=1.0 pairs the oracle's NULL jaccard
+    # drops. Whitespace-only docs keep their [''] singleton set — both
+    # engines agree those pair at jac=1.0.
+    shingled = (
+        d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("ts"))
+        .filter(F.size("ts") > 0)
+        .repartition("id")
+    )
     # identical shingle sets collapse to one representative first: the
     # postings, candidate join, and verification all run on DISTINCT
     # sets; duplicate-heavy corpora re-expand only at output (within-
