@@ -198,13 +198,22 @@ def test_catalog_wide_nlj_whitelist(spark):
 
     registry = load_all()
     flagged = []
+    raised = []
     for name in sorted(registry):
         if "stream" in name or name in _NLJ_ALLOWED:
             continue
         try:
             txt = _plan(spark, name)
-        except Exception:
-            continue  # import-gated / env-gated plans are covered elsewhere
+        except Exception as e:
+            raised.append(f"{name}: {type(e).__name__}")
+            continue
         if _nodes(txt, "BroadcastNestedLoopJoin") + _nodes(txt, "CartesianProduct"):
             flagged.append(name)
+    # A query whose build raises silently drops out of the NLJ guard, so
+    # raising is itself a failure unless the query is on a known
+    # env-gated list (currently empty: every batch query builds in this
+    # container — the boto3/protobuf gates only affect non-catalog ops).
+    known_env_gated: set[str] = set()
+    unexpected = [r for r in raised if r.split(":")[0] not in known_env_gated]
+    assert not unexpected, f"catalog builds raised (guard coverage lost): {unexpected}"
     assert not flagged, f"unlisted cartesian/NLJ in: {flagged}"
