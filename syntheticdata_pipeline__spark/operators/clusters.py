@@ -85,6 +85,7 @@ def kmeans_fixed_iters(
     id_col: str = "vec_id",
     salt: str = "km-init",
     return_centroids: bool = False,
+    train_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded, fixed-iteration Lloyd k-means over an embedding column —
     the centroid-training step of IVF/SemDeDup-style curation, fully
@@ -95,27 +96,36 @@ def kmeans_fixed_iters(
     assigns every vector to the nearest (strict-fold sqdist, ties to the
     lowest centroid id), and recomputes per-dimension means with
     trunc-scaled BIGINT sums (exact, order-independent). Returns the
-    final assignment (id, cluster_id, dist).
+    final assignment of ``vecs`` (id, cluster_id, dist).
+
+    ``train_vecs`` decouples codebook training from assignment — the
+    100 TB form: Lloyd converges on a seeded sample (init + every
+    iteration scan only the sample), then ONE full-corpus pass assigns
+    every vector against the trained codebook. With ``train_vecs=None``
+    training and assignment run on the same ``vecs`` and the final
+    iteration's assignment is returned directly (no extra pass).
 
     Scale: per iteration one broadcast (k·dim doubles), one narrow
-    assignment pass, one (cluster, dim)-keyed agg of k·dim rows — no
-    shuffle carries vectors except the posexplode partial agg, which
-    combines map-side. Empty clusters drop out of the centroid table
-    (standard Lloyd behavior), identically in the oracle.
+    assignment pass over the training set, one (cluster, dim)-keyed agg
+    of k·dim rows — no shuffle carries vectors except the posexplode
+    partial agg, which combines map-side. Empty clusters drop out of
+    the centroid table (standard Lloyd behavior), identically in the
+    oracle.
     """
     from pyspark.sql import Window
 
     from ..functions.determinism import unit_rand
     from ..functions.vectors import sqdist
 
+    train = vecs if train_vecs is None else train_vecs
     cents = (
-        vecs.orderBy(unit_rand(F.col(id_col), salt), id_col)
+        train.orderBy(unit_rand(F.col(id_col), salt), id_col)
         .limit(k)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        d = vecs.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    def assign(src: DataFrame, cent_df: DataFrame) -> DataFrame:
+        d = src.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
         scored = d.select(
             id_col,
             vec_col,
@@ -129,7 +139,7 @@ def kmeans_fixed_iters(
             .drop("__rn")
         )
 
-    assigned = assign(cents)
+    assigned = assign(train, cents)
     for _ in range(iters):
         flat = assigned.select("cid", F.posexplode(vec_col).alias("dim", "x"))
         means = flat.groupBy("cid", "dim").agg(
@@ -141,13 +151,26 @@ def kmeans_fixed_iters(
                 / F.count("*")
             ).alias("mv")
         )
-        new_cents = means.groupBy("cid").agg(
-            F.expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)").alias(
-                "cv"
+        # pin the k-row codebook: it is referenced by the next assignment
+        # AND by every downstream consumer (probe ranking, the final
+        # full-corpus assignment), and without truncation each reference
+        # re-embeds the whole Lloyd lineage (scan count grew per
+        # iteration). Broadcast is explicit at every use site, so the
+        # stats-stripping counter-lesson (PERF log #7) does not apply.
+        new_cents = (
+            means.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)"
+                ).alias("cv")
             )
+            .localCheckpoint(eager=False)
         )
-        assigned = assign(new_cents)
+        assigned = assign(train, new_cents)
         cents = new_cents
+    if train_vecs is not None:
+        # the single full-corpus pass against the sample-trained codebook
+        assigned = assign(vecs, cents)
     out = assigned.select(
         F.col(id_col), F.col("cid").alias("cluster_id"), F.col("dist")
     )

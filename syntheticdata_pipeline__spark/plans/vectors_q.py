@@ -765,22 +765,34 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def _km_cte_prefix(k: int, iters: int) -> str:
+def _km_cte_prefix(k: int, iters: int, train_pred: str | None = None) -> str:
     """The WITH-chain through the final Lloyd assignment ``assign{iters}``
     (vec_id, embedding, cid, dist) — shared by the k-means rollup oracle
-    and the trained-IVF search oracle."""
+    and the trained-IVF search oracle.
+
+    With ``train_pred`` (a SQL predicate over embeddings), init and every
+    Lloyd iteration run only on the predicate's sample and an extra CTE
+    ``assignfull`` holds the one full-corpus assignment against the final
+    codebook ``cent{iters}`` — the SQL twin of
+    ``kmeans_fixed_iters(train_vecs=...)``."""
     u = unit_rand_sql("vec_id", "km-init")
     sq = sqdist_sql("e.embedding", "c.cv")
     assign = (
         "SELECT vec_id, embedding, cid, dist FROM (\n"
         "    SELECT e.vec_id, e.embedding, c.cid, {sq} AS dist,\n"
         "           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn\n"
-        "    FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1"
+        "    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
     )
-    sql = f"""WITH init AS (
+    src = "embeddings" if train_pred is None else "train"
+    sql = "WITH "
+    if train_pred is not None:
+        sql += f"""train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {train_pred}),
+"""
+    sql += f"""init AS (
   SELECT vec_id AS cid, embedding AS cv FROM (
-    SELECT vec_id, embedding FROM embeddings ORDER BY {u}, vec_id LIMIT {k})),
-assign0 AS ({assign.format(sq=sq, cents='init')}),
+    SELECT vec_id, embedding FROM {src} ORDER BY {u}, vec_id LIMIT {k})),
+assign0 AS ({assign.format(sq=sq, src=src, cents='init')}),
 """
     for i in range(1, iters + 1):
         sql += f"""cent{i} AS (
@@ -791,7 +803,10 @@ assign0 AS ({assign.format(sq=sq, cents='init')}),
     FROM (SELECT cid, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
           FROM assign{i - 1})
     GROUP BY cid, dim) GROUP BY cid),
-assign{i} AS ({assign.format(sq=sq, cents=f'cent{i}')}),
+assign{i} AS ({assign.format(sq=sq, src=src, cents=f'cent{i}')}),
+"""
+    if train_pred is not None:
+        sql += f"""assignfull AS ({assign.format(sq=sq, src='embeddings', cents=f'cent{iters}')}),
 """
     return sql
 
@@ -1037,13 +1052,19 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact brute force.
 # --------------------------------------------------------------------------
 
-_KM_NPROBE = 2
+_KM_NPROBE = 3
+# Lloyd training runs on a seeded md5 sample of the corpus — the 100 TB
+# form (assignment stays full-corpus). 30% keeps ~150 training vectors
+# even at the smallest fixture, comfortably above k=8.
+_IVF_TRAIN_RATE = 0.3
+_IVF_TRAIN_SALT = "ivf-train"
 
 
 def _ivf_trained_oracle() -> str:
     sq = sqdist_sql("e.embedding", "c.cv")
-    sql = _km_cte_prefix(_KM_K, _KM_ITERS)
-    sql += f"""cells AS (SELECT vec_id, embedding, cid AS cell FROM assign{_KM_ITERS}),
+    train_pred = f"{unit_rand_sql('vec_id', _IVF_TRAIN_SALT)} < {_IVF_TRAIN_RATE}"
+    sql = _km_cte_prefix(_KM_K, _KM_ITERS, train_pred=train_pred)
+    sql += f"""cells AS (SELECT vec_id, embedding, cid AS cell FROM assignfull),
 probe AS (
   SELECT query_id, qv, cell FROM (
     SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid AS cell,
@@ -1082,29 +1103,36 @@ _IVF_TRAINED_ORACLE = _ivf_trained_oracle()
 
 @register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE, tags=("similarity", "ivf"))
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over a TRAINED codebook with multi-probe: the seeded
-    2-iteration Lloyd run's final cells become the inverted file, each
-    query searches its nprobe=2 nearest cells (ranked against the SAME
-    codebook the assignment used), and the result is scored as recall@5
-    against exact brute force — the full production ANN composition
-    (train → assign → probe → recall acceptance) in one oracle-checked
-    plan, versus ann_ivf_topk's untrained first-k-vectors codebook.
+    """IVF over a SAMPLE-TRAINED codebook with multi-probe: Lloyd runs 2
+    seeded iterations on a 30% md5-sampled training set, ONE full-corpus
+    pass assigns every vector to its trained cell (the inverted file),
+    each query searches its nprobe=2 nearest cells (ranked against the
+    SAME codebook the assignment used), and the result is scored as
+    recall@5 against exact brute force — the full production ANN
+    composition (sample → train → assign → probe → recall acceptance)
+    in one oracle-checked plan, versus ann_ivf_topk's untrained
+    first-k-vectors codebook.
 
-    Scale shape: training shuffles only (cluster, dim) partial sums per
-    iteration; probe ranking is a k-row broadcast per query; cell-local
-    search is an equi-join on the cell id (a neighbor lives in exactly
-    one cell, so multi-probe cannot duplicate candidate pairs); the
-    brute-force side stays query-bounded — 10 broadcast rows against one
-    corpus scan. nprobe trades search cost for recall linearly — the
-    measured recall IS the acceptance number for that trade."""
+    Scale shape: training scans only the seeded sample per iteration
+    (at 100 TB the sample is the only repeated read; the corpus is
+    scanned once for the assignment) and shuffles only (cluster, dim)
+    partial sums; probe ranking is a k-row broadcast per query;
+    cell-local search is an equi-join on the cell id (a neighbor lives
+    in exactly one cell, so multi-probe cannot duplicate candidate
+    pairs); the brute-force side stays query-bounded — 10 broadcast
+    rows against one corpus scan. nprobe trades search cost for recall
+    linearly — the measured recall IS the acceptance number for that
+    trade."""
     from pyspark.sql import Window
 
+    from ..functions.determinism import unit_rand
     from ..functions.vectors import dot, sqdist
     from ..operators.clusters import kmeans_fixed_iters
 
     e = T(spark, sf_dir, "embeddings")
+    train = e.filter(unit_rand(F.col("vec_id"), _IVF_TRAIN_SALT) < _IVF_TRAIN_RATE)
     assigned, cents = kmeans_fixed_iters(
-        e, k=_KM_K, iters=_KM_ITERS, return_centroids=True
+        e, k=_KM_K, iters=_KM_ITERS, return_centroids=True, train_vecs=train
     )
     cells = e.join(assigned.select("vec_id", "cluster_id"), "vec_id").select(
         "vec_id", "embedding", F.col("cluster_id").alias("cell")

@@ -95,8 +95,11 @@ def test_ann_recall_floor(spark):
 
 
 def test_ivf_trained_recall_floor(spark):
-    """ann_ivf_trained_topk (Lloyd codebook, nprobe=2) recall@5 floor.
-    Measured on this fixture: 0.58 at sf0.001 (0.42 at sf0.01)."""
+    """ann_ivf_trained_topk (Lloyd codebook trained on the seeded 30%
+    sample, nprobe=3) recall@5 floor. Measured on this fixture: 0.56 at
+    sf0.001 (0.60 at sf0.01 — better than the r6 full-corpus-trained
+    nprobe=2 form's 0.42; sampling noise costs a little recall, one
+    extra probe more than buys it back)."""
     from syntheticdata_pipeline__spark.plans.vectors_q import ann_ivf_trained_topk
 
     row = ann_ivf_trained_topk(spark, SF_SMOKE).collect()[0]
