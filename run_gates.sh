@@ -29,8 +29,13 @@ if [ "$MODE" = "full" ]; then
   fi
 
   echo "== gate 2b: hostile-driver simulation (driver-owned session, non-UTC) =="
+  # changed-this-round queries PLUS the streaming batch-twins every
+  # round: a Spark version bump broke the events loader silently in
+  # r3/r4, and the streaming paths are the ones the oracle gate
+  # exercises least (VERDICT r6 "Next round" #7).
   CHANGED=$(python -c "import __spark_entry__ as m; print(' '.join(m._CHANGED_THIS_ROUND))")
-  if ! python tools/driver_sim.py $CHANGED; then
+  STREAMING_TWINS="stream_tumbling_counts stateful_dedup_events"
+  if ! python tools/driver_sim.py $CHANGED $STREAMING_TWINS; then
     echo "GATE FAIL: driver simulation" >&2
     fail=1
   fi
@@ -63,6 +68,18 @@ if regs:
 fi
 
 if [ "$MODE" = "full" ] && [ $fail -eq 0 ]; then
+  echo "== refresh committed bench artifact + PERF prose (single motion) =="
+  # BENCH_local.json and PERF.md's generated section move together, so
+  # the prose can never quote a run other than the committed artifact
+  # (the r5/r6 repeated finding). tests/test_perf_md_sync.py enforces
+  # the same invariant CI-side.
+  cp /tmp/run_gates_bench.json BENCH_local.json
+  python tools/gen_perf_md.py --write
+  if ! python tools/gen_perf_md.py --check; then
+    echo "GATE FAIL: PERF.md out of sync with BENCH_local.json" >&2
+    fail=1
+  fi
+
   echo "== refresh plan audit + query index =="
   python tools/explain_audit.py > PLANS_AUDIT.md && echo "PLANS_AUDIT.md refreshed"
   python tools/gen_queries_md.py > QUERIES.md && echo "QUERIES.md refreshed"
