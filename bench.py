@@ -55,12 +55,22 @@ STRESS_QUERIES = (
     # re-expanded output, never the quadratic duplicate count.
     "jaccard_prefix_filter_join",
     "doc_continuation_pairs",
+    # trained IVF: training scans only the seeded sample, assignment and
+    # the query-bounded probe/brute sides are one corpus pass each —
+    # growth must stay linear in vectors (embeddings table replicated).
+    "ann_ivf_trained_topk",
 )
 STRESS_FACTOR = 10
-# second, deeper replication point for the incremental state path: the
-# signature state grows with every ingested doc, so its growth curve gets
-# a 30x sample too (keys land in scale_stress as "<name>@30x").
-STRESS_QUERIES_DEEP = ("incremental_dedup_survivors",)
+# second, deeper replication point for the paths whose state/postings
+# grow with every ingested doc: the incremental signature state and the
+# two newest postings-family members (prefix-filter join, positional
+# max-span) get a 30x sample too (keys land in scale_stress as
+# "<name>@30x", with growth_vs_10x locking the curve shape).
+STRESS_QUERIES_DEEP = (
+    "incremental_dedup_survivors",
+    "jaccard_prefix_filter_join",
+    "substring_max_span",
+)
 STRESS_FACTOR_DEEP = 30
 
 
@@ -81,28 +91,31 @@ def _load_baseline_sf() -> str:
 
 
 def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
-    """Materialize <tmp>/documents.parquet as `factor` copies of the source
-    documents (doc_ids offset per copy so dedup keys stay realistic:
-    exact-duplicate groups scale by `factor`), other tables symlinked."""
+    """Materialize <tmp>/documents.parquet and <tmp>/embeddings.parquet as
+    `factor` copies of the source tables (ids offset per copy so dedup /
+    ANN keys stay realistic: exact-duplicate groups and cell occupancy
+    scale by `factor`), other tables symlinked. The `_v2` suffix versions
+    the layout (v1 symlinked embeddings)."""
     import pyspark.sql.functions as F
 
-    stress = f"/tmp/spark_graft_stress_{os.path.basename(sf_dir.rstrip('/'))}_{factor}x"
+    stress = (
+        f"/tmp/spark_graft_stress_{os.path.basename(sf_dir.rstrip('/'))}_{factor}x_v2"
+    )
     marker = os.path.join(stress, "_READY")
     if not os.path.exists(marker):
         os.makedirs(stress, exist_ok=True)
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        n = docs.count()
-        copies = docs
-        for i in range(1, factor):
-            copies = copies.unionByName(
-                docs.withColumn("doc_id", (F.col("doc_id") + i * n).cast("long"))
+        for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+            src_df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+            n = src_df.count()
+            copies = src_df
+            for i in range(1, factor):
+                copies = copies.unionByName(
+                    src_df.withColumn(id_col, (F.col(id_col) + i * n).cast("long"))
+                )
+            copies.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(stress, f"{table}.parquet")
             )
-        copies.repartition(32).write.mode("overwrite").parquet(
-            os.path.join(stress, "documents.parquet")
-        )
-        for t in (
-            "region nation customer supplier part orders lineitem events embeddings".split()
-        ):
+        for t in "region nation customer supplier part orders lineitem events".split():
             link = os.path.join(stress, f"{t}.parquet")
             src = os.path.join(sf_dir, f"{t}.parquet")
             if not os.path.exists(link) and os.path.exists(src):

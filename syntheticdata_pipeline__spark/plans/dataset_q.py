@@ -565,6 +565,7 @@ FROM asg
 @register(
     "cluster_aware_split_leakage",
     oracle=_LEAK_ORACLE,
+    bench=True,
     tags=("dataset-prep", "dedup-minhash", "clusters"),
 )
 def cluster_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -804,7 +804,7 @@ FROM labeled x JOIN p n ON x.canonical_id = n.p_partkey
 """
 
 
-@register("entity_resolution_parts", oracle=_ER_ORACLE, tags=("dedup-jaccard", "clusters", "D1"))
+@register("entity_resolution_parts", oracle=_ER_ORACLE, bench=True, tags=("dedup-jaccard", "clusters", "D1"))
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end over part names: BLOCK on the head
     noun (no all-pairs), SCORE blocked pairs by edit distance ≤ 2,

@@ -1101,7 +1101,7 @@ FROM hits h CROSS JOIN tot t"""
 _IVF_TRAINED_ORACLE = _ivf_trained_oracle()
 
 
-@register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE, tags=("similarity", "ivf"))
+@register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE, bench=True, tags=("similarity", "ivf"))
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a SAMPLE-TRAINED codebook with multi-probe: Lloyd runs 2
     seeded iterations on a 30% md5-sampled training set, ONE full-corpus
