@@ -49,6 +49,8 @@ _CHANGED_THIS_ROUND = (
     "jaccard_prefix_filter_join",  # NULL-text guard before collapse
     "minhash_lsh_candidates",  # NULL-text guard before collapse
     "lsh_band_sweep",  # NULL-text guard before collapse
+    "doc_fingerprints",  # NULL-in-NULL-out oracle twin
+    "dup_rate_estimate",  # no-content docs contribute no grams (both engines)
     # --- rewritten in round 6, driver green still predates the rewrite ---
     "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
     "doc_length_quartiles",  # value-based tiles on length histogram

@@ -124,11 +124,16 @@ def fingerprint(text_col: Column, length: int = 64, mod: int = FINGERPRINT_MOD) 
 
 
 def fingerprint_sql(text_sql: str, length: int = 64, mod: int = FINGERPRINT_MOD) -> str:
+    # NULL-in-NULL-out, matching Spark's aggregate-over-NULL-sequence:
+    # without the CASE, DuckDB's range(1, NULL) is the EMPTY list and the
+    # reduce returns 0 — colliding a missing document with the
+    # empty-string fingerprint and silently diverging from the Spark twin.
     head = f"substr({text_sql}, 1, {length})"
     return (
+        f"CASE WHEN {text_sql} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(range(1, len({head}) + 1), i -> ascii(substr({head}, i, 1)))), "
-        f"(acc, c) -> (acc * 31 + c) % {mod})"
+        f"(acc, c) -> (acc * 31 + c) % {mod}) END"
     )
 
 

@@ -2787,11 +2787,12 @@ _DUPEST_Z = 1.96
 _DUPEST_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {tokens_sql('text')} AS ts FROM documents),
-grams AS (
+grams0 AS (
   SELECT doc_id,
     unnest(list_transform(range(1, greatest(len(ts) - 7, 1) + 1),
                           i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS ck
   FROM toks),
+grams AS (SELECT * FROM grams0 WHERE ck IS NOT NULL AND len(ck) > 0),
 grp AS (SELECT ck, COUNT(*) AS n FROM grams GROUP BY ck),
 truth AS (
   SELECT CAST(SUM(n - 1) AS DOUBLE) / SUM(n) AS true_rate FROM grp),
@@ -2849,7 +2850,11 @@ def dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> concat_ws(' ', slice(ts, i, 8)))"
             )
         ).alias("ck"),
-    )
+    # no-content docs contribute no grams: a NULL-text doc's slice
+    # reaches concat_ws as a NULL array and yields '' here but NULL in
+    # the oracle, so without this guard the two engines bucket missing
+    # and whitespace-only docs differently (latent hash divergence).
+    ).filter(F.length("ck") > 0)
     grp = grams.groupBy("ck").agg(F.count("*").alias("n"))
     truth = grp.agg(
         (F.sum(F.col("n") - 1).cast("double") / F.sum("n")).alias("true_rate")

@@ -20,7 +20,20 @@ import shutil
 import pytest
 
 _SRC = "/root/testdata/sf0.001"
-_QUERIES = ("jaccard_prefix_filter_join", "minhash_lsh_candidates", "lsh_band_sweep")
+# The full-catalog adversarial sweep (round 7) found five divergences of
+# this class; these are the fixed ones, kept under regression. NOT
+# listed: html_selector_extract — its oracle is a generator-twin that
+# predicts the DOM-extraction output arithmetically from doc_id, so it
+# is only valid when `text` matches the generator contract (documented
+# in DIVERGENCES.md); the Spark side's all-NULL output on NULL html is
+# the faithful parser behavior.
+_QUERIES = (
+    "jaccard_prefix_filter_join",
+    "minhash_lsh_candidates",
+    "lsh_band_sweep",
+    "doc_fingerprints",
+    "dup_rate_estimate",
+)
 
 
 @pytest.fixture(scope="module")
