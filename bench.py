@@ -59,6 +59,15 @@ STRESS_QUERIES = (
     # the query-bounded probe/brute sides are one corpus pass each —
     # growth must stay linear in vectors (embeddings table replicated).
     "ann_ivf_trained_topk",
+    # embeddings family (replicated identical vectors are the worst case:
+    # they share every hyperplane bucket, so the pair stage's output
+    # grows ~100x): growth must stay output/linear-bound — measured at
+    # first wiring r7: semantic 2.35x, cosine-LSH 3.54x with 734x the
+    # emitted pairs, kmeans 1.41x, pagerank 1.07x.
+    "semantic_dedup_stats",
+    "cosine_neardup_lsh",
+    "kmeans_embedding_clusters",
+    "similarity_pagerank",
 )
 STRESS_FACTOR = 10
 # second, deeper replication point for the paths whose state/postings
