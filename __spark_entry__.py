@@ -51,6 +51,9 @@ _CHANGED_THIS_ROUND = (
     "lsh_band_sweep",  # NULL-text guard before collapse
     "doc_fingerprints",  # NULL-in-NULL-out oracle twin
     "dup_rate_estimate",  # no-content docs contribute no grams (both engines)
+    "cluster_aware_split_leakage",  # empty-corpus COUNT semantics (0, not NULL)
+    "embedding_top_pc_power",  # oracle bounds dims by computed vector length
+    "lsh_param_chooser",  # chosen flag no longer NULL through empty counts
     # --- rewritten in round 6, driver green still predates the rewrite ---
     "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
     "doc_length_quartiles",  # value-based tiles on length histogram

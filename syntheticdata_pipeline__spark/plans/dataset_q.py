@@ -624,11 +624,14 @@ def cluster_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id_b",
     )
+    # coalesce to 0: the oracle's leaked_pairs is a COUNT (0 on an empty
+    # edge set), while SUM over no rows is NULL — the empty-corpus case
+    # must agree on "zero leaked pairs", not "unknown".
     leak = px.agg(
-        F.sum(F.when(F.col("sd_a") != F.col("sd_b"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("sd_a") != F.col("sd_b"), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("leak_doc"),
-        F.sum(F.when(F.col("sc_a") != F.col("sc_b"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("sc_a") != F.col("sc_b"), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("leak_cluster"),
     )

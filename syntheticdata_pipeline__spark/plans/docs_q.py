@@ -2325,8 +2325,12 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = groups.select(
         "id", F.size("members").cast("bigint").alias("m")
     ).localCheckpoint(eager=False)
+    # coalesce to 0 (not NULL): on an empty corpus the oracle's pair
+    # count is 0 and the n_candidate_pairs sum must not go NULL.
     within = sizes.agg(
-        F.sum(F.expr("m * (m - 1) DIV 2")).cast("bigint").alias("within_pairs")
+        F.coalesce(F.sum(F.expr("m * (m - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("within_pairs")
     ).localCheckpoint(eager=False)
     sigs = groups.select(
         "id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig")

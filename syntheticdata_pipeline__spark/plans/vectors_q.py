@@ -957,7 +957,11 @@ v{t} AS (SELECT list_transform(w, t -> t / sqrt(norm2)) AS cv, norm2 FROM n{t}),
 SELECT CAST(i - 1 AS BIGINT) AS pos,
        round(cv[i], 6) AS loading,
        round(sqrt(norm2), 6) AS eigenvalue
-FROM v{iters} CROSS JOIN p"""
+FROM v{iters} CROSS JOIN p
+WHERE i <= len(cv)"""
+    # the i <= len(cv) guard matches Spark's posexplode-of-the-vector:
+    # an empty corpus has an empty loading vector and must yield ZERO
+    # rows, not 64 all-NULL rows from the constant dimension range.
     return sql
 
 
@@ -1171,7 +1175,13 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_trained").alias("method"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
         F.col("n_true").cast("bigint").alias("n_true"),
-        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias("recall"),
+        # try_divide: an empty corpus has n_true=0, and ANSI division
+        # would kill the whole job where the oracle (DuckDB x/0) and a
+        # production pipeline both expect NULL recall for "nothing to
+        # search".
+        F.round(
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_true")), 6
+        ).alias("recall"),
     )
 
 
