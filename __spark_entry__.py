@@ -40,28 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # green on rewritten semantics affirmatively describes code that no
 # longer exists, which is worse evidence than no check at all
 # (round-6 verdict, "Next round" #2). Entries leave this list only once
-# a driver round has re-checked them post-rewrite (substring_max_span
-# and ann_recall_at_k cycled out via CORRECTNESS_r06; the rest of the
-# r6 rewrites below never made the r6 window and stay listed).
-_CHANGED_THIS_ROUND = (
-    # --- changed in round 7 ---
-    "ann_ivf_trained_topk",  # codebook now trained on a seeded 20% sample
-    "jaccard_prefix_filter_join",  # NULL-text guard before collapse
-    "minhash_lsh_candidates",  # NULL-text guard before collapse
-    "lsh_band_sweep",  # NULL-text guard before collapse
-    "doc_fingerprints",  # NULL-in-NULL-out oracle twin
-    "dup_rate_estimate",  # no-content docs contribute no grams (both engines)
-    "cluster_aware_split_leakage",  # empty-corpus COUNT semantics (0, not NULL)
-    "embedding_top_pc_power",  # oracle bounds dims by computed vector length
-    "lsh_param_chooser",  # chosen flag no longer NULL through empty counts
-    # --- rewritten in round 6, driver green still predates the rewrite ---
-    "unigram_perplexity_gate",  # histogram-CDF threshold (de-skewed, new semantics)
-    "doc_length_quartiles",  # value-based tiles on length histogram
-    "bm25_topk_docs",  # two-phase TakeOrdered top-k
-    "ann_lsh_topk",  # Hamming-1 multi-probe
-    "incremental_dedup_survivors",  # id-monotonicity guard on state join
-    "doc_length_percentiles",  # histogram-CDF exact quantile (no group buffering)
-)
+# a driver round has re-checked them post-rewrite: the full round-6 and
+# round-7 cohorts (15 entries) all got their post-rewrite driver green in
+# CORRECTNESS_r07 and cycled out per the exit criterion above, freeing
+# the round-8 window for the tier-3 stalest cohort (r7 verdict "Next
+# round" #1-2). Add entries here ONLY for queries rewritten this round.
+_CHANGED_THIS_ROUND = ()
 
 
 def _catalog_order(names: list[str]) -> list[str]:

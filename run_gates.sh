@@ -75,7 +75,9 @@ if [ "$MODE" = "full" ] && [ $fail -eq 0 ]; then
   # the same invariant CI-side.
   cp /tmp/run_gates_bench.json BENCH_local.json
   python tools/gen_perf_md.py --write
-  if ! python tools/gen_perf_md.py --check; then
+  # In-run guarantee on the REFRESHED files (a --check right after --write
+  # would be tautological — r7 ADVICE): re-run the sync test itself.
+  if ! python -m pytest tests/test_perf_md_sync.py -q --no-header; then
     echo "GATE FAIL: PERF.md out of sync with BENCH_local.json" >&2
     fail=1
   fi

@@ -1050,7 +1050,7 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Trained-codebook IVF: search within the nprobe=2 nearest cells of the
+# Trained-codebook IVF: search within the nprobe=3 nearest cells of the
 # k-means run above (the production IVF composition: train codebook →
 # assign → multi-probe cell-local search), measured as recall@k against
 # exact brute force.
@@ -1110,7 +1110,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a SAMPLE-TRAINED codebook with multi-probe: Lloyd runs 2
     seeded iterations on a 30% md5-sampled training set, ONE full-corpus
     pass assigns every vector to its trained cell (the inverted file),
-    each query searches its nprobe=2 nearest cells (ranked against the
+    each query searches its nprobe=3 nearest cells (ranked against the
     SAME codebook the assignment used), and the result is scored as
     recall@5 against exact brute force — the full production ANN
     composition (sample → train → assign → probe → recall acceptance)
