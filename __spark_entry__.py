@@ -45,7 +45,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r07 and cycled out per the exit criterion above, freeing
 # the round-8 window for the tier-3 stalest cohort (r7 verdict "Next
 # round" #1-2). Add entries here ONLY for queries rewritten this round.
-_CHANGED_THIS_ROUND = ()
+#
+# Round 9: the events-table NULL/empty adversarial sweep
+# (tests/test_events_adversarial.py, r7 verdict item #7) found four real
+# engine/oracle divergences; the fixes touch query semantics, so the
+# driver must re-check them post-rewrite:
+#   dwell_time_by_type        — avg is now the bare IEEE division (the
+#                               round(·,6) itself diverged past double
+#                               precision at µs magnitudes)
+#   asof_view_purchase        — asof_join now gives SQL NULL-key
+#                               semantics (NULL matches nothing)
+#   kmv_set_overlap           — NULL user_id excluded from both set
+#                               sides (oracle was internally
+#                               inconsistent: jaccard_exact > 1)
+#   funnel_conversion_ordered — stage counts are global aggs so an
+#                               empty stream still emits all 3 stages;
+#                               conv_rate via try_divide
+_CHANGED_THIS_ROUND = (
+    "dwell_time_by_type",
+    "asof_view_purchase",
+    "kmv_set_overlap",
+    "funnel_conversion_ordered",
+)
 
 
 def _catalog_order(names: list[str]) -> list[str]:

@@ -110,13 +110,16 @@ def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     base = f"/tmp/spark_graft_stress_{os.path.basename(sf_dir.rstrip('/'))}_{factor}x"
     stress = f"{base}_v2"
     marker = os.path.join(stress, "_READY")
-    if not os.path.exists(marker):
-        # Reclaim any superseded v1 layout (symlinked embeddings) so stale
-        # replicated parquet doesn't accumulate under /tmp (r7 ADVICE).
-        if os.path.isdir(base):
-            import shutil
+    # Reclaim any superseded v1 layout (symlinked embeddings) so stale
+    # replicated parquet doesn't accumulate under /tmp — unconditionally,
+    # not only when v2 still needs building: on a machine where v2 is
+    # already READY the v1 dirs would otherwise never be removed
+    # (r7 + r8 ADVICE).
+    if os.path.isdir(base):
+        import shutil
 
-            shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+    if not os.path.exists(marker):
         os.makedirs(stress, exist_ok=True)
         for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
             src_df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))

@@ -33,8 +33,18 @@ def asof_join(
     explosion, no skew beyond the key distribution. This is the
     merge-as-of algorithm expressed relationally; ``tolerance`` (same
     units as the time columns) drops matches older than the window.
+
+    NULL join keys follow SQL join semantics (NULL matches nothing): a
+    left row with a NULL key is emitted with NULL as-of values, and
+    NULL-key right rows are dropped up front — without this the shared
+    window partition would pair NULL-key rows with each other, which
+    DuckDB's native ASOF JOIN (the oracle) never does.
     """
     key_cols = list(on)
+    null_key = F.lit(False)
+    for k in key_cols:
+        null_key = null_key | F.col(k).isNull()
+        right = right.filter(F.col(k).isNotNull())
     # Timestamp and values travel in ONE struct built only from right rows,
     # so last(ignorenulls) can never pair a stale value with a newer right
     # timestamp (a right row whose value column is NULL still advances the
@@ -91,9 +101,15 @@ def asof_join(
                 for v in right_values
             ],
         )
-        value_cols = [F.col(f"__k_{v}").alias(f"asof_{v}") for v in right_values]
+        value_cols = [
+            F.when(null_key, F.lit(None)).otherwise(F.col(f"__k_{v}")).alias(f"asof_{v}")
+            for v in right_values
+        ]
     else:
-        value_cols = [F.col(f"__c_{v}").alias(f"asof_{v}") for v in right_values]
+        value_cols = [
+            F.when(null_key, F.lit(None)).otherwise(F.col(f"__c_{v}")).alias(f"asof_{v}")
+            for v in right_values
+        ]
     return out.select(F.col("__lrow.*"), *value_cols)
 
 

@@ -464,12 +464,18 @@ def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("p_ts"))
     )
+    # Each stage count is a GLOBAL aggregation (always exactly one row,
+    # zero included) rather than a row-union + groupBy: the oracle's
+    # `UNION ALL SELECT COUNT(*)` emits all three stage rows on an empty
+    # events table, and so must the engine (round-9 empty-stream sweep).
     stages = (
-        v.select(F.lit("1_view").alias("stage"))
-        .unionByName(c.select(F.lit("2_click").alias("stage")))
-        .unionByName(p.select(F.lit("3_purchase").alias("stage")))
-        .groupBy("stage")
-        .agg(F.count("*").alias("n"))
+        v.agg(F.count("*").alias("n")).select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(
+            c.agg(F.count("*").alias("n")).select(F.lit("2_click").alias("stage"), "n")
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n")).select(F.lit("3_purchase").alias("stage"), "n")
+        )
     )
     top = stages.filter(F.col("stage") == "1_view").select(
         F.col("n").alias("n_top")
@@ -477,7 +483,11 @@ def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.crossJoin(F.broadcast(top)).select(
         "stage",
         F.col("n").cast("bigint").alias("n_users"),
-        F.round(F.col("n").cast("double") / F.col("n_top"), 6).alias("conv_rate"),
+        # try_divide: an empty funnel has n_top = 0 and DuckDB's x/0 is
+        # NULL, while ANSI Spark would throw.
+        F.round(
+            F.try_divide(F.col("n").cast("double"), F.col("n_top")), 6
+        ).alias("conv_rate"),
     )
 
 
@@ -1016,7 +1026,7 @@ WITH seq AS (
 SELECT event_type,
   COUNT(next_us) AS n_intervals,
   CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
-  round(CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us), 6) AS avg_dwell_us
+  CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us) AS avg_dwell_us
 FROM seq WHERE next_us IS NOT NULL
 GROUP BY event_type
 """
@@ -1027,7 +1037,11 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dwell time per event type: the gap from each event to the same
     user's next event, summed and averaged per type — pure integer-µs
     lead arithmetic, the engagement metric that tells which states users
-    linger in.
+    linger in. The average is the bare IEEE division (exact-int sum /
+    count, bit-identical in any engine): a round(·,6) here is a trap —
+    µs averages carry ~17 significant digits at 6 decimals, past double
+    precision, where Spark's BigDecimal round and DuckDB's round can
+    disagree by one ulp (found by the round-9 NULL-events sweep).
 
     Scale shape: one lead() over bounded per-user partitions (the
     accepted lag/moving-average class), then a map-side-partial rollup
@@ -1042,9 +1056,7 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("event_type").agg(
         F.count("*").alias("n_intervals"),
         F.sum(dwell).cast("bigint").alias("total_dwell_us"),
-        F.round(
-            F.sum(dwell).cast("double") / F.count("*"), 6
-        ).alias("avg_dwell_us"),
+        (F.sum(dwell).cast("double") / F.count("*")).alias("avg_dwell_us"),
     )
 
 

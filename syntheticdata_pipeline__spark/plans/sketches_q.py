@@ -258,7 +258,7 @@ _ks_h = unit_rand_sql("__k", "kmvset")
 _KMVSET_ORACLE = f"""
 WITH dedup AS (
   SELECT DISTINCT event_type, user_id AS __k FROM events
-  WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND user_id IS NOT NULL),
 hashed AS (SELECT event_type, __k, {_ks_h} AS __h FROM dedup),
 sk AS (
   SELECT * FROM (
@@ -314,6 +314,11 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_KS_A, _KS_B)
+        # A NULL identity is not a set member: without this filter the
+        # engine's groupBy would count the NULL key into both the union
+        # and the intersection while SQL COUNT(DISTINCT) drops it — the
+        # oracle would even report jaccard_exact > 1 (round-9 sweep).
+        & F.col("user_id").isNotNull()
     )
     dedup = ev.select("event_type", F.col("user_id").alias("__k")).distinct()
     hashed = dedup.withColumn("__h", unit_rand(F.col("__k"), "kmvset"))

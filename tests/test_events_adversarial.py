@@ -1,0 +1,198 @@
+"""Events-table adversarial battery: every catalog query that reads the
+events table, run against its DuckDB oracle on (a) a NULL-laced fixture
+(user_id / value / event_type / props each NULLed on a deterministic
+stripe of the real sf0.001 events) and (b) an empty events table with
+the schema preserved.
+
+This is the events-side twin of tests/test_nulltext_guard.py: the
+round-7 NULL-text sweep over documents found five engine/oracle
+divergences, and this sweep (round 9) found four more of the same class
+in the events analytics, all fixed and held here under regression:
+
+- ``dwell_time_by_type`` — NULL event_type regrouping pushed the 'error'
+  group onto a value where Spark's BigDecimal round(·,6) and DuckDB's
+  round disagree by one ulp (µs averages carry ~17 significant digits at
+  6 decimals, past double precision); the avg is now the bare IEEE
+  division, which is bit-identical by construction.
+- ``asof_view_purchase`` — the union+window as-of implementation
+  partitioned NULL user_id rows together, pairing NULL-key views with
+  NULL-key purchases that DuckDB's native ASOF JOIN (NULL matches
+  nothing) never pairs; operators/temporal.asof_join now masks as-of
+  values for NULL-key left rows and drops NULL-key right rows.
+- ``kmv_set_overlap`` — a NULL user_id is not a set member: the engine's
+  groupBy counted the NULL key into both the exact union and the exact
+  intersection while SQL COUNT(DISTINCT) drops it from the union only,
+  making the oracle internally inconsistent (jaccard_exact = 16/15 > 1);
+  both sides now exclude NULL user_id.
+- ``funnel_conversion_ordered`` (empty) — the oracle's
+  ``UNION ALL SELECT COUNT(*)`` emits all three stage rows with n = 0 on
+  an empty table; the engine's row-union + groupBy emitted zero rows.
+  Stage counts are now global aggregations (always one row each), and
+  conv_rate uses try_divide for the 0/0 top-of-funnel.
+
+Reference anchor: these queries carry the R1-R7 telemetry semantics of
+the reference's scraping loop (any_scraper.py:85-116, test_kimono.py:
+63-74), where missing user/value fields are routine, not exceptional.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+_SRC = "/root/testdata/sf0.001"
+
+# Every registered query whose build reads the events table (grep over
+# plans/ for the events load; see test_member_list_is_current below).
+EVENTS_QUERIES = (
+    "tumbling_event_stats",
+    "session_windows_batch",
+    "sliding_event_counts",
+    "stream_tumbling_counts",
+    "stateful_dedup_events",
+    "resume_anti_join",
+    "event_rate_report",
+    "moving_avg_user_value",
+    "event_interarrival_stats",
+    "weekly_retention_cohorts",
+    "event_value_outliers",
+    "funnel_conversion_ordered",
+    "neyman_allocation_sample",
+    "key_skew_profile",
+    "burst_detection",
+    "event_transition_matrix",
+    "exact_median_two_pass",
+    "value_trend_by_type",
+    "dwell_time_by_type",
+    "top_event_trigrams",
+    "conversion_deadline_attribution",
+    "interarrival_percentiles",
+    "hourly_profile_by_type",
+    "user_behavior_features",
+    "event_value_stats",
+    "state_cardinality_by_type",
+    "asof_view_purchase",
+    "range_join_error_purchase",
+    "multi_resolution_rollup_q",
+    "kmv_distinct_users",
+    "countmin_user_freq",
+    "hll_distinct_users",
+    "hll_window_merge",
+    "join_size_estimate_cm",
+    "kmv_set_overlap",
+    "event_value_histogram",
+    "parse_props_json",
+)
+
+
+def _make_fixture(tmp: str, mode: str) -> str:
+    import duckdb
+
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect()
+    if mode == "nulls":
+        # Deterministic NULL stripes over the real sf0.001 events: the
+        # moduli are coprime so single- and multi-column-NULL rows both
+        # occur (event_id 0 hits all four).
+        con.execute(
+            f"""COPY (SELECT * REPLACE (
+                CASE WHEN event_id % 17 = 0 THEN NULL ELSE user_id END AS user_id,
+                CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value,
+                CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type,
+                CASE WHEN event_id % 23 = 0 THEN NULL ELSE props END AS props)
+                FROM read_parquet('{_SRC}/events.parquet'))
+                TO '{tmp}/events.parquet' (FORMAT PARQUET)"""
+        )
+    else:  # empty stream, schema preserved
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{_SRC}/events.parquet') WHERE 1=0)
+                TO '{tmp}/events.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    for t in "region nation customer supplier part orders lineitem documents embeddings".split():
+        src = os.path.join(_SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(tmp, f"{t}.parquet"))
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(tmp_path_factory):
+    tmp = _make_fixture(str(tmp_path_factory.mktemp("events_nulls")), "nulls")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    tmp = _make_fixture(str(tmp_path_factory.mktemp("events_empty")), "empty")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_one(spark, sf_dir: str, name: str) -> None:
+    from tools.check_oracle import compare_one, duck_connect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    registry = load_all()
+    qs = {name: registry[name].build}
+    oracles = {name: registry[name].oracle} if registry[name].oracle else {}
+    con = duck_connect(sf_dir)
+    try:
+        # True = PASS, None = rows-only (no oracle registered)
+        assert compare_one(spark, con, name, qs, oracles, sf_dir) is not False
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_null_laced_events_match_oracle(spark, nulls_sf_dir, name):
+    _run_one(spark, nulls_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_empty_events_match_oracle(spark, empty_sf_dir, name):
+    _run_one(spark, empty_sf_dir, name)
+
+
+def test_member_list_is_current():
+    """The sweep must not silently rot: every registered query whose
+    build source mentions the events table is in EVENTS_QUERIES."""
+    import inspect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    missing = []
+    for name, spec in load_all().items():
+        try:
+            src = inspect.getsource(spec.build)
+        except (OSError, TypeError):
+            continue
+        if '"events"' in src or "'events'" in src:
+            if name not in EVENTS_QUERIES:
+                missing.append(name)
+    assert not missing, f"events-reading queries missing from sweep: {missing}"
+
+
+def test_asof_null_user_views_get_null_value(spark, nulls_sf_dir):
+    """SQL NULL-key semantics, asserted directly: every NULL-user view
+    row survives (left join) but carries a NULL as-of value."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    out = load_all()["asof_view_purchase"].build(spark, nulls_sf_dir)
+    null_users = out.filter(F.col("user_id").isNull())
+    assert null_users.count() > 0  # the 17-stripe does hit views
+    assert null_users.filter(F.col("asof_value").isNotNull()).count() == 0
+
+
+def test_funnel_empty_stream_emits_all_stages(spark, empty_sf_dir):
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    rows = load_all()["funnel_conversion_ordered"].build(spark, empty_sf_dir).collect()
+    assert sorted(r.stage for r in rows) == ["1_view", "2_click", "3_purchase"]
+    assert all(r.n_users == 0 and r.conv_rate is None for r in rows)
