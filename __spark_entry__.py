@@ -61,11 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   funnel_conversion_ordered — stage counts are global aggs so an
 #                               empty stream still emits all 3 stages;
 #                               conv_rate via try_divide
+# Also round 9: the identical-vector collapse in lsh_neardup_pairs
+# (PERF.md optimization log #9) rewrites the PLAN (not the semantics —
+# outputs are bit-identical, pinned by the flat-vs-collapsed equivalence
+# test) of the three queries below; their r8 greens describe the
+# pre-collapse plan, so the driver re-checks them too:
 _CHANGED_THIS_ROUND = (
     "dwell_time_by_type",
     "asof_view_purchase",
     "kmv_set_overlap",
     "funnel_conversion_ordered",
+    "cosine_neardup_lsh",
+    "cosine_neardup_lsh_probed",
+    "semantic_dedup_stats",
 )
 
 

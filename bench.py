@@ -68,6 +68,15 @@ STRESS_QUERIES = (
     "cosine_neardup_lsh",
     "kmeans_embedding_clusters",
     "similarity_pagerank",
+    # r9: the heaviest benched query with no growth curve until now —
+    # its min-label propagation rounds are the one hot loop the
+    # identical-set collapse can't shorten, so the curve is the evidence
+    # the node-keyed SMJ rounds stay sub-quadratic under duplicate-heavy
+    # corpora; plus the df-capped postings path (rare-gram pruning) whose
+    # cap is exactly what must hold as duplicates multiply.
+    "cluster_aware_split_leakage",
+    "ngram_jaccard_pruned",
+    "lsh_param_chooser",
 )
 STRESS_FACTOR = 10
 # second, deeper replication point for the paths whose state/postings
@@ -79,6 +88,10 @@ STRESS_QUERIES_DEEP = (
     "incremental_dedup_survivors",
     "jaccard_prefix_filter_join",
     "substring_max_span",
+    # r9: lock the curve shape of the label-propagation loop too — the
+    # 30x point bounds how the per-round SMJ volume scales when every
+    # document has ~30 replicas in its connected component.
+    "cluster_aware_split_leakage",
 )
 STRESS_FACTOR_DEEP = 30
 

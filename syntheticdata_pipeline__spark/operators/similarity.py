@@ -165,45 +165,102 @@ def lsh_neardup_pairs(
     bucket from one side (the classic multi-probe LSH recall lever:
     near-threshold pairs usually differ in exactly one plane sign) — a
     (n_planes+1)× fan-out on the probe side only, still never quadratic;
-    duplicate candidates are dropped before the threshold filter."""
+    duplicate candidates are dropped before the threshold filter.
+
+    **Identical-vector collapse** (the embedding-space twin of the text
+    side's identical-set collapse): the bucket join and the exact-dot
+    verification run over DISTINCT vectors only — one representative
+    (min id) per byte-identical vector group — and the surviving
+    representative pairs re-expand to member pairs afterwards. Without
+    this, k exact copies of a vector multiply the candidate stage by k²
+    (measured before the change: a 100x-replicated corpus made the pair
+    stage verify 10,000x the dots, 395 s for 11.3 M pairs); with it,
+    verification cost scales with distinct vectors and the expansion is
+    join-generated output, so a duplicate-heavy corpus pays only for the
+    pairs it emits. Exactly output-equivalent: identical vectors share
+    every sign bucket, all cross-member dots equal the representative
+    dot bit-for-bit (same arrays, same fold), and intra-group pairs are
+    gated on the group's self-dot >= threshold just as the flat join
+    would."""
     planes = hyperplanes(n_planes, dim)
-    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(label_col)] if label_col else [])
-    # No explicit repartition: at oracle scale AQE broadcasts the smaller
-    # side (one scan, zero shuffles on the probe side); at cluster scale
-    # the bucket equi-join hash-partitions both sides on bucket — either
-    # way the candidate set is Σ|bucket|², never n².
-    b = df.select(*cols, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    a_cols = [
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        *([F.col(label_col).alias("__la")] if label_col else []),
-    ]
+    has_label = label_col is not None
+    member = df.select(
+        F.col(id_col).alias("__mid"),
+        F.col(vec_col).alias("__v"),
+        *([F.col(label_col).alias("__ml")] if has_label else []),
+    )
+    # One representative per distinct vector. Grouping/joining on the
+    # raw array is exact (no fingerprint collisions); a hyper-duplicated
+    # vector makes a hot key here, which AQE skew-split handles — and
+    # the alternative (collect_list members per group) would put the
+    # whole group in one row, which cannot survive a 100 TB hot group.
+    groups = member.groupBy("__v").agg(
+        F.min("__mid").alias("__rep"), F.count("*").alias("__n")
+    )
+    memb = member.join(groups.select("__v", "__rep"), "__v").select(
+        "__mid", "__rep", *(["__ml"] if has_label else [])
+    )
+    reps = groups.select(
+        F.col("__rep").alias("id"), F.col("__v").alias("vec"), "__n"
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+
+    # --- candidate generation + exact verification over DISTINCT vectors
+    a_cols = [F.col("id").alias("ra"), F.col("vec").alias("__va")]
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)],
         )
-        a_side = b.select(*a_cols, F.explode(probes).alias("bucket"))
+        a_side = reps.select(*a_cols, F.explode(probes).alias("bucket"))
     else:
-        a_side = b.select(*a_cols, "bucket")
-    b_side = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        *( [F.col(label_col).alias("__lb")] if label_col else [] ),
-        "bucket",
+        a_side = reps.select(*a_cols, "bucket")
+    b_side = reps.select(
+        F.col("id").alias("rb"), F.col("vec").alias("__vb"), "bucket"
     )
-    pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    rep_pairs = a_side.join(b_side, "bucket").filter(F.col("ra") < F.col("rb"))
     if multi_probe:
         # a pair can meet in its home bucket AND a probed one
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        rep_pairs = rep_pairs.dropDuplicates(["ra", "rb"])
+    rep_pairs = rep_pairs.select(
+        "ra", "rb", dot(F.col("__va"), F.col("__vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+    # --- re-expansion to member pairs
+    ma = memb.select(
+        F.col("__rep").alias("ra"),
+        F.col("__mid").alias("ida"),
+        *([F.col("__ml").alias("la")] if has_label else []),
+    )
+    mb = memb.select(
+        F.col("__rep").alias("rb"),
+        F.col("__mid").alias("idb"),
+        *([F.col("__ml").alias("lb")] if has_label else []),
+    )
+    cross = rep_pairs.join(ma, "ra").join(mb, "rb")
+    # within a duplicate group: every member pair, carried cos = the
+    # group's self-dot (== what the flat bucket join would verify), only
+    # when that self-dot passes the threshold (non-normalized or NULL
+    # vectors may not).
+    intra_reps = reps.filter(F.col("__n") >= 2).select(
+        F.col("id").alias("ra"),
+        dot(F.col("vec"), F.col("vec")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    intra = (
+        intra_reps.join(ma, "ra")
+        .join(
+            mb.withColumnRenamed("rb", "ra"), "ra"
+        )
+        .filter(F.col("ida") < F.col("idb"))
+    )
     out_cols = [
-        F.col("id_a"),
-        F.col("id_b"),
-        dot(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        F.least(F.col("ida"), F.col("idb")).alias("id_a"),
+        F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
+        F.col("cos_sim"),
     ]
-    if label_col:
-        out_cols.append((F.col("__la") == F.col("__lb")).alias("same_label"))
-    return pairs.select(*out_cols).filter(F.col("cos_sim") >= threshold)
+    if has_label:
+        out_cols.append((F.col("la") == F.col("lb")).alias("same_label"))
+    sel = ["ida", "idb", "cos_sim"] + (["la", "lb"] if has_label else [])
+    return cross.select(*sel).unionByName(intra.select(*sel)).select(*out_cols)
 
 
 def topk_pandas_kernel(

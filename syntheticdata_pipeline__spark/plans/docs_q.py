@@ -140,7 +140,7 @@ WHERE {jaccard_sql('a.sh', 'b.sh')} >= {_JACCARD_THRESHOLD}
 """
 
 
-@register("ngram_jaccard_pruned", oracle=_JACCARD_PRUNED_ORACLE, tags=("dedup-jaccard",))
+@register("ngram_jaccard_pruned", oracle=_JACCARD_PRUNED_ORACLE, bench=True, tags=("dedup-jaccard",))
 def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard near-dup pairs after dropping boilerplate shingles (doc
     frequency > 4 within a language). A shingle shared by millions of
@@ -821,7 +821,7 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
 """
 
 
-@register("simhash_hamming_pairs_q", oracle=_SH_PAIRS_ORACLE, tags=("dedup-simhash", "lsh"))
+@register("simhash_hamming_pairs_q", oracle=_SH_PAIRS_ORACLE, bench=True, tags=("dedup-simhash", "lsh"))
 def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-SimHash near-dup pairs (Hamming ≤ 3 over 16 bits, 4 bands):
     band equi-join → exact popcount(xor) verify. Exact by pigeonhole for
@@ -1213,7 +1213,7 @@ FROM lab
 """
 
 
-@register("neardup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup-minhash", "clusters"))
+@register("neardup_clusters", oracle=_CLUSTERS_ORACLE, bench=True, tags=("dedup-minhash", "clusters"))
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: verified LSH pairs → min-label
     propagation (operators.clusters.connected_components) → per-component
@@ -2178,7 +2178,7 @@ GROUP BY 1, 2
 """
 
 
-@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, tags=("text-analysis", "F4"))
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, bench=True, tags=("text-analysis", "F4"))
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail partition per language: the
     corpus-trained unigram log-prob score (same LM as
@@ -2918,7 +2918,7 @@ FROM j CROSS JOIN best b
 """
 
 
-@register("lsh_param_chooser", oracle=_chooser_oracle(), tags=("dedup-minhash", "tuning"))
+@register("lsh_param_chooser", oracle=_chooser_oracle(), bench=True, tags=("dedup-minhash", "tuning"))
 def lsh_param_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close the LSH tuning loop: for each (bands × rows) split of the
     12-hash signature, the analytic collision probability

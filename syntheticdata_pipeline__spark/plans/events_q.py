@@ -433,7 +433,7 @@ FROM stages
 """
 
 
-@register("funnel_conversion_ordered", oracle=_FUNNEL_ORACLE, tags=("A1", "R7"))
+@register("funnel_conversion_ordered", oracle=_FUNNEL_ORACLE, bench=True, tags=("A1", "R7"))
 def funnel_conversion_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-stage funnel: users whose first click follows their
     first view and whose first purchase follows that click, with

@@ -599,7 +599,7 @@ GROUP BY s.source, n.ns
 """
 
 
-@register("ks_length_drift_by_source", oracle=_KS_ORACLE, tags=("quality", "A7"))
+@register("ks_length_drift_by_source", oracle=_KS_ORACLE, bench=True, tags=("quality", "A7"))
 def ks_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS statistic (sup CDF gap) between each source's
     doc-length distribution and the whole corpus — drift detection for a

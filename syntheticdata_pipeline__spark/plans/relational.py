@@ -889,7 +889,7 @@ FROM tot t CROSS JOIN topd d
 """
 
 
-@register("customer_revenue_concentration", oracle=_CONC_ORACLE, tags=("A7", "quality"))
+@register("customer_revenue_concentration", oracle=_CONC_ORACLE, bench=True, tags=("A7", "quality"))
 def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How concentrated is customer value: the revenue share of the top
     value decile (customers in histogram bins wholly above the 90th count

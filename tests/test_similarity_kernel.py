@@ -106,3 +106,88 @@ def test_ivf_trained_recall_floor(spark):
     assert row["method"] == "ivf_trained"
     assert row["n_true"] == 50
     assert row["recall"] >= 0.5
+
+
+def _flat_lsh_pairs(df, threshold, n_planes, dim, label_col=None, multi_probe=False):
+    """The pre-collapse flat bucket join (every row on both sides) — kept
+    here as the reference implementation the identical-vector collapse in
+    lsh_neardup_pairs must be output-equivalent to."""
+    from syntheticdata_pipeline__spark.functions.vectors import dot
+    from syntheticdata_pipeline__spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    planes = hyperplanes(n_planes, dim)
+    cols = [F.col("vec_id"), F.col("embedding")] + (
+        [F.col(label_col)] if label_col else []
+    )
+    b = df.select(*cols, lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    a_cols = [
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        *([F.col(label_col).alias("__la")] if label_col else []),
+    ]
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)],
+        )
+        a_side = b.select(*a_cols, F.explode(probes).alias("bucket"))
+    else:
+        a_side = b.select(*a_cols, "bucket")
+    b_side = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        *([F.col(label_col).alias("__lb")] if label_col else []),
+        "bucket",
+    )
+    pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    if multi_probe:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    out = [
+        F.col("id_a"),
+        F.col("id_b"),
+        dot(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+    ]
+    if label_col:
+        out.append((F.col("__la") == F.col("__lb")).alias("same_label"))
+    return pairs.select(*out).filter(F.col("cos_sim") >= threshold)
+
+
+@pytest.mark.parametrize("multi_probe", [False, True])
+def test_collapse_equals_flat_join_on_duplicate_heavy_corpus(spark, multi_probe):
+    """The identical-vector collapse must be bit-equivalent to the flat
+    bucket join on a corpus with planted exact-duplicate groups — members
+    interleaved across groups (so rep ordering != member ordering) and
+    labels varying WITHIN a duplicate group (so same_label comes from the
+    members, not the group)."""
+    from syntheticdata_pipeline__spark.operators.similarity import lsh_neardup_pairs
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    n = 40
+    # three replicas of every vector: ids k, k+n, k+2n — and flip the
+    # label parity on the second replica so duplicate groups mix labels
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                "embedding",
+                ((F.col("label") + i) % 3).cast("int").alias("label"),
+            )
+        )
+    kw = dict(threshold=0.3, n_planes=4, dim=64, label_col="label", multi_probe=multi_probe)
+    got = {
+        (r.id_a, r.id_b): (r.cos_sim, r.same_label)
+        for r in lsh_neardup_pairs(dup, **kw).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): (r.cos_sim, r.same_label)
+        for r in _flat_lsh_pairs(dup, **kw).collect()
+    }
+    assert got == want  # exact float equality: same arrays, same fold
+    # sanity: the duplicate groups actually produced intra-group pairs
+    assert any(b - a in (n, 2 * n) for a, b in got)
