@@ -74,6 +74,20 @@ _CHANGED_THIS_ROUND = (
     "cosine_neardup_lsh",
     "cosine_neardup_lsh_probed",
     "semantic_dedup_stats",
+    # Round 9 phase 3: the embeddings-table NULL/empty sweep
+    # (tests/test_embeddings_adversarial.py) — NULL vectors are now
+    # excluded from ANN search, int8 quantization, and the pair
+    # histogram on both engine and oracle sides (ann_recall_at_k
+    # inherits the filter through the ANN builders it composes), and
+    # the DuckDB fold helpers are NULL-in -> NULL-out like F.aggregate:
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_recall_at_k",
+    "ann_dim_truncation_recall",
+    "embedding_int8_quantize",
+    "cosine_pair_histogram",
 )
 
 

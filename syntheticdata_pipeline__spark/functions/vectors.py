@@ -26,11 +26,16 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_sql(a: str, b: str) -> str:
-    return (
+    # NULL-in -> NULL-out, matching Spark's F.aggregate: without the CASE,
+    # DuckDB's list_prepend(0.0, NULL) yields [0.0] and the fold returns
+    # 0.0 for a NULL array where Spark returns NULL (found by the round-9
+    # NULL-embeddings sweep via embedding_norms / ann_brute_topk).
+    fold = (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
         f"(acc, v) -> acc + v)"
     )
+    return f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL ELSE {fold} END)"
 
 
 def l2_norm(a: Column) -> Column:
@@ -65,7 +70,11 @@ def mae_sql(a: str, b: str) -> str:
         f"list_transform(list_zip({a}, {b}), p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
         f"(acc, v) -> acc + v)"
     )
-    return f"({s} / CAST(len({a}) AS DOUBLE))"
+    # NULL-in -> NULL-out (see dot_sql)
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {s} / CAST(len({a}) AS DOUBLE) END)"
+    )
 
 
 def mse(a: Column, b: Column) -> Column:
@@ -90,7 +99,11 @@ def mse_sql(a: str, b: str) -> str:
         f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
         f"(acc, v) -> acc + v)"
     )
-    return f"({s} / CAST(len({a}) AS DOUBLE))"
+    # NULL-in -> NULL-out (see dot_sql)
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {s} / CAST(len({a}) AS DOUBLE) END)"
+    )
 
 
 def psnr(mse_col: Column, max_value: float = 2.0) -> Column:
@@ -119,9 +132,11 @@ def sqdist(a: Column, b: Column) -> Column:
 
 
 def sqdist_sql(a: str, b: str) -> str:
-    return (
+    fold = (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(list_zip({a}, {b}), "
         f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
         f"(acc, v) -> acc + v)"
     )
+    # NULL-in -> NULL-out (see dot_sql)
+    return f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL ELSE {fold} END)"

@@ -34,6 +34,20 @@ _N_QUERIES = 10
 _K = 5
 
 
+def _nonnull_vec_oracle(sql: str) -> str:
+    """Rewrite an ANN/quantize/histogram oracle to operate on non-NULL
+    vectors only: a NULL embedding is not a searchable vector. Without
+    this, DuckDB and Spark disagree arbitrarily on NULL-vector rows
+    (NULL-score rank placement, 64 phantom quantize rows, NULL histogram
+    bins — all found by the round-9 NULL-embeddings sweep); the engine
+    builders apply the matching isNotNull filter."""
+    vecs = "vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    body = sql.replace("FROM embeddings", "FROM vecs")
+    assert body.lstrip().startswith("WITH"), "oracle must start with WITH"
+    return body.replace("WITH ", f"WITH {vecs},\n", 1)
+
+
+
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k (correctness baseline for ANN).
 # --------------------------------------------------------------------------
@@ -52,11 +66,15 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
-@register("ann_brute_topk", oracle=_BRUTE_ORACLE, bench=True, tags=("similarity", "J1"))
+@register("ann_brute_topk", oracle=_nonnull_vec_oracle(_BRUTE_ORACLE), bench=True, tags=("similarity", "J1"))
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors: broadcast queries × one
     corpus scan; sequential-fold dot products keep ranks bit-stable."""
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES), k=_K)
 
 
@@ -90,7 +108,7 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
-@register("ann_lsh_topk", oracle=_LSH_ORACLE, tags=("similarity", "lsh"))
+@register("ann_lsh_topk", oracle=_nonnull_vec_oracle(_LSH_ORACLE), tags=("similarity", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 4 deterministic planes → 16 sign buckets;
     top-k within the query's bucket plus every Hamming-1 probe bucket
@@ -98,7 +116,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that lifted recall@5 from 0.06 to ~0.4 on this fixture, see
     ann_recall_at_k). Bucket equi-join replaces the cross join; the probe
     fan-out rides the small broadcast side only."""
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     return lsh_bucketed_topk(
         e,
         e.filter(F.col("vec_id") < _N_QUERIES),
@@ -140,7 +162,7 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
-@register("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+@register("ann_ivf_topk", oracle=_nonnull_vec_oracle(_IVF_ORACLE), tags=("similarity", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment (argmax centroid dot, deterministic tiebreak)
     → top-k within the query's cell. Cell join replaces the cross join;
@@ -149,7 +171,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -245,7 +271,7 @@ FROM methods m LEFT JOIN hits h ON m.method = h.method CROSS JOIN tot t
 """
 
 
-@register("ann_recall_at_k", oracle=_RECALL_ORACLE, bench=True, tags=("similarity", "lsh", "ivf"))
+@register("ann_recall_at_k", oracle=_nonnull_vec_oracle(_RECALL_ORACLE), bench=True, tags=("similarity", "lsh", "ivf"))
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH-bucketed and IVF-cell ANN paths against the
     exact brute-force top-5 over the same 10 queries — ANN quality as a
@@ -721,7 +747,7 @@ FROM q CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS i) p
 """
 
 
-@register("embedding_int8_quantize", oracle=_QUANT_ORACLE, tags=("similarity", "M7"))
+@register("embedding_int8_quantize", oracle=_nonnull_vec_oracle(_QUANT_ORACLE), tags=("similarity", "M7"))
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim max-abs int8 quantization: one posexplode pass computes the
     64 scales (partial-agg max, order-independent), collected into ONE
@@ -731,7 +757,11 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output contract: exploded to one (vec_id, pos, q) row per element —
     scalar ints hash deterministically in the driver's canonicalizer
     (array<int> columns do not), and every element is still checked."""
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     ex = e.select(F.posexplode("embedding").alias("pos", "v"))
     scales = ex.groupBy("pos").agg(
         F.greatest(F.max(F.abs(F.col("v").cast("double"))), F.lit(1e-12)).alias("s")
@@ -1105,7 +1135,7 @@ FROM hits h CROSS JOIN tot t"""
 _IVF_TRAINED_ORACLE = _ivf_trained_oracle()
 
 
-@register("ann_ivf_trained_topk", oracle=_IVF_TRAINED_ORACLE, bench=True, tags=("similarity", "ivf"))
+@register("ann_ivf_trained_topk", oracle=_nonnull_vec_oracle(_IVF_TRAINED_ORACLE), bench=True, tags=("similarity", "ivf"))
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a SAMPLE-TRAINED codebook with multi-probe: Lloyd runs 2
     seeded iterations on a 30% md5-sampled training set, ONE full-corpus
@@ -1133,7 +1163,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, sqdist
     from ..operators.clusters import kmeans_fixed_iters
 
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     train = e.filter(unit_rand(F.col("vec_id"), _IVF_TRAIN_SALT) < _IVF_TRAIN_RATE)
     assigned, cents = kmeans_fixed_iters(
         e, k=_KM_K, iters=_KM_ITERS, return_centroids=True, train_vecs=train
@@ -1210,7 +1244,7 @@ GROUP BY 1, 2
 """
 
 
-@register("cosine_pair_histogram", oracle=_CPH_ORACLE, tags=("similarity", "tuning"))
+@register("cosine_pair_histogram", oracle=_nonnull_vec_oracle(_CPH_ORACLE), tags=("similarity", "tuning"))
 def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram (bins of 0.05) of cosine similarity over a deterministic
     hash-bucketed sample of vector pairs — the corpus-level similarity
@@ -1226,7 +1260,11 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.determinism import hash_bucket
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings").select(
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", "embedding", hash_bucket(F.col("vec_id"), _CPH_BUCKETS, "cph").alias("bkt")
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bkt")
@@ -1284,7 +1322,7 @@ GROUP BY t.dim
 """
 
 
-@register("ann_dim_truncation_recall", oracle=_trunc_oracle(), tags=("similarity", "tuning"))
+@register("ann_dim_truncation_recall", oracle=_nonnull_vec_oracle(_trunc_oracle()), tags=("similarity", "tuning"))
 def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of brute-force retrieval scored on the first 8/16/32
     embedding dimensions against the full-dimension truth — the
@@ -1299,7 +1337,11 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast join on (query, neighbor)."""
     from ..functions.vectors import cosine, dot
 
-    e = T(spark, sf_dir, "embeddings")
+    e = T(spark, sf_dir, "embeddings").filter(
+        # a NULL vector is not searchable/pairable (oracle twin:
+        # _nonnull_vec_oracle)
+        F.col("embedding").isNotNull()
+    )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

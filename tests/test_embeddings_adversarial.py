@@ -1,0 +1,161 @@
+"""Embeddings-table adversarial battery: every catalog query that reads
+the embeddings table, run against its DuckDB oracle on (a) a NULL-laced
+fixture (embedding NULL on the vec_id %17 stripe, label NULL on %13) and
+(b) an empty embeddings table with the schema preserved.
+
+Third input family to get the sweep (documents r7, events r9a): the
+round-9 run found EIGHT divergences, two root causes, all fixed and held
+here under regression:
+
+1. **The DuckDB fold helpers returned 0.0 for NULL arrays** where
+   Spark's ``F.aggregate`` returns NULL: ``list_prepend(0.0, NULL)``
+   yields ``[0.0]`` so ``list_reduce`` folds to 0.0. Every ``*_sql``
+   helper in functions/vectors.py (dot/mae/mse/sqdist, and l2_norm/
+   cosine through them) is now NULL-in → NULL-out via a CASE guard —
+   visible directly in ``embedding_norms`` (norm ∅ vs 0.0) and in every
+   ANN ranking that scored a NULL vector.
+2. **NULL vectors entered ANN search/quantize/pair stages** with
+   engine-arbitrary results: a NULL query vector "found" rank-1..k
+   neighbors with NULL scores in Spark while DuckDB ranked its 0.0-fold
+   scores; the int8 quantizer emitted 64 phantom NULL rows per NULL
+   vector in DuckDB (dim scaffold cross join) and none in Spark
+   (posexplode); histogram bins shifted. A NULL embedding is not a
+   searchable vector: the ANN family, the quantizer, and the pair
+   histogram now filter it on BOTH sides (engine ``isNotNull`` +
+   ``_nonnull_vec_oracle`` rewriting the oracle onto a ``vecs`` CTE).
+
+Row-preserving projections (``embedding_norms``, moments, covariance,
+split means, pagerank ranks) intentionally keep NULL-vector rows — there
+the SQL-faithful answer is a NULL metric, and both engines agree once
+fix #1 is in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+_SRC = "/root/testdata/sf0.001"
+
+
+def _members():
+    """Every registered query whose build reads embeddings — directly or
+    by composing the ANN builders (ann_recall_at_k)."""
+    import inspect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    out = []
+    for name, spec in load_all().items():
+        try:
+            src = inspect.getsource(spec.build)
+        except (OSError, TypeError):
+            continue
+        if (
+            '"embeddings"' in src
+            or "'embeddings'" in src
+            or "ann_brute_topk(" in src
+            or "ann_lsh_topk(" in src
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+def _make_fixture(tmp: str, mode: str) -> str:
+    import duckdb
+
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect()
+    if mode == "nulls":
+        con.execute(
+            f"""COPY (SELECT * REPLACE (
+                CASE WHEN vec_id % 17 = 0 THEN NULL ELSE embedding END AS embedding,
+                CASE WHEN vec_id % 13 = 0 THEN NULL ELSE label END AS label)
+                FROM read_parquet('{_SRC}/embeddings.parquet'))
+                TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+    else:
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{_SRC}/embeddings.parquet') WHERE 1=0)
+                TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    for t in "region nation customer supplier part orders lineitem events documents".split():
+        src = os.path.join(_SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(tmp, f"{t}.parquet"))
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(tmp_path_factory):
+    tmp = _make_fixture(str(tmp_path_factory.mktemp("emb_nulls")), "nulls")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    tmp = _make_fixture(str(tmp_path_factory.mktemp("emb_empty")), "empty")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_one(spark, sf_dir: str, name: str) -> None:
+    from tools.check_oracle import compare_one, duck_connect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    registry = load_all()
+    qs = {name: registry[name].build}
+    oracles = {name: registry[name].oracle} if registry[name].oracle else {}
+    con = duck_connect(sf_dir)
+    try:
+        assert compare_one(spark, con, name, qs, oracles, sf_dir) is not False
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", _members())
+def test_null_laced_embeddings_match_oracle(spark, nulls_sf_dir, name):
+    _run_one(spark, nulls_sf_dir, name)
+
+
+@pytest.mark.parametrize("name", _members())
+def test_empty_embeddings_match_oracle(spark, empty_sf_dir, name):
+    _run_one(spark, empty_sf_dir, name)
+
+
+def test_ann_excludes_null_vectors(spark, nulls_sf_dir):
+    """No NULL-vector id (the %17 stripe) may appear as query or neighbor,
+    and every returned score is non-NULL."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    reg = load_all()
+    for q in ("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        out = reg[q].build(spark, nulls_sf_dir)
+        assert (
+            out.filter(
+                (F.col("query_id") % 17 == 0) | (F.col("neighbor_id") % 17 == 0)
+            ).count()
+            == 0
+        ), q
+        assert out.filter(F.col("score").isNull()).count() == 0, q
+
+
+def test_norms_keep_null_vector_rows_with_null_norm(spark, nulls_sf_dir):
+    """Row-preserving projections keep the NULL-vector rows — the metric
+    is NULL, the row is not dropped (both engines agree post-fix)."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    out = load_all()["embedding_norms"].build(spark, nulls_sf_dir)
+    assert out.count() == 500
+    nulls = out.filter(F.col("vec_id") % 17 == 0)
+    assert nulls.count() > 0
+    assert nulls.filter(F.col("norm").isNotNull()).count() == 0
