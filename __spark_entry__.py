@@ -88,6 +88,12 @@ _CHANGED_THIS_ROUND = (
     "ann_dim_truncation_recall",
     "embedding_int8_quantize",
     "cosine_pair_histogram",
+    # Round 9 phase 4: the empty-fact-tables sweep
+    # (tests/test_empty_facts.py) — SQL CUBE/GROUPING SETS emit the ()
+    # grand-total row even on empty input, Spark's cube/groupingSets
+    # emit nothing; both queries now merge in a literal zero-row:
+    "cube_segment_status",
+    "grouping_sets_order_stats",
 )
 
 

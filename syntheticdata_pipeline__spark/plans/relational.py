@@ -120,11 +120,18 @@ GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
 @register("cube_segment_status", oracle=_CUBE_ORACLE, tags=("A4",))
 def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE rollup (idiomatic superset of the reference's two-level
-    categorizer, SURVEY §2.5 note)."""
+    categorizer, SURVEY §2.5 note).
+
+    Empty-input contract: SQL CUBE always emits the () grand-total row
+    (count 0) on an empty input, but Spark's cube emits nothing — so a
+    literal zero-row is unioned in and the ALREADY-AGGREGATED rows are
+    re-merged by key (additive counts: the real () row absorbs the 0).
+    The merge shuffles |groups| rows, not the corpus, so the empty-case
+    correctness costs one tiny exchange (round-9 empty-facts sweep)."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     j = c.join(o, c.c_custkey == o.o_custkey)
-    return (
+    base = (
         j.cube("c_mktsegment", "o_orderstatus")
         .count()
         .select(
@@ -132,6 +139,16 @@ def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
             F.col("count").alias("n"),
         )
+    )
+    zero = spark.range(1).select(
+        F.lit("ALL").alias("segment"),
+        F.lit("ALL").alias("status"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return (
+        base.unionByName(zero)
+        .groupBy("segment", "status")
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
 
@@ -640,7 +657,13 @@ GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
 def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three granularities in one shuffle via DataFrame.groupingSets;
     decimal-exact totals. (Statuses/segments are non-null in the data, so
-    the grouping-null → 'ALL' coalesce is unambiguous.)"""
+    the grouping-null → 'ALL' coalesce is unambiguous.)
+
+    Empty-input contract: the () grouping set is a global aggregate and
+    must emit its zero row (COUNT 0, SUM NULL) even on an empty join —
+    Spark's groupingSets emits nothing. Same literal-zero-row + re-merge
+    shape as cube_segment_status: sum() over {real_value, 0/NULL} is
+    exact, and the merge touches only the aggregated rows."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -654,11 +677,25 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
-    return g.select(
+    base = g.select(
         F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
         F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
         "n_orders",
         "total_price",
+    )
+    zero = spark.range(1).select(
+        F.lit("ALL").alias("seg"),
+        F.lit("ALL").alias("status"),
+        F.lit(0).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    return (
+        base.unionByName(zero)
+        .groupBy("seg", "status")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_price").alias("total_price"),
+        )
     )
 
 
