@@ -94,6 +94,17 @@ _CHANGED_THIS_ROUND = (
     # emit nothing; both queries now merge in a literal zero-row:
     "cube_segment_status",
     "grouping_sets_order_stats",
+    # Round 9 phase 5: the NULL-laced fact-tables sweep
+    # (tests/test_nullfacts_adversarial.py) — six divergences: window
+    # NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST, now
+    # explicit), NULL-priority three-valued bucketing, NULL-CLV bins,
+    # double→BIGINT cast rounding (trunc vs nearest), and the
+    # grouping-null vs value-null CUBE label collision (cube/gsets
+    # above, reworked again through GROUPING()):
+    "first_wins_dedup_parts",
+    "running_order_totals",
+    "customer_revenue_concentration",
+    "tpch_q12_ship_priority_split",
 )
 
 

@@ -109,8 +109,10 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CUBE_ORACLE = """
-SELECT coalesce(c.c_mktsegment, 'ALL') AS segment,
-       coalesce(o.o_orderstatus, 'ALL') AS status,
+SELECT CASE WHEN GROUPING(c.c_mktsegment) = 1 THEN 'ALL'
+            ELSE coalesce(c.c_mktsegment, 'NULL') END AS segment,
+       CASE WHEN GROUPING(o.o_orderstatus) = 1 THEN 'ALL'
+            ELSE coalesce(o.o_orderstatus, 'NULL') END AS status,
        COUNT(*) AS n
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
@@ -127,17 +129,31 @@ def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal zero-row is unioned in and the ALREADY-AGGREGATED rows are
     re-merged by key (additive counts: the real () row absorbs the 0).
     The merge shuffles |groups| rows, not the corpus, so the empty-case
-    correctness costs one tiny exchange (round-9 empty-facts sweep)."""
+    correctness costs one tiny exchange (round-9 empty-facts sweep).
+
+    NULL-group contract: a real NULL status/segment value is a data
+    group, not a rollup — labeling by coalesce alone would collide it
+    with the 'ALL' rollup rows (and the re-merge would then wrongly sum
+    them). Both engines label through the GROUPING() bit: rollup → 'ALL',
+    value NULL → 'NULL' (round-9 NULL-facts sweep)."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     j = c.join(o, c.c_custkey == o.o_custkey)
     base = (
         j.cube("c_mktsegment", "o_orderstatus")
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("c_mktsegment").alias("g_seg"),
+            F.grouping("o_orderstatus").alias("g_st"),
+        )
         .select(
-            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
-            F.col("count").alias("n"),
+            F.when(F.col("g_seg") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce(F.col("c_mktsegment"), F.lit("NULL")))
+            .alias("segment"),
+            F.when(F.col("g_st") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce(F.col("o_orderstatus"), F.lit("NULL")))
+            .alias("status"),
+            F.col("n"),
         )
     )
     zero = spark.range(1).select(
@@ -219,7 +235,8 @@ SELECT l_partkey, l_orderkey AS first_orderkey, l_linenumber AS first_linenumber
        l_extendedprice AS first_price
 FROM (
   SELECT *, row_number() OVER (
-      PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber) rn
+      PARTITION BY l_partkey
+      ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber) rn
   FROM lineitem) WHERE rn = 1
 """
 
@@ -227,10 +244,16 @@ FROM (
 @register("first_wins_dedup_parts", oracle=_FIRSTWINS_ORACLE, bench=True, tags=("D1", "D2"))
 def first_wins_dedup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First occurrence per part in shipdate order — the window-based
-    order-preserving dedup (bare dropDuplicates is nondeterministic)."""
+    order-preserving dedup (bare dropDuplicates is nondeterministic).
+
+    NULL placement is explicit on both sides (Spark defaults ASC to
+    NULLS FIRST, DuckDB to NULLS LAST — round-9 NULL-facts sweep): a row
+    with an unknown shipdate loses the first-wins race to any dated row."""
     li = T(spark, sf_dir, "lineitem")
     return first_wins(
-        li, ["l_partkey"], [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+        li,
+        ["l_partkey"],
+        [F.col("l_shipdate").asc_nulls_last(), F.col("l_orderkey"), F.col("l_linenumber")],
     ).select(
         "l_partkey",
         F.col("l_orderkey").alias("first_orderkey"),
@@ -410,16 +433,20 @@ SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER w AS BIGINT) AS run_n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER w AS DOUBLE) AS run_total
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """
 
 
 @register("running_order_totals", oracle=_RUNNING_ORACLE, bench=True, tags=("windows",))
 def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running order count + cumulative spend (decimal-exact
-    prefix sums)."""
+    prefix sums). NULL order dates sort last, explicitly on both sides
+    (Spark defaults ASC to NULLS FIRST, DuckDB to NULLS LAST — round-9
+    NULL-facts sweep); o_orderkey keeps the order total either way."""
     o = T(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -644,8 +671,10 @@ def unpivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _GSETS_ORACLE = """
-SELECT coalesce(c_mktsegment, 'ALL') AS seg,
-       coalesce(o_orderstatus, 'ALL') AS status,
+SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+            ELSE coalesce(c_mktsegment, 'NULL') END AS seg,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE coalesce(o_orderstatus, 'NULL') END AS status,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
@@ -656,14 +685,18 @@ GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
 @register("grouping_sets_order_stats", oracle=_GSETS_ORACLE, tags=("A4", "A2"))
 def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three granularities in one shuffle via DataFrame.groupingSets;
-    decimal-exact totals. (Statuses/segments are non-null in the data, so
-    the grouping-null → 'ALL' coalesce is unambiguous.)
+    decimal-exact totals.
 
     Empty-input contract: the () grouping set is a global aggregate and
     must emit its zero row (COUNT 0, SUM NULL) even on an empty join —
     Spark's groupingSets emits nothing. Same literal-zero-row + re-merge
     shape as cube_segment_status: sum() over {real_value, 0/NULL} is
-    exact, and the merge touches only the aggregated rows."""
+    exact, and the merge touches only the aggregated rows.
+
+    NULL-group contract: labels go through the GROUPING() bit on both
+    sides (rollup → 'ALL', real NULL value → 'NULL') so a NULL status
+    group never collides with — and is never summed into — the rollup
+    rows (round-9 NULL-facts sweep; see cube_segment_status)."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -676,10 +709,16 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double").alias(
             "total_price"
         ),
+        F.grouping("c_mktsegment").alias("g_seg"),
+        F.grouping("o_orderstatus").alias("g_st"),
     )
     base = g.select(
-        F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
-        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.when(F.col("g_seg") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce("c_mktsegment", F.lit("NULL")))
+        .alias("seg"),
+        F.when(F.col("g_st") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce("o_orderstatus", F.lit("NULL")))
+        .alias("status"),
         "n_orders",
         "total_price",
     )
@@ -904,7 +943,7 @@ _CONC_ORACLE = """
 WITH clv AS (
   SELECT o_custkey, CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,2)))) AS BIGINT) AS v
   FROM orders GROUP BY o_custkey),
-hist AS (SELECT v, COUNT(*) AS c FROM clv GROUP BY v),
+hist AS (SELECT v, COUNT(*) AS c FROM clv WHERE v IS NOT NULL GROUP BY v),
 cum AS (
   SELECT v, c, c * v AS r,
     SUM(c) OVER (ORDER BY v) AS cum_c,
@@ -915,7 +954,7 @@ tot AS (
     CAST(SUM(c * (2 * (cum_r - r) + r)) AS DOUBLE) AS lorenz2
   FROM cum),
 topd AS (
-  SELECT SUM(CASE WHEN cum_c > CAST(0.9 * t.n AS BIGINT) THEN r ELSE 0 END)
+  SELECT SUM(CASE WHEN cum_c > CAST(floor(0.9 * t.n) AS BIGINT) THEN r ELSE 0 END)
            AS approx_top_rev
   FROM cum CROSS JOIN tot t)
 SELECT CAST(t.n AS BIGINT) AS n_customers,
@@ -945,7 +984,11 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("v")
     )
-    hist = clv.groupBy("v").agg(F.count("*").alias("c"))
+    # A customer whose every order price is NULL has no known value — it
+    # cannot occupy a histogram bin (and a NULL bin would sit at opposite
+    # ends of the cumulative ORDER BY in the two engines: Spark NULLS
+    # FIRST, DuckDB NULLS LAST — round-9 NULL-facts sweep).
+    hist = clv.filter(F.col("v").isNotNull()).groupBy("v").agg(F.count("*").alias("c"))
     wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.withColumn("r", F.col("c") * F.col("v"))
@@ -963,8 +1006,12 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
+                # floor() is explicit on both sides: a bare double→BIGINT
+                # cast truncates in Spark but rounds-to-nearest in DuckDB
+                # (0.9·151 = 135.9 → 135 vs 136; latent until the round-9
+                # NULL-facts sweep shifted n onto a ≥.5 fraction).
                 F.when(
-                    F.col("cum_c") > (F.lit(0.9) * F.col("n")).cast("bigint"),
+                    F.col("cum_c") > F.floor(F.lit(0.9) * F.col("n")).cast("bigint"),
                     F.col("r"),
                 ).otherwise(0)
             ).alias("approx_top_rev")

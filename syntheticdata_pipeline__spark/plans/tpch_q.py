@@ -312,12 +312,16 @@ def tpch_q12_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = T(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NULL-priority rows belong to NEITHER bucket: SQL's `NOT IN` is NULL
+    # for a NULL priority, so CASE falls to ELSE 0 on both branches. A
+    # `when(high, 0).otherwise(1)` would count NULLs as low — ~high keeps
+    # the three-valued logic (round-9 NULL-facts sweep).
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("l_linestatus").alias("ship_class"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
 

@@ -1,0 +1,116 @@
+"""NULL-laced fact-table battery: every catalog query that reads
+lineitem or orders, run against its DuckDB oracle on a fixture where
+both fact tables carry deterministic NULL stripes over join keys, group
+keys, measures, and dates — the "dirty warehouse" shape TPC-H's
+all-non-null generator never produces but a 100 TB lake-ingest pipeline
+sees routinely (late-arriving dimensions, failed enrichment, optional
+fields).
+
+Completes the hostile-input coverage matrix (documents: NULL text r7;
+events + embeddings: NULL stripes r9; empty inputs: all families) over
+the one family that had only the empty-input sweep. Stripe moduli are
+coprime so single- and multi-column-NULL rows both occur:
+
+lineitem (row id = l_orderkey*10 + l_linenumber):
+  l_quantity % 13, l_extendedprice % 17, l_discount % 19,
+  l_returnflag % 23, l_shipdate % 29, l_suppkey % 31
+orders (row id = o_orderkey):
+  o_custkey % 17, o_totalprice % 13, o_orderstatus % 19,
+  o_orderdate % 23, o_orderpriority % 29
+
+NULL join keys (o_custkey, l_suppkey) exercise SQL inner/left-join
+drop semantics; NULL group keys exercise the GROUP BY NULL-group and
+the grouping-null vs value-null ambiguity in CUBE/GROUPING SETS; NULL
+measures exercise aggregate NULL-skipping and all-NULL groups; NULL
+dates exercise filter and window-order NULL placement (Spark default
+ASC = NULLS FIRST, DuckDB = NULLS LAST — any divergence here means an
+oracle/engine ORDER BY is underspecified).
+
+Divergences found by this sweep (round 9) are documented in
+DIVERGENCES.md §"NULL-laced fact tables" and fixed engine-aligned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+_SRC = "/root/testdata/sf0.001"
+
+
+def _members():
+    """Every registered query whose build reads lineitem or orders —
+    derived from the registry at collection time so the sweep cannot
+    silently rot (same self-maintenance as tests/test_empty_facts.py)."""
+    import inspect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    out = []
+    for name, spec in load_all().items():
+        try:
+            src = inspect.getsource(spec.build)
+        except (OSError, TypeError):
+            continue
+        if (
+            '"lineitem"' in src
+            or "'lineitem'" in src
+            or '"orders"' in src
+            or "'orders'" in src
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def null_facts_dir(tmp_path_factory):
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("null_facts"))
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 13 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 17 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 19 = 0 THEN NULL ELSE l_discount END AS l_discount,
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 23 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 29 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate,
+            CASE WHEN (l_orderkey*10 + l_linenumber) % 31 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey)
+            FROM read_parquet('{_SRC}/lineitem.parquet'))
+            TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+            CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+            CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+            CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority)
+            FROM read_parquet('{_SRC}/orders.parquet'))
+            TO '{tmp}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in "region nation customer supplier part events documents embeddings".split():
+        src = os.path.join(_SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(tmp, f"{t}.parquet"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", _members())
+def test_null_laced_facts_match_oracle(spark, null_facts_dir, name):
+    from tools.check_oracle import compare_one, duck_connect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    registry = load_all()
+    qs = {name: registry[name].build}
+    oracles = {name: registry[name].oracle} if registry[name].oracle else {}
+    con = duck_connect(null_facts_dir)
+    try:
+        assert compare_one(spark, con, name, qs, oracles, null_facts_dir) is not False
+    finally:
+        con.close()
