@@ -105,6 +105,30 @@ _CHANGED_THIS_ROUND = (
     "running_order_totals",
     "customer_revenue_concentration",
     "tpch_q12_ship_priority_split",
+    # Round 9 phase 6: the NULL-laced dimension-tables sweep
+    # (tests/test_nulldims_adversarial.py) — NOT IN vs anti-join NULL
+    # semantics (oracle now NOT EXISTS), merge-precedence winner
+    # provenance lost on a NULL group key (now tagged through the fold),
+    # and the unpivot melt-back join zero-filling the real NULL-segment
+    # counts (oracle join now null-safe):
+    "anti_join_new_customers",
+    "merge_precedence_nation_counts",
+    "unpivot_segment_status",
+    # Round 9 phase 7: the NULL-laced documents-metadata sweep
+    # (tests/test_nullmeta_adversarial.py) — NULL lang/source/n_chars:
+    # unknown lengths leave every length CDF and population count
+    # (percentiles/quartiles/KS/rank-blend, where Spark's NULLS-FIRST
+    # window default would otherwise fold the NULL bucket into every
+    # rank DuckDB's NULLS LAST excludes); NULL lang is a real group, so
+    # lang joins are null-safe; NULL page metadata renders an absent
+    # DOM element, not a NULL page; the rank-blend composite is now
+    # halfway-tie-proof (scaled-integer average):
+    "corpus_dedup_pipeline",
+    "doc_length_percentiles",
+    "doc_length_quartiles",
+    "html_selector_extract",
+    "ks_length_drift_by_source",
+    "rank_normalized_quality",
 )
 
 

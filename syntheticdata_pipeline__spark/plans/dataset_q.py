@@ -187,7 +187,7 @@ SELECT lang,
   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 9) AS p25,
   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 9) AS p50,
   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 9) AS p95
-FROM documents GROUP BY lang
+FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
 """
 
 
@@ -205,8 +205,15 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     values straight off the CDF (lo = min v with cum ≥ ⌊idx⌋+1, hi = the
     next rank), so the result is bit-equal to the engine-native
     ``quantile_cont`` the oracle still uses, while the only window runs
-    over histogram rows bounded by the distinct-length value space."""
-    d = T(spark, sf_dir, "documents")
+    over histogram rows bounded by the distinct-length value space.
+
+    NULL contract (round-9 NULL-metadata sweep): a doc with unknown
+    length is not a point on any length distribution — excluded from
+    both the histogram and the population count on both sides. A NULL
+    lang IS a real group (quantile_cont's GROUP BY keeps it), so the
+    population join is null-safe — a plain equi-join would silently drop
+    the NULL-lang row."""
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     hist = d.groupBy(
         "lang", F.col("n_chars").cast("double").alias("v")
     ).agg(F.count("*").alias("cnt"))
@@ -216,8 +223,10 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cdf = hist.withColumn("cum", F.sum("cnt").over(w))
-    n = d.groupBy("lang").agg(F.count("*").alias("n"))
-    j = cdf.join(F.broadcast(n), "lang")
+    n = d.groupBy(F.col("lang").alias("lang_n")).agg(F.count("*").alias("n"))
+    j = cdf.join(
+        F.broadcast(n), F.col("lang").eqNullSafe(F.col("lang_n"))
+    ).drop("lang_n")
 
     def parts(p: float, tag: str):
         idx = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
@@ -1046,7 +1055,7 @@ WITH t AS (
                         / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3,
          4) AS qv
   FROM (SELECT doc_id, n_chars, text, {tokens_sql('text')} AS toks
-        FROM documents)),
+        FROM documents WHERE n_chars IS NOT NULL)),
 n AS (SELECT COUNT(*) AS n_docs FROM t),
 qh AS (SELECT qv, COUNT(*) AS cnt FROM t GROUP BY qv),
 qc AS (
@@ -1057,8 +1066,9 @@ lc AS (
 SELECT t.doc_id,
   round(CAST(qc.cum_lt AS DOUBLE) / n.n_docs, 6) AS pct_quality,
   round(CAST(lc.cum_lt AS DOUBLE) / n.n_docs, 6) AS pct_length,
-  round((round(CAST(qc.cum_lt AS DOUBLE) / n.n_docs, 6)
-         + round(CAST(lc.cum_lt AS DOUBLE) / n.n_docs, 6)) / 2.0, 6) AS composite
+  (round(round(CAST(qc.cum_lt AS DOUBLE) / n.n_docs, 6) * 1000000)
+   + round(round(CAST(lc.cum_lt AS DOUBLE) / n.n_docs, 6) * 1000000))
+  / 2000000.0 AS composite
 FROM t
 JOIN qc ON t.qv = qc.qv
 JOIN lc ON t.n_chars = lc.n_chars
@@ -1080,12 +1090,19 @@ def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     by max doc length) — the de-skewed CDF pattern: the only windows run
     over histogram rows, and each doc picks up its percentiles through
     two broadcastable value-keyed joins. No per-doc ranking window
-    anywhere."""
+    anywhere.
+
+    NULL contract (round-9 NULL-metadata sweep): a doc with unknown
+    length can't receive a length percentile, so it is out of the
+    blend's population entirely — excluded before BOTH histograms and
+    the count, explicitly on both sides (left in, Spark's NULLS-FIRST
+    window default would fold the NULL-length bucket into every
+    cumulative rank while DuckDB's NULLS LAST would not)."""
     from ..operators.textops import quality_score
 
-    d = quality_score(T(spark, sf_dir, "documents")).select(
-        "doc_id", "n_chars", F.round("quality", 4).alias("qv")
-    )
+    d = quality_score(
+        T(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    ).select("doc_id", "n_chars", F.round("quality", 4).alias("qv"))
     n = d.agg(F.count("*").alias("n_docs"))
     wq = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     qc = (
@@ -1108,9 +1125,17 @@ def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq = F.round(F.col("q_cum_lt").cast("double") / F.col("n_docs"), 6)
     pl = F.round(F.col("l_cum_lt").cast("double") / F.col("n_docs"), 6)
+    # The composite is exact by construction: the two 6-decimal
+    # percentiles are rescaled to integers and averaged in ONE double
+    # division, so the 7th-decimal halfway case `round((a+b)/2, 6)`
+    # would create never reaches a round — Spark rounds ties HALF_UP,
+    # DuckDB half-to-even, and the NULL-metadata sweep landed three docs
+    # exactly on the boundary (round-9; same class as dwell_time's
+    # decimal-exact average).
+    comp = (F.round(pq * 1e6, 0) + F.round(pl * 1e6, 0)) / F.lit(2e6)
     return out.select(
         "doc_id",
         pq.alias("pct_quality"),
         pl.alias("pct_length"),
-        F.round((pq + pl) / 2.0, 6).alias("composite"),
+        comp.alias("composite"),
     )

@@ -731,7 +731,7 @@ final_survivors AS (
   SELECT s.doc_id, s.lang FROM exact_survivors s
   WHERE s.doc_id NOT IN (SELECT id_b FROM verified))
 SELECT lang,
-  (SELECT COUNT(*) FROM keyed k2 WHERE k2.lang = f.lang) AS n_input,
+  (SELECT COUNT(*) FROM keyed k2 WHERE k2.lang IS NOT DISTINCT FROM f.lang) AS n_input,
   COUNT(*) AS n_survivors
 FROM final_survivors f GROUP BY lang
 """
@@ -775,11 +775,17 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
     )
     final = anti_join_state(survivors, verified, ["doc_id"])
-    n_input = keyed.groupBy("lang").agg(F.count("*").alias("n_input"))
+    # NULL lang is a real group (language-ID failed upstream): the
+    # survivor↔input association must be null-safe, or the equi-join
+    # silently drops the NULL-lang row the groupBy correctly produced
+    # (round-9 NULL-metadata sweep). eqNullSafe keeps the broadcast.
+    n_input = keyed.groupBy(F.col("lang").alias("lang_i")).agg(
+        F.count("*").alias("n_input")
+    )
     return (
         final.groupBy("lang")
         .agg(F.count("*").alias("n_survivors"))
-        .join(n_input, "lang")
+        .join(F.broadcast(n_input), F.col("lang").eqNullSafe(F.col("lang_i")))
         .select("lang", "n_input", "n_survivors")
     )
 

@@ -50,8 +50,10 @@ concat(
   '<img src="https://cdn.test/shop/img-', CAST(doc_id AS STRING), '-1.jpg">',
   '<img src="https://static.test/logo-', CAST(doc_id AS STRING), '.png">',
   '</div>',
-  '<div data-testid="price">$', CAST(n_chars AS STRING), '</div>',
-  '<p>', lang, '</p>',
+  CASE WHEN n_chars IS NOT NULL
+       THEN concat('<div data-testid="price">$', CAST(n_chars AS STRING), '</div>')
+       ELSE '' END,
+  CASE WHEN lang IS NOT NULL THEN concat('<p>', lang, '</p>') ELSE '' END,
   CASE WHEN doc_id % 2 = 0 THEN '<p>even</p>' ELSE '' END,
   '</body></html>')
 """
@@ -61,8 +63,10 @@ SELECT doc_id,
   {_TITLE_DUCK} AS page_title,
   'https://cdn.test/shop/img-' || CAST(doc_id AS VARCHAR) || '-0.jpg|' ||
   'https://cdn.test/shop/img-' || CAST(doc_id AS VARCHAR) || '-1.jpg' AS gallery_srcs,
-  '$' || CAST(n_chars AS VARCHAR) AS price_text,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_paras,
+  CASE WHEN n_chars IS NULL THEN NULL
+       ELSE '$' || CAST(n_chars AS VARCHAR) END AS price_text,
+  CAST((CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_paras,
   '/cart/add-' || CAST(doc_id AS VARCHAR) AS cart_href
 FROM documents
 """
@@ -72,7 +76,14 @@ FROM documents
 def html_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-DOM selector extraction: title ladder, gallery ``img[src*=]``
     harvest with CDN filter, ``[data-testid=]`` lookup, element counts and
-    nav-href capture — the any_scraper.py:332-535 behaviors on Spark."""
+    nav-href capture — the any_scraper.py:332-535 behaviors on Spark.
+
+    NULL contract (round-9 NULL-metadata sweep): NULL metadata renders
+    an ABSENT element, not a NULL page — a bare ``concat`` would
+    NULL-poison the whole document and every extraction with it. The
+    selector path then exercises the real missing-element behaviors: a
+    missing price div → ``text_first`` returns NULL; a missing lang
+    paragraph → the ``p`` count drops; the oracle twin predicts both."""
     d = T(spark, sf_dir, "documents")
     pages = d.select("doc_id", F.expr(_PAGE_SPARK).alias("html"))
     extracted = html_extract(

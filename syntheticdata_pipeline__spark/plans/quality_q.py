@@ -290,17 +290,18 @@ def domain_quota_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _QUARTILE_ORACLE = """
-WITH hist AS (
-  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+WITH docs AS (SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+hist AS (
+  SELECT lang, n_chars, COUNT(*) AS cnt FROM docs GROUP BY 1, 2),
 cdf AS (
   SELECT lang, n_chars, cnt,
          SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) - cnt AS cum_lt
   FROM hist),
-n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+n AS (SELECT lang, COUNT(*) AS n_lang FROM docs GROUP BY 1),
 q AS (
   SELECT c.lang, c.n_chars, c.cnt,
          least(4, CAST(floor(4.0 * c.cum_lt / n.n_lang) AS BIGINT) + 1) AS quartile
-  FROM cdf c JOIN n ON c.lang = n.lang)
+  FROM cdf c JOIN n ON c.lang IS NOT DISTINCT FROM n.lang)
 SELECT lang, CAST(quartile AS INTEGER) AS quartile,
   CAST(SUM(cnt) AS BIGINT) AS n_docs,
   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
@@ -314,8 +315,13 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile histogram of doc length per lang (value-based tiles over
     the length histogram's CDF — see block comment), rolled up to per-tile
     count/min/max. tests/test_quantile_deskew.py proves tile assignment
-    equal to the per-doc window form at oracle scale."""
-    d = T(spark, sf_dir, "documents")
+    equal to the per-doc window form at oracle scale.
+
+    NULL contract (round-9 NULL-metadata sweep): unknown lengths are
+    excluded from the histogram AND the per-lang population (they have
+    no quartile and must not shift anyone's CDF rank); a NULL lang is a
+    real group, so the population join is null-safe."""
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
     wcdf = (
         Window.partitionBy("lang")
@@ -323,8 +329,10 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cdf = hist.withColumn("cum_lt", F.sum("cnt").over(wcdf) - F.col("cnt"))
-    n = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    q = cdf.join(F.broadcast(n), "lang").withColumn(
+    n = d.groupBy(F.col("lang").alias("lang_n")).agg(F.count("*").alias("n_lang"))
+    q = cdf.join(
+        F.broadcast(n), F.col("lang").eqNullSafe(F.col("lang_n"))
+    ).drop("lang_n").withColumn(
         "quartile",
         F.least(
             F.lit(4).cast("bigint"),
@@ -570,7 +578,8 @@ def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_ORACLE = """
 WITH lens AS (
-  SELECT source, n_chars AS len FROM documents),
+  SELECT source, n_chars AS len FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
 grid AS (SELECT DISTINCT len FROM lens),
 src_n AS (SELECT source, COUNT(*) AS ns FROM lens GROUP BY source),
 tot_n AS (SELECT COUNT(*) AS nt FROM lens),
@@ -611,9 +620,18 @@ def ks_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     histograms, the distinct-len grid, windows ordered over histogram
     rows only. The corpus CDF window is a single partition over the
     value grid — bounded by the length range, independent of doc count —
-    and both CDFs join on the grid before a per-source MAX."""
+    and both CDFs join on the grid before a per-source MAX.
+
+    NULL contract (round-9 NULL-metadata sweep): a doc with an unknown
+    source belongs to no sample, and an unknown length is not a point on
+    any CDF — both are excluded up front, explicitly on both sides.
+    Without the filter the NULLs don't just drop: Spark's NULLS-FIRST
+    window default counts the NULL-length bucket into every cumulative
+    rank while DuckDB's NULLS LAST doesn't, skewing every ks_stat."""
     d = T(spark, sf_dir, "documents")
-    lens = d.select("source", F.col("n_chars").alias("len"))
+    lens = d.select("source", F.col("n_chars").alias("len")).filter(
+        F.col("source").isNotNull() & F.col("len").isNotNull()
+    )
     grid = lens.select("len").distinct()
     src_n = lens.groupBy("source").agg(F.count("*").alias("ns"))
     tot_n = lens.agg(F.count("*").alias("nt"))

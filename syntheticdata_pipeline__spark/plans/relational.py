@@ -320,14 +320,22 @@ def cross_pair_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ANTI_ORACLE = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
 @register("anti_join_new_customers", oracle=_ANTI_ORACLE, tags=("J3", "D4"))
 def anti_join_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — the resume/skip anti-join."""
+    """Customers with no orders — the resume/skip anti-join.
+
+    The contract is anti-join (NOT EXISTS) semantics, NOT SQL ``NOT IN``:
+    a NULL-key row on either side is "unknown", not "seen" — a NULL-key
+    customer is kept (it matches no state row), and a NULL key in state
+    excludes nobody. ``NOT IN`` goes three-valued on both (one NULL in
+    the subquery empties the whole result) — the resume semantics the
+    reference's set-membership skip implements are the EXISTS kind
+    (round-9 NULL-dims sweep)."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return anti_join_state(c, o, ["c_custkey"]).select("c_custkey", "c_name")
@@ -382,26 +390,29 @@ FROM lo FULL OUTER JOIN hi ON lo.n_nationkey = hi.n_nationkey
 @register("merge_precedence_nation_counts", oracle=_MERGE_ORACLE, tags=("J5",))
 def merge_precedence_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-side-wins merge as full-outer + coalesce (row form of
-    map_concat LAST_WIN)."""
+    map_concat LAST_WIN).
+
+    The winner label rides THROUGH the merge as a tagged value column
+    rather than being re-derived by a second join on the key: with a
+    NULL group key, a re-join can never match the NULL-key row the high
+    side contributed (NULL = NULL is unknown), so that row's provenance
+    would silently flip to 'lo' — a real mislabel the round-9 NULL-dims
+    sweep caught. Provenance-through-the-fold also drops a whole join
+    from the plan."""
     lo = (
         T(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("n_nationkey"))
         .agg(F.count("*").alias("n"))
+        .withColumn("winner", F.lit("lo"))
     )
     hi = (
         T(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("n_nationkey"))
         .agg(F.count("*").alias("n"))
+        .withColumn("winner", F.lit("hi"))
     )
-    merged = merge_with_precedence(lo, hi, ["n_nationkey"], ["n"])
-    hi_keys = hi.select("n_nationkey", F.col("n").alias("__hi_n"))
-    return (
-        merged.join(hi_keys, "n_nationkey", "left")
-        .select(
-            "n_nationkey",
-            "n",
-            F.when(F.col("__hi_n").isNotNull(), F.lit("hi")).otherwise(F.lit("lo")).alias("winner"),
-        )
+    return merge_with_precedence(lo, hi, ["n_nationkey"], ["n", "winner"]).select(
+        "n_nationkey", "n", "winner"
     )
 
 
@@ -640,7 +651,8 @@ st AS (SELECT unnest(['F', 'O', 'P']) AS status)
 SELECT seg.c_mktsegment, st.status,
        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
 FROM seg CROSS JOIN st
-LEFT JOIN cnt ON cnt.c_mktsegment = seg.c_mktsegment AND cnt.status = st.status
+LEFT JOIN cnt ON cnt.c_mktsegment IS NOT DISTINCT FROM seg.c_mktsegment
+             AND cnt.status = st.status
 """
 
 
@@ -648,7 +660,13 @@ LEFT JOIN cnt ON cnt.c_mktsegment = seg.c_mktsegment AND cnt.status = st.status
 def unpivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot table melted back to long with DataFrame.unpivot —
     missing (segment, status) combos zero-filled so the long form is
-    dense. The pivot agg is one shuffle on segment; unpivot is map-side."""
+    dense. The pivot agg is one shuffle on segment; unpivot is map-side.
+
+    A NULL segment is a real data group: Spark's groupBy/pivot carries
+    its counts like any other key, so the oracle's melt-back join must
+    be null-safe (``IS NOT DISTINCT FROM``) — a plain equality would
+    zero-fill the NULL-segment row and drop its true counts (round-9
+    NULL-dims sweep)."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     statuses = ["F", "O", "P"]
