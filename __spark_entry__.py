@@ -114,6 +114,12 @@ _CHANGED_THIS_ROUND = (
     "anti_join_new_customers",
     "merge_precedence_nation_counts",
     "unpivot_segment_status",
+    # ... and the region-stripes extension of the same sweep: a NULL
+    # identity key has no position in the deterministic budget cut
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST pick different top-50
+    # sets; duplicate NULL keys break the total order), so pairing
+    # keys are now required non-NULL on both sides:
+    "cross_pair_budget_q",
     # Round 9 phase 7: the NULL-laced documents-metadata sweep
     # (tests/test_nullmeta_adversarial.py) — NULL lang/source/n_chars:
     # unknown lengths leave every length CDF and population count

@@ -26,6 +26,12 @@ def cross_pair_budget(
     pushes the limit into a TakeOrderedAndProject, so the full cross
     product never materializes. Without order it is a plain
     ``crossJoin().limit()`` (fastest, reference-equivalent semantics).
+
+    Determinism contract: ``order_cols`` must form a total order over
+    the paired rows, which requires the caller to drop NULL-keyed rows
+    first — NULL sorts first in Spark and last in most SQL engines, and
+    duplicate NULL keys destroy totality, so a NULL-keyed row has no
+    well-defined position in the budget (see cross_pair_budget_q).
     """
     paired = left.crossJoin(right)
     if order_cols:

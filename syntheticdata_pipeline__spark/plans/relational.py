@@ -298,15 +298,27 @@ def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CROSS_ORACLE = """
 SELECT r_regionkey, n_nationkey, r_name || '/' || n_name AS pair_name
 FROM region CROSS JOIN nation
+WHERE r_regionkey IS NOT NULL AND n_nationkey IS NOT NULL
 ORDER BY r_regionkey, n_nationkey LIMIT 50
 """
 
 
 @register("cross_pair_budget_q", oracle=_CROSS_ORACLE, tags=("J1", "D7", "D9"))
 def cross_pair_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every region × every nation, budget-cut at 50 deterministically."""
-    r = T(spark, sf_dir, "region")
-    n = T(spark, sf_dir, "nation")
+    """Every region × every nation, budget-cut at 50 deterministically.
+
+    Both pairing keys are required non-NULL: the budget cut is "first
+    `budget` pairs in key order", and a NULL identity key has no
+    position in any key order — Spark sorts it first, DuckDB last, so
+    the two engines would cut DIFFERENT sets, and duplicate (NULL, k)
+    sort keys break the total order the deterministic cut relies on.
+    The reference pairs items enumerated from storage, where identity
+    always exists (pipeline_orchestrator.py:135-149); an identity-less
+    row is a corrupt record and skips the pairing, same as the F8
+    null/blank-skip scan contract (round-9 NULL-dims sweep, region
+    stripes)."""
+    r = T(spark, sf_dir, "region").filter(F.col("r_regionkey").isNotNull())
+    n = T(spark, sf_dir, "nation").filter(F.col("n_nationkey").isNotNull())
     out = cross_pair_budget(r, n, budget=50, order_cols=["r_regionkey", "n_nationkey"])
     return out.select(
         "r_regionkey",

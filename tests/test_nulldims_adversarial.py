@@ -17,6 +17,10 @@ supplier (row id = s_suppkey):   s_nationkey %3, s_acctbal %4, s_name %5
 part     (row id = p_partkey):   p_brand %7, p_type %11, p_size %13,
                                  p_retailprice %17, p_name %19
 nation   (row id = n_nationkey): n_regionkey %5, n_name %7
+region   (row id = r_regionkey): r_regionkey %2 (the PK/join key — 3 of
+                                 the 5 regions lose their key entirely,
+                                 so the q5/q8-style region→nation→fact
+                                 join chains thin out hard), r_name %3
 
 NULL dim join keys (c_custkey, c_nationkey, s_nationkey, n_regionkey)
 exercise inner/left-join drop semantics from the build side; NULL group
@@ -48,7 +52,7 @@ def _members():
 
     from syntheticdata_pipeline__spark.plans import load_all
 
-    tables = ("customer", "supplier", "part", "nation")
+    tables = ("customer", "supplier", "part", "nation", "region")
     out = []
     for name, spec in load_all().items():
         try:
@@ -101,8 +105,15 @@ def null_dims_dir(tmp_path_factory):
             FROM read_parquet('{_SRC}/nation.parquet'))
             TO '{tmp}/nation.parquet' (FORMAT PARQUET)"""
     )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE r_regionkey END AS r_regionkey,
+            CASE WHEN r_regionkey % 3 = 0 THEN NULL ELSE r_name END AS r_name)
+            FROM read_parquet('{_SRC}/region.parquet'))
+            TO '{tmp}/region.parquet' (FORMAT PARQUET)"""
+    )
     con.close()
-    for t in "region orders lineitem events documents embeddings".split():
+    for t in "orders lineitem events documents embeddings".split():
         src = os.path.join(_SRC, f"{t}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(tmp, f"{t}.parquet"))
