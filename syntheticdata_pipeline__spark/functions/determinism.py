@@ -65,30 +65,59 @@ def hash_bucket_sql(key_sql: str, n_buckets: int, salt: str = "b") -> str:
     )
 
 
+def finite_or_null(col: Column) -> Column:
+    """NaN/±Inf → NULL: a non-finite double is "not a measurement".
+
+    Non-finite contract (round-9 non-finite sweep): NaN and ±Inf carry
+    no valid magnitude — they are the IEEE encoding of an unknown or
+    undefined measurement, the float analog of NULL — so every exact
+    statistic treats them exactly like NULL (skipped from sums, counts,
+    histograms, and CDFs on BOTH engines). Without this guard the two
+    engines take opposite defaults: Spark's non-ANSI decimal cast turns
+    NaN into NULL silently while DuckDB's decimal/HUGEINT accumulation
+    raises — the asymmetric middle state the value-domain contract
+    forbids. Finite values pass through untouched, so this is an
+    identity on every clean fixture. LOUD symmetric rejection remains
+    the contract for finite-but-unrepresentable magnitudes
+    (tests/test_value_domain_contract.py).
+    """
+    return F.when(~F.isnan(col) & (F.abs(col) < F.lit(float("inf"))), col)
+
+
+def finite_or_null_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`finite_or_null` (for oracle strings)."""
+    return f"(CASE WHEN isfinite({col_sql}) THEN {col_sql} END)"
+
+
 def dsum(col: Column, scale: int = 2, precision: int = 38) -> Column:
     """Order-independent SUM of a double column with ``scale`` true decimals.
 
     Exact decimal accumulation, exported as DOUBLE. Money columns in the
     testdata carry 2 decimals; products of two 2-decimal values need
-    ``scale=4``, triple products ``scale=6``.
+    ``scale=4``, triple products ``scale=6``. Non-finite inputs are
+    skipped like NULL on both engines (see :func:`finite_or_null`).
     """
-    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+    return F.sum(finite_or_null(col).cast(f"decimal({precision},{scale})")).cast("double")
 
 
 def dsum_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
-    return f"CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    g = finite_or_null_sql(col_sql)
+    return f"CAST(SUM(CAST({g} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
 
 
 def davg(col: Column, scale: int = 2, precision: int = 38) -> Column:
     """Exact-sum average: CAST(decimal-sum AS DOUBLE) / count — deterministic
-    IEEE division, identical across engines."""
-    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double") / F.count(col)
+    IEEE division, identical across engines. Numerator and denominator
+    both skip non-finite inputs (mean OF THE MEASUREMENTS)."""
+    g = finite_or_null(col)
+    return F.sum(g.cast(f"decimal({precision},{scale})")).cast("double") / F.count(g)
 
 
 def davg_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
+    g = finite_or_null_sql(col_sql)
     return (
-        f"(CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
-        f" / COUNT({col_sql}))"
+        f"(CAST(SUM(CAST({g} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f" / COUNT({g}))"
     )
 
 
@@ -100,13 +129,14 @@ def dstddev(col: Column, scale: int = 2, precision: int = 38) -> Column:
     (metrics.py:334-345).
     """
     sq_scale = min(2 * scale, 18)
-    s1 = F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+    g = finite_or_null(col)
+    s1 = F.sum(g.cast(f"decimal({precision},{scale})")).cast("double")
     s2 = F.sum(
-        (col.cast(f"decimal(19,{scale})") * col.cast(f"decimal(19,{scale})")).cast(
+        (g.cast(f"decimal(19,{scale})") * g.cast(f"decimal(19,{scale})")).cast(
             f"decimal({precision},{sq_scale})"
         )
     ).cast("double")
-    n = F.count(col).cast("double")
+    n = F.count(g).cast("double")
     var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
     # round(·,6): the Σx² decimal can exceed 2^53 in scaled-integer form,
     # where DuckDB's decimal→double conversion double-rounds (up to 1 ulp
@@ -117,12 +147,13 @@ def dstddev(col: Column, scale: int = 2, precision: int = 38) -> Column:
 
 def dstddev_sql(col_sql: str, scale: int = 2, precision: int = 38) -> str:
     sq_scale = min(2 * scale, 18)
-    s1 = f"CAST(SUM(CAST({col_sql} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    g = finite_or_null_sql(col_sql)
+    s1 = f"CAST(SUM(CAST({g} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
     s2 = (
-        f"CAST(SUM(CAST(CAST({col_sql} AS DECIMAL(19,{scale})) * "
-        f"CAST({col_sql} AS DECIMAL(19,{scale})) AS DECIMAL({precision},{sq_scale}))) AS DOUBLE)"
+        f"CAST(SUM(CAST(CAST({g} AS DECIMAL(19,{scale})) * "
+        f"CAST({g} AS DECIMAL(19,{scale})) AS DECIMAL({precision},{sq_scale}))) AS DOUBLE)"
     )
-    n = f"CAST(COUNT({col_sql}) AS DOUBLE)"
+    n = f"CAST(COUNT({g}) AS DOUBLE)"
     return f"round(sqrt(greatest(({s2} - ({s1} * {s1}) / {n}) / ({n} - 1.0), 0.0)), 6)"
 
 

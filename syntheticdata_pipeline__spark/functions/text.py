@@ -223,7 +223,13 @@ def matches_blocklist_sql(s: str, terms: tuple[str, ...] = URL_BLOCKLIST) -> str
 
 def format_duration(seconds: Column) -> Column:
     # floor() everywhere: Spark's double→bigint cast truncates while
-    # DuckDB's rounds — floor first makes both exact.
+    # DuckDB's rounds — floor first makes both exact. A non-finite
+    # duration is unknown → NULL (finite_or_null contract, r9): without
+    # the guard Spark's non-ANSI BIGINT cast renders -inf as
+    # "-9223372036854775808s" and NaN as "0h" while DuckDB raises.
+    from .determinism import finite_or_null
+
+    seconds = finite_or_null(seconds)
     return (
         F.when(seconds < 60, F.concat(F.floor(seconds).cast("bigint").cast("string"), F.lit("s")))
         .when(
@@ -235,10 +241,13 @@ def format_duration(seconds: Column) -> Column:
 
 
 def format_duration_sql(seconds: str) -> str:
+    from .determinism import finite_or_null_sql
+
+    s = finite_or_null_sql(seconds)
     return (
-        f"CASE WHEN {seconds} < 60 THEN CAST(CAST(floor({seconds}) AS BIGINT) AS VARCHAR) || 's' "
-        f"WHEN {seconds} < 3600 THEN CAST(CAST(floor({seconds} / 60) AS BIGINT) AS VARCHAR) || 'min' "
-        f"ELSE CAST(CAST(floor({seconds} / 3600) AS BIGINT) AS VARCHAR) || 'h' END"
+        f"CASE WHEN {s} < 60 THEN CAST(CAST(floor({s}) AS BIGINT) AS VARCHAR) || 's' "
+        f"WHEN {s} < 3600 THEN CAST(CAST(floor({s} / 60) AS BIGINT) AS VARCHAR) || 'min' "
+        f"ELSE CAST(CAST(floor({s} / 3600) AS BIGINT) AS VARCHAR) || 'h' END"
     )
 
 

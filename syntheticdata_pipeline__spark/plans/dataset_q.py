@@ -256,7 +256,7 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_ORACLE = """
 SELECT event_type,
-  CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+  CAST(floor((CASE WHEN isfinite(value) THEN value END) / 10.0) AS BIGINT) AS bucket,
   COUNT(*) AS n
 FROM events GROUP BY event_type, bucket
 """
@@ -265,11 +265,19 @@ FROM events GROUP BY event_type, bucket
 @register("event_value_histogram", oracle=_HIST_ORACLE, tags=("A4", "R7"))
 def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (floor-bucketing is one
-    codegen expression; no two-pass min/max needed)."""
+    codegen expression; no two-pass min/max needed). A non-finite value
+    is not a point on the distribution: it lands in the NULL bucket with
+    the NULL values (finite_or_null contract, r9) — without the guard
+    Spark's non-ANSI BIGINT cast would silently file NaN under bucket 0
+    while DuckDB raises."""
+    from ..functions.determinism import finite_or_null
+
     ev = T(spark, sf_dir, "events")
     return ev.groupBy(
         "event_type",
-        F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("bucket"),
+        F.floor(finite_or_null(F.col("value")) / F.lit(10.0))
+        .cast("bigint")
+        .alias("bucket"),
     ).agg(F.count("*").alias("n"))
 
 

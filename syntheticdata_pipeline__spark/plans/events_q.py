@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg_sql, dstddev_sql, unit_rand_sql
+from ..functions.determinism import (
+    davg_sql,
+    dstddev_sql,
+    finite_or_null,
+    finite_or_null_sql,
+    unit_rand_sql,
+)
 from . import register
 from .common import T
 
@@ -27,11 +33,15 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 # R7: tumbling-window telemetry (batch form of the streaming agg).
 # --------------------------------------------------------------------------
 
+# Non-finite event values are "not a measurement" and skip the exact
+# sums like NULL on both engines (finite_or_null contract, r9).
+_FIN_VALUE = finite_or_null_sql("value")
+
 _TUMBLING_ORACLE = f"""
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -47,7 +57,9 @@ def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sum_value"),
+            F.sum(finite_or_null(F.col("value")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -140,7 +152,7 @@ _STREAM_ORACLE = f"""
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -158,7 +170,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sum_value"),
+            F.sum(finite_or_null(F.col("value")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
@@ -259,9 +273,9 @@ def event_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered and deterministic.
 # --------------------------------------------------------------------------
 
-_MOVAVG_ORACLE = """
+_MOVAVG_ORACLE = f"""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-  round(CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+  round(CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) OVER w AS DOUBLE)
         / (COUNT(*) OVER w), 6) AS mov_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -277,9 +291,9 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's sort, not a global one)."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(-3, 0)
-    mov = F.sum(F.col("value").cast("decimal(28,12)")).over(w).cast("double") / F.count(
-        "*"
-    ).over(w)
+    mov = F.sum(finite_or_null(F.col("value")).cast("decimal(28,12)")).over(w).cast(
+        "double"
+    ) / F.count("*").over(w)
     return ev.select(
         "event_id", "user_id", "ts_us", F.round(mov, 6).alias("mov_avg")
     )
@@ -738,17 +752,22 @@ _MED_B = 512
 
 def _median_oracle() -> str:
     b = _MED_B
+    # The events CTE shadows the raw table: non-finite values enter the
+    # selection machinery as NULL (finite_or_null contract, r9) — same
+    # path the NULL-value stripes already pin.
     return f"""
-WITH stats AS (
+WITH ev_fin AS (
+  SELECT event_type, {_FIN_VALUE} AS value FROM events),
+stats AS (
   SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
-  FROM events GROUP BY 1),
+  FROM ev_fin GROUP BY 1),
 k AS (SELECT event_type, n, mn, mx, (n + 1) // 2 AS k FROM stats),
 b1 AS (
   SELECT e.event_type, k.k, k.mn, k.mx,
     CASE WHEN k.mx = k.mn THEN 0
          ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
     END AS bkt
-  FROM events e JOIN k ON e.event_type = k.event_type),
+  FROM ev_fin e JOIN k ON e.event_type = k.event_type),
 h1 AS (SELECT event_type, bkt, COUNT(*) AS cnt FROM b1 GROUP BY 1, 2),
 c1 AS (
   SELECT event_type, bkt, cnt,
@@ -773,7 +792,7 @@ b2 AS (
           CASE WHEN k.mx = k.mn THEN 0
                ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
           END AS bkt
-        FROM events e JOIN k ON e.event_type = k.event_type) x
+        FROM ev_fin e JOIN k ON e.event_type = k.event_type) x
   JOIN t1 o2 ON x.event_type = o2.event_type AND x.bkt = o2.tb
   JOIN o1 o ON x.event_type = o.event_type
   JOIN k ON x.event_type = k.event_type),
@@ -821,7 +840,9 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: bucket arithmetic and the selected value are pure IEEE
     doubles computed identically in both engines; counts are exact; the
     only windows run over ≤512 histogram rows per group."""
-    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", finite_or_null(F.col("value")).alias("value")
+    )
     # The per-group stats/threshold tables are tiny (|groups| and ≤512
     # histogram rows) but their lineage re-embeds the fact scan; without
     # truncation every downstream reference re-expands it and the final
@@ -949,7 +970,7 @@ pts AS (
     CASE WHEN s.mx = s.mn THEN 0.0
          ELSE CAST(epoch_us(e.ts) - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
     END AS x,
-    e.value AS y
+    CASE WHEN isfinite(e.value) THEN e.value END AS y
   FROM events e JOIN span s ON e.event_type = s.event_type),
 agg AS (
   SELECT event_type, COUNT(*) AS n,
@@ -988,7 +1009,7 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("mx") - F.col("mn")).cast("double")
         )
         .alias("x"),
-        F.col("value").alias("y"),
+        finite_or_null(F.col("value")).alias("y"),
     )
 
     def tsum(expr: str):

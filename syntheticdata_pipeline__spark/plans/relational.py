@@ -37,7 +37,7 @@ SELECT
   COUNT(*) AS n_items,
   {dsum_sql('l.l_quantity')} AS sum_qty,
   {dsum_sql('l.l_extendedprice')} AS gross_revenue,
-  {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))', scale=4)} AS net_revenue,
+  {dsum_sql('CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l.l_discount) THEN l.l_discount END) AS DECIMAL(18,2))', scale=4)} AS net_revenue,
   (CAST(COUNT(DISTINCT CASE WHEN o.o_orderstatus = 'F' THEN o.o_orderkey END) AS DOUBLE)
      / CAST(COUNT(DISTINCT o.o_orderkey) AS DOUBLE) * 100.0) AS fulfilled_rate,
   {davg_sql('l.l_extendedprice')} AS avg_item_price
@@ -175,8 +175,8 @@ def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAXBY_ORACLE = """
 SELECT p_brand, p_name AS largest_part, sz AS variant_size FROM (
-  SELECT p_brand, p_name, CAST(p_size AS BIGINT) * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sz,
-         row_number() OVER (PARTITION BY p_brand ORDER BY CAST(p_size AS BIGINT) * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC, p_partkey) rn
+  SELECT p_brand, p_name, CAST(p_size AS BIGINT) * CAST(CAST((CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sz,
+         row_number() OVER (PARTITION BY p_brand ORDER BY CAST(p_size AS BIGINT) * CAST(CAST((CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) AS DECIMAL(18,2)) * 100 AS BIGINT) DESC, p_partkey) rn
   FROM part) WHERE rn = 1
 """
 
@@ -454,7 +454,7 @@ def set_difference_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER w AS BIGINT) AS run_n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER w AS DOUBLE) AS run_total
+       CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(38,2))) OVER w AS DOUBLE) AS run_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """
@@ -706,7 +706,7 @@ SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
        CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
             ELSE coalesce(o_orderstatus, 'NULL') END AS status,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(38,2))) AS DOUBLE) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
 """
@@ -830,7 +830,7 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARE_ORACLE = f"""
 WITH rev AS (
   SELECT r.r_name AS region, n.n_name AS nation,
-    SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS nation_rev
+    SUM(CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(38,2))) AS nation_rev
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -971,7 +971,7 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONC_ORACLE = """
 WITH clv AS (
-  SELECT o_custkey, CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,2)))) AS BIGINT) AS v
+  SELECT o_custkey, CAST(round(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(38,2)))) AS BIGINT) AS v
   FROM orders GROUP BY o_custkey),
 hist AS (SELECT v, COUNT(*) AS c FROM clv WHERE v IS NOT NULL GROUP BY v),
 cum AS (
@@ -1081,7 +1081,7 @@ b AS (
          o_totalprice
   FROM open_o)
 SELECT age_bucket, COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS open_value
+  CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(38,2))) AS DOUBLE) AS open_value
 FROM b GROUP BY age_bucket
 """
 
@@ -1124,11 +1124,11 @@ WITH v AS (
   SELECT l_partkey,
     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-             THEN CAST(l_quantity AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
+             THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
       AS q96,
     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-             THEN CAST(l_quantity AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
+             THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(38,2)) ELSE CAST(0 AS DECIMAL(38,2)) END)
       AS q97
   FROM lineitem GROUP BY l_partkey),
 g AS (

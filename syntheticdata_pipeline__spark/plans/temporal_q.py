@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.determinism import finite_or_null, finite_or_null_sql
 from ..operators.temporal import asof_join, multi_resolution_rollup, range_join_buckets
 from . import register
 from .common import T
@@ -110,7 +111,7 @@ _ROLLUP_ORACLE = f"""
 WITH exploded AS ({_res_union})
 SELECT resolution, bucket_start_us, event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST({finite_or_null_sql("value")} AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
 FROM exploded GROUP BY resolution, bucket_start_us, event_type
 """
 
@@ -127,6 +128,8 @@ def multi_resolution_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         aggs=[
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sum_value"),
+            F.sum(finite_or_null(F.col("value")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_value"),
         ],
     )

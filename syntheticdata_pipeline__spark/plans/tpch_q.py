@@ -30,8 +30,8 @@ _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
   {dsum_sql('l_quantity')} AS sum_qty,
   {dsum_sql('l_extendedprice')} AS sum_base_price,
-  {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS sum_disc_price,
-  {dsum_sql('CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)) * CAST(1 + l_tax AS DECIMAL(18,2))', scale=6)} AS sum_charge,
+  {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)} AS sum_disc_price,
+  {dsum_sql('CAST(CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2)) AS DECIMAL(28,4)) * CAST(1 + (CASE WHEN isfinite(l_tax) THEN l_tax END) AS DECIMAL(18,2))', scale=6)} AS sum_charge,
   {davg_sql('l_quantity')} AS avg_qty,
   {davg_sql('l_extendedprice')} AS avg_price,
   {davg_sql('l_discount', scale=2)} AS avg_disc,
@@ -67,7 +67,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = f"""
 SELECT o.o_orderkey,
-  {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))', scale=4)} AS revenue,
+  {dsum_sql('CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l.l_discount) THEN l.l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue,
   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -111,7 +111,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = f"""
 SELECT n.n_name AS nation,
-  {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))', scale=4)} AS revenue
+  {dsum_sql('CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l.l_discount) THEN l.l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -181,7 +181,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q6-shape: forecasting revenue change (pure range-filter agg) ------------
 
 _Q6_ORACLE = f"""
-SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))', scale=4)} AS revenue
+SELECT {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST((CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -214,7 +214,7 @@ _Q18_ORACLE = f"""
 WITH big AS (
   SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 150)
+  HAVING SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(38,2))) > 150)
 SELECT c.c_name, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        o.o_totalprice, b.total_qty
 FROM big b
@@ -250,7 +250,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = f"""
 SELECT c.c_custkey, c.c_name,
-  {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))', scale=4)} AS revenue,
+  {dsum_sql('CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l.l_discount) THEN l.l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue,
   ANY_VALUE(n.n_name) AS nation
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -330,8 +330,8 @@ def tpch_q12_ship_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = f"""
 SELECT round(
-  100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END", scale=4)}
-  / {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)},
+  100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END", scale=4)}
+  / {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)},
   6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -437,7 +437,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_ORACLE = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   CAST(year(l_shipdate) AS INTEGER) AS l_year,
-  {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS revenue
+  {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -487,7 +487,7 @@ def tpch_q7_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q19-shape: disjunctive predicate revenue --------------------------------
 
 _Q19_ORACLE = f"""
-SELECT {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS revenue,
+SELECT {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)} AS revenue,
   COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
@@ -520,8 +520,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q8-shape: national market share ----------------------------------------
 
 _VOL_DEC = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))"
+    "CAST(CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2))"
+    " * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2)) AS DECIMAL(38,4))"
 )
 
 _Q8_ORACLE = f"""
@@ -630,7 +630,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 _Q15_ORACLE = f"""
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-    {dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))', scale=4)} AS total_revenue
+    {dsum_sql('CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))', scale=4)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -816,11 +816,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q9-shape: product-type profit by nation and year ------------------------
 
-_Q9_COST = "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(2,1))"
+_Q9_COST = "CAST((CASE WHEN isfinite(p_retailprice) THEN p_retailprice END) AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(2,1))"
 _Q9_AMOUNT = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+    "CAST(CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2)) * CAST(1 - (CASE WHEN isfinite(l_discount) THEN l_discount END) AS DECIMAL(18,2))"
     " AS DECIMAL(38,4))"
-    f" - CAST(CAST({_Q9_COST} AS DECIMAL(21,3)) * CAST(l_quantity AS DECIMAL(18,2))"
+    f" - CAST(CAST({_Q9_COST} AS DECIMAL(21,3)) * CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))"
     " AS DECIMAL(38,4))"
 )
 
@@ -878,7 +878,7 @@ _Q11_FRACTION = 0.001
 _Q11_ORACLE = f"""
 WITH natval AS (
   SELECT l.l_partkey,
-    SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS val
+    SUM(CAST((CASE WHEN isfinite(l.l_extendedprice) THEN l.l_extendedprice END) AS DECIMAL(38,2))) AS val
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
@@ -970,10 +970,10 @@ def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFram
 _Q20_ORACLE = """
 WITH pq AS (
   SELECT l.l_partkey, l.l_suppkey,
-    SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS total_qty,
+    SUM(CAST((CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END) AS DECIMAL(38,2))) AS total_qty,
     SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-             THEN CAST(l.l_quantity AS DECIMAL(38,2))
+             THEN CAST((CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END) AS DECIMAL(38,2))
              ELSE CAST(0 AS DECIMAL(38,2)) END) AS qty_1997
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small %'
