@@ -186,6 +186,28 @@ _CHANGED_THIS_ROUND = (
     "tpch_q9_product_profit",
     "tumbling_event_stats",
     "value_trend_by_type",
+    # Round 9 phase 10: the valid-vector rule — an embedding with ANY
+    # non-finite component carries no geometry (a NaN dot product ranks
+    # FIRST under DESC in both engines, so one corrupt vector topped
+    # every ANN list; scaled-integer kernels crashed outright), so it
+    # is nullified at load (`plans/vectors_q._E` + the module-tail
+    # oracle rewrite) and the sweep-proven NULL-embedding semantics
+    # take over. Also fixes a latent NULL bug the NULL sweep missed by
+    # seed luck: a NULL seed centroid made Spark (NULLS FIRST) and
+    # DuckDB (NULLS LAST) pick different kmeans assignments — kmeans
+    # now clusters valid vectors only on both sides. The ann/cosine
+    # family above is already tier-0; the additional rewritten-oracle
+    # queries:
+    "array_error_metrics",
+    "embedding_cosine_neardup",
+    "embedding_covariance",
+    "embedding_moments",
+    "embedding_norms",
+    "embedding_top_pc_power",
+    "inception_score_splits",
+    "kmeans_embedding_clusters",
+    "semantic_decontaminate",
+    "similarity_pagerank",
 )
 
 

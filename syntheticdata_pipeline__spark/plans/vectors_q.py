@@ -47,6 +47,57 @@ def _nonnull_vec_oracle(sql: str) -> str:
     return body.replace("WITH ", f"WITH {vecs},\n", 1)
 
 
+# Valid-vector rule (round-9 non-finite sweep): an embedding with ANY
+# non-finite component is not a valid vector — NaN/±Inf carry no
+# geometry (a NaN dot product ranks FIRST under DESC in both engines,
+# so one corrupt vector would top every ANN result list; kernels with
+# scaled-integer accumulation crash outright). Such vectors are
+# nullified AT LOAD on both sides, so the NULL-embedding semantics each
+# query already pins (r9 NULL-embeddings sweep) take over: searchable/
+# pairable queries drop them via their isNotNull filters, survivor
+# counters keep the row with no vector. Applied uniformly to every
+# query in this module by `_E` (Spark) and the module-tail oracle
+# rewrite (DuckDB).
+
+_FINITE_VEC_CTE = (
+    "embf AS (SELECT * REPLACE (CASE WHEN embedding IS NOT NULL AND "
+    "coalesce(list_aggregate(list_transform(embedding, x -> isfinite(x)),"
+    " 'bool_and'), TRUE) THEN embedding END AS embedding) FROM embeddings)"
+)
+
+
+def _finite_vec_oracle(sql: str) -> str:
+    """Rewrite an oracle to read the nullified-vector relation (the
+    DuckDB twin of `_E`)."""
+    import re
+
+    # every relation reference, including JOIN sides ("JOIN embeddings b")
+    body = re.sub(r"\bembeddings\b", "embf", sql)
+    if body == sql:
+        return sql  # oracle never reads the embeddings table
+    if body.lstrip().startswith("WITH RECURSIVE"):
+        # non-recursive CTEs may be listed inside WITH RECURSIVE
+        return body.replace("WITH RECURSIVE ", f"WITH RECURSIVE {_FINITE_VEC_CTE},\n", 1)
+    if body.lstrip().startswith("WITH"):
+        return body.replace("WITH ", f"WITH {_FINITE_VEC_CTE},\n", 1)
+    return f"WITH {_FINITE_VEC_CTE}\n{body}"
+
+
+def _E(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load embeddings with non-finite vectors nullified (valid-vector
+    rule above; oracle twin `_finite_vec_oracle`). The withColumn is a
+    codegen-stage expression — no shuffle, and Catalyst still prunes the
+    column away for vec_id/label-only consumers."""
+    ef = T(spark, sf_dir, "embeddings")
+    all_finite = F.forall(
+        "embedding", lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf")))
+    )
+    return ef.withColumn(
+        "embedding",
+        F.when(F.col("embedding").isNotNull() & all_finite, F.col("embedding")),
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k (correctness baseline for ANN).
@@ -70,7 +121,7 @@ FROM ranked WHERE rn <= {_K}
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors: broadcast queries × one
     corpus scan; sequential-fold dot products keep ranks bit-stable."""
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -116,7 +167,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that lifted recall@5 from 0.06 to ~0.4 on this fixture, see
     ann_recall_at_k). Bucket equi-join replaces the cross join; the probe
     fan-out rides the small broadcast side only."""
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -171,7 +222,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -335,7 +386,7 @@ FROM p
 def array_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAE/MSE (metrics.py:99-120) and PSNR (metrics.py:13-33) over vector
     pairs — the pixel-array math on embedding fixtures."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     a = e.select(F.col("vec_id"), F.col("embedding").alias("va"))
     b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
     p = a.join(b, "vec_id")
@@ -373,7 +424,7 @@ def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature mean vector (the FID μ term, metrics.py:254-274) via
     posexplode + exact decimal sums; covariance follows the same plan with
     pair columns."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     flat = e.select(F.posexplode("embedding").alias("pos", "x")).select(
         (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("v")
     )
@@ -439,7 +490,7 @@ def inception_score_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment queries."""
     from ..functions.determinism import hash_bucket
 
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     head = F.transform(
         F.slice(F.col("embedding"), 1, _IS_DIMS), lambda x: F.exp(x.cast("double"))
     )
@@ -501,7 +552,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification kernel. At corpus scale the candidate set comes from the
     LSH bucketer (ann_lsh_topk plan); this exact form is the oracle-able
     verifier."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb"))
     from ..functions.vectors import dot
@@ -563,7 +614,7 @@ def cosine_neardup_lsh_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane sign) at a (n_planes+1)× probe fan-out — still never quadratic."""
     from ..operators.similarity import lsh_neardup_pairs
 
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     return lsh_neardup_pairs(
         e,
         threshold=_COS_THRESH,
@@ -620,7 +671,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import connected_components
     from ..operators.similarity import lsh_neardup_pairs
 
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     pairs = lsh_neardup_pairs(
         e, threshold=_COS_THRESH, n_planes=_N_PLANES, dim=_DIM
     )
@@ -647,7 +698,7 @@ def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the oracle runs the identical bucket join in DuckDB."""
     from ..operators.similarity import lsh_neardup_pairs
 
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     return lsh_neardup_pairs(
         e, threshold=_COS_THRESH, n_planes=_N_PLANES, dim=_DIM, label_col="label"
     )
@@ -686,7 +737,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode self-join + one aggregation. The full-matrix scale path is
     a mapInPandas partial Xᵀ X (partition-local numpy) + driver combine;
     this SQL form is the oracle-checkable kernel."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     flat = (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("v"))
@@ -715,7 +766,7 @@ FROM embeddings
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm per vector (validates the cosine≡dot shortcut the ANN
     queries rely on)."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     return e.select("vec_id", l2_norm(F.col("embedding")).alias("norm"), "label")
 
 
@@ -757,7 +808,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output contract: exploded to one (vec_id, pos, q) row per element —
     scalar ints hash deterministically in the driver's canonicalizer
     (array<int> columns do not), and every element is still checked."""
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -813,11 +864,19 @@ def _km_cte_prefix(k: int, iters: int, train_pred: str | None = None) -> str:
         "           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rn\n"
         "    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
     )
-    src = "embeddings" if train_pred is None else "train"
-    sql = "WITH "
+    # Only valid (non-NULL) vectors are clusterable: a NULL seed
+    # centroid gives every row a NULL distance to it, and the two
+    # engines then disagree on rank 1 (Spark orders NULL dists FIRST,
+    # DuckDB LAST) — found by the r9 non-finite sweep, which nullifies
+    # corrupt vectors at load. The Spark twins filter isNotNull before
+    # kmeans_fixed_iters.
+    src = "kvecs" if train_pred is None else "train"
+    sql = """WITH kvecs AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+"""
     if train_pred is not None:
         sql += f"""train AS (
-  SELECT vec_id, embedding FROM embeddings WHERE {train_pred}),
+  SELECT vec_id, embedding FROM kvecs WHERE {train_pred}),
 """
     sql += f"""init AS (
   SELECT vec_id AS cid, embedding AS cv FROM (
@@ -870,7 +929,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     possible)."""
     from ..operators.clusters import kmeans_fixed_iters
 
-    e = T(spark, sf_dir, "embeddings")
+    # only valid vectors are clusterable (oracle twin: kvecs CTE)
+    e = _E(spark, sf_dir).filter(F.col("embedding").isNotNull())
     assigned = kmeans_fixed_iters(e, k=_KM_K, iters=_KM_ITERS)
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
@@ -917,7 +977,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one narrow pass over training vectors, no shuffle of the corpus; the
     per-vector MAX folds map-side. The rounded cosine makes the
     max/threshold decision identical cross-engine."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
     bench = e.filter(F.col("vec_id") % _DECON_MOD == 0).select(
         F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
     )
@@ -1019,7 +1079,7 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB differs only in scan width."""
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings")
+    e = _E(spark, sf_dir)
 
     def tsum(expr: F.Column) -> F.Column:
         return F.sum((expr * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
@@ -1163,7 +1223,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, sqdist
     from ..operators.clusters import kmeans_fixed_iters
 
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -1260,7 +1320,7 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.determinism import hash_bucket
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -1337,7 +1397,7 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast join on (query, neighbor)."""
     from ..functions.vectors import cosine, dot
 
-    e = T(spark, sf_dir, "embeddings").filter(
+    e = _E(spark, sf_dir).filter(
         # a NULL vector is not searchable/pairable (oracle twin:
         # _nonnull_vec_oracle)
         F.col("embedding").isNotNull()
@@ -1454,7 +1514,7 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.determinism import hash_bucket
     from ..functions.vectors import dot
 
-    e = T(spark, sf_dir, "embeddings").select(
+    e = _E(spark, sf_dir).select(
         "vec_id", "embedding", hash_bucket(F.col("vec_id"), _CPH_BUCKETS, "cph").alias("bkt")
     )
     a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "bkt")
@@ -1467,7 +1527,7 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    verts = T(spark, sf_dir, "embeddings").select("vec_id")
+    verts = _E(spark, sf_dir).select("vec_id")
     ranks = verts.withColumn("r", F.lit(1.0))
     # No pin here: a localCheckpoint strips optimizer statistics (the
     # checkpointed side then defaults to huge-size estimates and loses
@@ -1498,3 +1558,24 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# Module tail: apply the valid-vector rule to every oracle registered
+# above (the DuckDB twin of loading through `_E`). Self-maintaining —
+# any new query in this module gets the rewrite automatically.
+# --------------------------------------------------------------------------
+
+def _apply_finite_vec_rule() -> None:
+    from dataclasses import replace as _dc_replace
+
+    from . import REGISTRY
+
+    for _name, _spec in list(REGISTRY.items()):
+        if _spec.build.__module__ == __name__ and _spec.oracle:
+            _rewritten = _finite_vec_oracle(_spec.oracle)
+            if _rewritten != _spec.oracle:
+                REGISTRY[_name] = _dc_replace(_spec, oracle=_rewritten)
+
+
+_apply_finite_vec_rule()

@@ -56,6 +56,7 @@ def _members():
         if (
             '"embeddings"' in src
             or "'embeddings'" in src
+            or "_E(spark" in src  # the valid-vector loader (r9 non-finite rule)
             or "ann_brute_topk(" in src
             or "ann_lsh_topk(" in src
         ):

@@ -60,7 +60,9 @@ def _members(tables):
             src = inspect.getsource(spec.build)
         except (OSError, TypeError):
             continue
-        if any(f'"{t}"' in src or f"'{t}'" in src for t in tables):
+        if any(f'"{t}"' in src or f"'{t}'" in src for t in tables) or (
+            "embeddings" in tables and "_E(spark" in src
+        ):
             out.append(name)
     return sorted(out)
 
@@ -119,6 +121,34 @@ def nonfinite_facts_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def nonfinite_emb_dir(tmp_path_factory):
+    """NaN/±Inf planted as vector COMPONENTS (element 0, %23 stripes).
+    Valid-vector rule (plans/vectors_q._E): a vector with any
+    non-finite component carries no geometry — a NaN dot product would
+    rank FIRST under DESC in both engines, topping every ANN list — so
+    it is nullified at load and the NULL-embedding semantics take
+    over."""
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("nonfinite_emb"))
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN vec_id % 23 = 7 THEN list_concat(['nan'::FLOAT], embedding[2:])
+                 WHEN vec_id % 23 = 8 THEN list_concat(['inf'::FLOAT], embedding[2:])
+                 WHEN vec_id % 23 = 9 THEN list_concat(['-inf'::FLOAT], embedding[2:])
+                 ELSE embedding END AS embedding)
+            FROM read_parquet('{_SRC}/embeddings.parquet'))
+            TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in "region nation customer supplier part orders lineitem events documents".split():
+        os.symlink(os.path.join(_SRC, f"{t}.parquet"), os.path.join(tmp, f"{t}.parquet"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
 def nonfinite_dims_dir(tmp_path_factory):
     tmp = _build(
         tmp_path_factory,
@@ -162,3 +192,30 @@ def test_nonfinite_fact_measures_match_oracle(spark, nonfinite_facts_dir, name):
 @pytest.mark.parametrize("name", _members(("customer", "supplier", "part")))
 def test_nonfinite_dim_measures_match_oracle(spark, nonfinite_dims_dir, name):
     _check(spark, nonfinite_dims_dir, name)
+
+
+def _emb_members():
+    import inspect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    out = []
+    for name, spec in load_all().items():
+        try:
+            src = inspect.getsource(spec.build)
+        except (OSError, TypeError):
+            continue
+        if (
+            '"embeddings"' in src
+            or "'embeddings'" in src
+            or "_E(spark" in src  # the valid-vector loader
+            or "ann_brute_topk(" in src
+            or "ann_lsh_topk(" in src
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", _emb_members())
+def test_nonfinite_vector_components_match_oracle(spark, nonfinite_emb_dir, name):
+    _check(spark, nonfinite_emb_dir, name)
