@@ -44,25 +44,38 @@ def _nonnull_vec_oracle(sql: str) -> str:
     vecs = "vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     body = sql.replace("FROM embeddings", "FROM vecs")
     assert body.lstrip().startswith("WITH"), "oracle must start with WITH"
+    if body.lstrip().startswith("WITH RECURSIVE"):
+        # non-recursive CTEs may be listed inside WITH RECURSIVE (mirrors
+        # _finite_vec_oracle; without this branch the rewrite would emit
+        # "WITH vecs AS (...), RECURSIVE ..." — invalid SQL caught only at
+        # oracle runtime, r9 ADVICE item #4)
+        return body.replace("WITH RECURSIVE ", f"WITH RECURSIVE {vecs},\n", 1)
     return body.replace("WITH ", f"WITH {vecs},\n", 1)
 
 
-# Valid-vector rule (round-9 non-finite sweep): an embedding with ANY
-# non-finite component is not a valid vector — NaN/±Inf carry no
-# geometry (a NaN dot product ranks FIRST under DESC in both engines,
-# so one corrupt vector would top every ANN result list; kernels with
-# scaled-integer accumulation crash outright). Such vectors are
-# nullified AT LOAD on both sides, so the NULL-embedding semantics each
-# query already pins (r9 NULL-embeddings sweep) take over: searchable/
-# pairable queries drop them via their isNotNull filters, survivor
-# counters keep the row with no vector. Applied uniformly to every
-# query in this module by `_E` (Spark) and the module-tail oracle
-# rewrite (DuckDB).
+# Valid-vector rule (round-9 non-finite sweep; NULL-component case
+# pinned round 10): an embedding with ANY non-finite OR NULL component
+# is not a valid vector — NaN/±Inf carry no geometry (a NaN dot product
+# ranks FIRST under DESC in both engines, so one corrupt vector would
+# top every ANN result list; kernels with scaled-integer accumulation
+# crash outright), and a NULL component makes every dot product /
+# norm NULL. Such vectors are nullified AT LOAD on both sides, so the
+# NULL-embedding semantics each query already pins (r9 NULL-embeddings
+# sweep) take over: searchable/pairable queries drop them via their
+# isNotNull filters, survivor counters keep the row with no vector.
+# Applied uniformly to every query in this module by `_E` (Spark) and
+# the module-tail oracle rewrite (DuckDB). The per-element predicate is
+# `x IS NOT NULL AND isfinite(x)` on BOTH engines — before round 10 the
+# DuckDB bool_and silently skipped NULL elements (vector kept) while
+# Spark's forall went three-valued (vector nullified): the exact latent
+# asymmetry this contract exists to forbid (r9 ADVICE item #1; fixture:
+# the null-component stripe in tests/test_embeddings_adversarial.py).
 
 _FINITE_VEC_CTE = (
     "embf AS (SELECT * REPLACE (CASE WHEN embedding IS NOT NULL AND "
-    "coalesce(list_aggregate(list_transform(embedding, x -> isfinite(x)),"
-    " 'bool_and'), TRUE) THEN embedding END AS embedding) FROM embeddings)"
+    "coalesce(list_aggregate(list_transform(embedding,"
+    " x -> x IS NOT NULL AND isfinite(x)), 'bool_and'), TRUE)"
+    " THEN embedding END AS embedding) FROM embeddings)"
 )
 
 
@@ -90,7 +103,11 @@ def _E(spark: SparkSession, sf_dir: str) -> DataFrame:
     column away for vec_id/label-only consumers."""
     ef = T(spark, sf_dir, "embeddings")
     all_finite = F.forall(
-        "embedding", lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf")))
+        "embedding",
+        # x.isNotNull() first: a NULL element yields FALSE (not NULL) under
+        # three-valued AND, matching the oracle's `x IS NOT NULL AND
+        # isfinite(x)` exactly — see the valid-vector rule comment above
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
     )
     return ef.withColumn(
         "embedding",

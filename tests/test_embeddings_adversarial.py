@@ -1,6 +1,7 @@
 """Embeddings-table adversarial battery: every catalog query that reads
 the embeddings table, run against its DuckDB oracle on (a) a NULL-laced
-fixture (embedding NULL on the vec_id %17 stripe, label NULL on %13) and
+fixture (embedding NULL on the vec_id %17 stripe, one NULL component on
+%19 — nullified at load by the valid-vector rule, label NULL on %13) and
 (b) an empty embeddings table with the schema preserved.
 
 Third input family to get the sweep (documents r7, events r9a): the
@@ -70,9 +71,17 @@ def _make_fixture(tmp: str, mode: str) -> str:
     os.makedirs(tmp, exist_ok=True)
     con = duckdb.connect()
     if mode == "nulls":
+        # %17: whole-NULL vector; %19: one NULL COMPONENT (position varies
+        # by row) — under the valid-vector rule a NULL element nullifies
+        # the vector at load on BOTH engines (r9 ADVICE #1: DuckDB's bare
+        # bool_and skipped NULL elements while Spark's forall went
+        # three-valued, a latent asymmetry no fixture exercised).
         con.execute(
             f"""COPY (SELECT * REPLACE (
-                CASE WHEN vec_id % 17 = 0 THEN NULL ELSE embedding END AS embedding,
+                CASE WHEN vec_id % 17 = 0 THEN NULL
+                     WHEN vec_id % 19 = 0 THEN list_transform(
+                         embedding, (x, i) -> CASE WHEN i = vec_id % 64 + 1 THEN NULL ELSE x END)
+                     ELSE embedding END AS embedding,
                 CASE WHEN vec_id % 13 = 0 THEN NULL ELSE label END AS label)
                 FROM read_parquet('{_SRC}/embeddings.parquet'))
                 TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"""
@@ -130,8 +139,9 @@ def test_empty_embeddings_match_oracle(spark, empty_sf_dir, name):
 
 
 def test_ann_excludes_null_vectors(spark, nulls_sf_dir):
-    """No NULL-vector id (the %17 stripe) may appear as query or neighbor,
-    and every returned score is non-NULL."""
+    """No NULL-vector id (the %17 stripe) nor NULL-component id (the %19
+    stripe — nullified at load by the valid-vector rule) may appear as
+    query or neighbor, and every returned score is non-NULL."""
     import pyspark.sql.functions as F
 
     from syntheticdata_pipeline__spark.plans import load_all
@@ -141,7 +151,10 @@ def test_ann_excludes_null_vectors(spark, nulls_sf_dir):
         out = reg[q].build(spark, nulls_sf_dir)
         assert (
             out.filter(
-                (F.col("query_id") % 17 == 0) | (F.col("neighbor_id") % 17 == 0)
+                (F.col("query_id") % 17 == 0)
+                | (F.col("neighbor_id") % 17 == 0)
+                | (F.col("query_id") % 19 == 0)
+                | (F.col("neighbor_id") % 19 == 0)
             ).count()
             == 0
         ), q
@@ -157,6 +170,6 @@ def test_norms_keep_null_vector_rows_with_null_norm(spark, nulls_sf_dir):
 
     out = load_all()["embedding_norms"].build(spark, nulls_sf_dir)
     assert out.count() == 500
-    nulls = out.filter(F.col("vec_id") % 17 == 0)
+    nulls = out.filter((F.col("vec_id") % 17 == 0) | (F.col("vec_id") % 19 == 0))
     assert nulls.count() > 0
     assert nulls.filter(F.col("norm").isNotNull()).count() == 0
