@@ -41,28 +41,14 @@ import pytest
 _SRC = "/root/testdata/sf0.001"
 
 
+from tests.sweep_membership import sweep_members
+
+
 def _members():
-    """Every registered query whose build reads embeddings — directly or
-    by composing the ANN builders (ann_recall_at_k)."""
-    import inspect
-
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if (
-            '"embeddings"' in src
-            or "'embeddings'" in src
-            or "_E(spark" in src  # the valid-vector loader (r9 non-finite rule)
-            or "ann_brute_topk(" in src
-            or "ann_lsh_topk(" in src
-        ):
-            out.append(name)
-    return sorted(out)
+    """Every registered query that reads embeddings — build-source grep
+    plus oracle-SQL table references (catches builders composed behind
+    helpers, e.g. ann_recall_at_k)."""
+    return sweep_members(("embeddings",), extra_src_markers=("_E(spark",), floor=22)
 
 
 def _make_fixture(tmp: str, mode: str) -> str:

@@ -23,21 +23,11 @@ import pytest
 _SRC = "/root/testdata/sf0.001"
 
 
+from tests.sweep_membership import sweep_members
+
+
 def _members():
-    import inspect
-
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    tables = ("customer", "supplier", "part", "nation")
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if any(f'"{t}"' in src or f"'{t}'" in src for t in tables):
-            out.append(name)
-    return sorted(out)
+    return sweep_members(("customer", "supplier", "part", "nation"), floor=44)
 
 
 @pytest.fixture(scope="module")

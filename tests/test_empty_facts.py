@@ -29,25 +29,11 @@ import pytest
 _SRC = "/root/testdata/sf0.001"
 
 
+from tests.sweep_membership import sweep_members
+
+
 def _members():
-    import inspect
-
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if (
-            '"lineitem"' in src
-            or "'lineitem'" in src
-            or '"orders"' in src
-            or "'orders'" in src
-        ):
-            out.append(name)
-    return sorted(out)
+    return sweep_members(("lineitem", "orders"), floor=45)
 
 
 @pytest.fixture(scope="module")

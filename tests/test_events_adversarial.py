@@ -159,21 +159,12 @@ def test_empty_events_match_oracle(spark, empty_sf_dir, name):
 
 
 def test_member_list_is_current():
-    """The sweep must not silently rot: every registered query whose
-    build source mentions the events table is in EVENTS_QUERIES."""
-    import inspect
+    """The sweep must not silently rot: every registered query that
+    reads the events table — by build source OR by oracle-SQL table
+    reference (tests/sweep_membership.py) — is in EVENTS_QUERIES."""
+    from tests.sweep_membership import sweep_members
 
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    missing = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if '"events"' in src or "'events'" in src:
-            if name not in EVENTS_QUERIES:
-                missing.append(name)
+    missing = [n for n in sweep_members(("events",), floor=37) if n not in EVENTS_QUERIES]
     assert not missing, f"events-reading queries missing from sweep: {missing}"
 
 

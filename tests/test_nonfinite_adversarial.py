@@ -46,25 +46,7 @@ _NF = (
 )
 
 
-def _members(tables):
-    """Registry-derived membership (same self-maintenance as the other
-    sweeps; quoted-name matching avoids the `"part"`-in-`repartition`
-    trap)."""
-    import inspect
-
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if any(f'"{t}"' in src or f"'{t}'" in src for t in tables) or (
-            "embeddings" in tables and "_E(spark" in src
-        ):
-            out.append(name)
-    return sorted(out)
+from tests.sweep_membership import sweep_members as _members  # noqa: E402
 
 
 def _build(tmp_path_factory, label, copies, tables):
@@ -179,43 +161,23 @@ def _check(spark, sf_dir, name):
         con.close()
 
 
-@pytest.mark.parametrize("name", _members(("events",)))
+@pytest.mark.parametrize("name", _members(("events",), floor=37))
 def test_nonfinite_event_values_match_oracle(spark, nonfinite_events_dir, name):
     _check(spark, nonfinite_events_dir, name)
 
 
-@pytest.mark.parametrize("name", _members(("lineitem", "orders")))
+@pytest.mark.parametrize("name", _members(("lineitem", "orders"), floor=45))
 def test_nonfinite_fact_measures_match_oracle(spark, nonfinite_facts_dir, name):
     _check(spark, nonfinite_facts_dir, name)
 
 
-@pytest.mark.parametrize("name", _members(("customer", "supplier", "part")))
+@pytest.mark.parametrize("name", _members(("customer", "supplier", "part"), floor=43))
 def test_nonfinite_dim_measures_match_oracle(spark, nonfinite_dims_dir, name):
     _check(spark, nonfinite_dims_dir, name)
 
 
-def _emb_members():
-    import inspect
-
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if (
-            '"embeddings"' in src
-            or "'embeddings'" in src
-            or "_E(spark" in src  # the valid-vector loader
-            or "ann_brute_topk(" in src
-            or "ann_lsh_topk(" in src
-        ):
-            out.append(name)
-    return sorted(out)
-
-
-@pytest.mark.parametrize("name", _emb_members())
+@pytest.mark.parametrize(
+    "name", _members(("embeddings",), extra_src_markers=("_E(spark",), floor=22)
+)
 def test_nonfinite_vector_components_match_oracle(spark, nonfinite_emb_dir, name):
     _check(spark, nonfinite_emb_dir, name)

@@ -44,24 +44,12 @@ _SRC = "/root/testdata/sf0.001"
 
 
 def _members():
-    """Every registered query whose build reads a dimension table —
-    derived from the registry at collection time so the sweep cannot
-    silently rot (same self-maintenance as the fact-table sweep).
-    Quoted-name matching avoids the `"part"`-in-`repartition` trap."""
-    import inspect
+    """Every registered query that reads a dimension table — derived
+    from the registry at collection time (build source + oracle SQL, see
+    tests/sweep_membership.py) so the sweep cannot silently rot."""
+    from tests.sweep_membership import sweep_members
 
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    tables = ("customer", "supplier", "part", "nation", "region")
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if any(f'"{t}"' in src or f"'{t}'" in src for t in tables):
-            out.append(name)
-    return sorted(out)
+    return sweep_members(("customer", "supplier", "part", "nation", "region"), floor=44)
 
 
 @pytest.fixture(scope="module")

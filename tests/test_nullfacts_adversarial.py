@@ -41,27 +41,12 @@ _SRC = "/root/testdata/sf0.001"
 
 
 def _members():
-    """Every registered query whose build reads lineitem or orders —
-    derived from the registry at collection time so the sweep cannot
-    silently rot (same self-maintenance as tests/test_empty_facts.py)."""
-    import inspect
+    """Every registered query that reads lineitem or orders — derived
+    from the registry at collection time (build source + oracle SQL, see
+    tests/sweep_membership.py) so the sweep cannot silently rot."""
+    from tests.sweep_membership import sweep_members
 
-    from syntheticdata_pipeline__spark.plans import load_all
-
-    out = []
-    for name, spec in load_all().items():
-        try:
-            src = inspect.getsource(spec.build)
-        except (OSError, TypeError):
-            continue
-        if (
-            '"lineitem"' in src
-            or "'lineitem'" in src
-            or '"orders"' in src
-            or "'orders'" in src
-        ):
-            out.append(name)
-    return sorted(out)
+    return sweep_members(("lineitem", "orders"), floor=45)
 
 
 @pytest.fixture(scope="module")
