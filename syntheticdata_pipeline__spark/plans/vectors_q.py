@@ -134,16 +134,24 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
+def _valid_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searchable/pairable vectors: the valid-vector load (`_E`) plus the
+    NULL filter (a NULL vector is not a searchable vector; oracle twin:
+    _nonnull_vec_oracle). Shared by every ANN arm so composite queries
+    (ann_recall_at_k) can pin ONE filtered base instead of re-scanning
+    per arm."""
+    return _E(spark, sf_dir).filter(F.col("embedding").isNotNull())
+
+
+def _ann_brute_kernel(e: DataFrame) -> DataFrame:
+    return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+
+
 @register("ann_brute_topk", oracle=_nonnull_vec_oracle(_BRUTE_ORACLE), bench=True, tags=("similarity", "J1"))
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors: broadcast queries × one
     corpus scan; sequential-fold dot products keep ranks bit-stable."""
-    e = _E(spark, sf_dir).filter(
-        # a NULL vector is not searchable/pairable (oracle twin:
-        # _nonnull_vec_oracle)
-        F.col("embedding").isNotNull()
-    )
-    return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+    return _ann_brute_kernel(_valid_vecs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -176,19 +184,7 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
-@register("ann_lsh_topk", oracle=_nonnull_vec_oracle(_LSH_ORACLE), tags=("similarity", "lsh"))
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 4 deterministic planes → 16 sign buckets;
-    top-k within the query's bucket plus every Hamming-1 probe bucket
-    (multi-probe: 5 of 16 buckets searched per query — the recall lever
-    that lifted recall@5 from 0.06 to ~0.4 on this fixture, see
-    ann_recall_at_k). Bucket equi-join replaces the cross join; the probe
-    fan-out rides the small broadcast side only."""
-    e = _E(spark, sf_dir).filter(
-        # a NULL vector is not searchable/pairable (oracle twin:
-        # _nonnull_vec_oracle)
-        F.col("embedding").isNotNull()
-    )
+def _ann_lsh_kernel(e: DataFrame) -> DataFrame:
     return lsh_bucketed_topk(
         e,
         e.filter(F.col("vec_id") < _N_QUERIES),
@@ -197,6 +193,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         multi_probe=True,
     )
+
+
+@register("ann_lsh_topk", oracle=_nonnull_vec_oracle(_LSH_ORACLE), tags=("similarity", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 4 deterministic planes → 16 sign buckets;
+    top-k within the query's bucket plus every Hamming-1 probe bucket
+    (multi-probe: 5 of 16 buckets searched per query — the recall lever
+    that lifted recall@5 from 0.06 to ~0.4 on this fixture, see
+    ann_recall_at_k). Bucket equi-join replaces the cross join; the probe
+    fan-out rides the small broadcast side only."""
+    return _ann_lsh_kernel(_valid_vecs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -230,20 +237,11 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
-@register("ann_ivf_topk", oracle=_nonnull_vec_oracle(_IVF_ORACLE), tags=("similarity", "ivf"))
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell assignment (argmax centroid dot, deterministic tiebreak)
-    → top-k within the query's cell. Cell join replaces the cross join;
-    at 100 TB the codebook broadcasts and assignment is map-side only."""
+def _ann_ivf_kernel(e: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.vectors import dot
 
-    e = _E(spark, sf_dir).filter(
-        # a NULL vector is not searchable/pairable (oracle twin:
-        # _nonnull_vec_oracle)
-        F.col("embedding").isNotNull()
-    )
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -275,6 +273,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register("ann_ivf_topk", oracle=_nonnull_vec_oracle(_IVF_ORACLE), tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (argmax centroid dot, deterministic tiebreak)
+    → top-k within the query's cell. Cell join replaces the cross join;
+    at 100 TB the codebook broadcasts and assignment is map-side only."""
+    return _ann_ivf_kernel(_valid_vecs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -347,18 +353,25 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_kernel.py asserts the recall floor). Reuses the
     three registered ANN plans; the intersection join is on (query_id,
     neighbor_id) — query-sized, broadcastable at any corpus scale."""
+    # The filtered corpus feeds all THREE arms (each reads it twice:
+    # corpus + query side) — pin it so the parquet scan and the
+    # valid-vector forall run once, not six times (the arms' internal
+    # broadcasts are all explicit F.broadcast, so the stats loss from
+    # lineage truncation is harmless here — the multi-referenced-subtree
+    # rule, PERF.md optimization log #7).
+    e = _valid_vecs(spark, sf_dir).localCheckpoint(eager=False)
     # brute feeds the hit join AND the truth total — pin it so the exact
     # search runs once. lsh/ivf are each referenced once; pinning them
     # would only add materialization jobs.
     brute = (
-        ann_brute_topk(spark, sf_dir)
+        _ann_brute_kernel(e)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    lsh = ann_lsh_topk(spark, sf_dir).select(
+    lsh = _ann_lsh_kernel(e).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id"
     )
-    ivf = ann_ivf_topk(spark, sf_dir).select(
+    ivf = _ann_ivf_kernel(e).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id"
     )
     cand = lsh.unionByName(ivf)
