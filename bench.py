@@ -92,6 +92,10 @@ STRESS_QUERIES_DEEP = (
     # 30x point bounds how the per-round SMJ volume scales when every
     # document has ~30 replicas in its connected component.
     "cluster_aware_split_leakage",
+    # r10 (r9 verdict #4): the stress table's highest 10x growth (2.51x)
+    # with no deeper point — its doc-local self-join output is bounded
+    # by per-doc repetition, so the curve should flatten; measure it.
+    "intradoc_repeated_span",
 )
 STRESS_FACTOR_DEEP = 30
 
