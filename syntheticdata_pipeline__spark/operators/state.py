@@ -157,9 +157,18 @@ def incremental_transition_counts(
     )
     if last_state is None or not last_state.columns:
         return within, chunk_last
+    # Null-safe stitching: the batch twin (event_transition_matrix)
+    # partitions NULL users into ONE real group, so the NULL user's
+    # boundary transition must join too and its state row must be
+    # replaced, not carried — a plain equi/anti join on the user key
+    # silently drops both (NULL never equals NULL), losing cross-chunk
+    # NULL-user transitions and accumulating one stale NULL state row
+    # per chunk (found by tests/test_state_adversarial.py).
+    ls = last_state.select(
+        F.col(user_col).alias("__state_user"), F.col(type_col).alias("__last_type")
+    )
     boundary = (
-        last_state.select(user_col, F.col(type_col).alias("__last_type"))
-        .join(firsts, user_col)
+        ls.join(firsts, F.col("__state_user").eqNullSafe(F.col(user_col)))
         .groupBy(
             F.col("__last_type").alias("from_type"),
             F.col("__first_type").alias("to_type"),
@@ -172,5 +181,9 @@ def incremental_transition_counts(
         .agg(F.sum("n").alias("n"))
     )
     # users absent from this chunk keep their old state row
-    carried = last_state.join(chunk_last.select(user_col), user_col, "left_anti")
+    carried = last_state.join(
+        chunk_last.select(F.col(user_col).alias("__chunk_user")),
+        F.col(user_col).eqNullSafe(F.col("__chunk_user")),
+        "left_anti",
+    )
     return counts, carried.unionByName(chunk_last)
