@@ -285,7 +285,7 @@ FROM scored s JOIN q1 q ON s.lang = q.lang
 """
 
 
-@register("unigram_perplexity_gate", oracle=_PPL_ORACLE, tags=("text-analysis", "F4"))
+@register("unigram_perplexity_gate", oracle=_PPL_ORACLE, bench=True, tags=("text-analysis", "F4"))
 def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality gate: per-language unigram LM trained on
     the corpus itself (two partial-agg counts), each doc scored by mean
@@ -561,7 +561,7 @@ GROUP BY d.lang
 """
 
 
-@register("substring_dup_removal", oracle=_REMOVAL_ORACLE, tags=("dedup-jaccard", "D3"))
+@register("substring_dup_removal", oracle=_REMOVAL_ORACLE, bench=True, tags=("dedup-jaccard", "D3"))
 def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang token-removal stats for first-wins substring dedup: a
     token is removed iff it lies inside an 8-gram that some earlier
@@ -3019,7 +3019,7 @@ FROM labeled GROUP BY tile
 """
 
 
-@register("quality_duplication_lift", oracle=_lift_oracle(), tags=("quality", "dedup-minhash", "tuning"))
+@register("quality_duplication_lift", oracle=_lift_oracle(), bench=True, tags=("quality", "dedup-minhash", "tuning"))
 def quality_duplication_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup membership rate per quality quartile: docs bucket into
     value-based quartiles of the 4-dp quality grid (histogram-CDF tiles,

@@ -542,7 +542,7 @@ FROM rates r LEFT JOIN drawn d ON r.event_type = d.event_type
 """
 
 
-@register("neyman_allocation_sample", oracle=_NEYMAN_ORACLE, tags=("M4", "A7", "dataset-prep"))
+@register("neyman_allocation_sample", oracle=_NEYMAN_ORACLE, bench=True, tags=("M4", "A7", "dataset-prep"))
 def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman (minimum-variance) allocation of a 1000-row sample budget
     over event-type strata — n_h ∝ N_h·σ_h — followed by the draw itself
@@ -1252,7 +1252,7 @@ FROM q JOIN n ON q.event_type = n.event_type
 """
 
 
-@register("interarrival_percentiles", oracle=_LAT_ORACLE, tags=("R7", "A7", "windows"))
+@register("interarrival_percentiles", oracle=_LAT_ORACLE, bench=True, tags=("R7", "A7", "windows"))
 def interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P50/P90/P99 of the per-user interarrival gap per event type — the
     telemetry latency report, computed the de-skewed way: gaps bucket to
@@ -1400,7 +1400,7 @@ JOIN ent e ON b.user_id = e.user_id
 """
 
 
-@register("user_behavior_features", oracle=_UBF_ORACLE, tags=("R4", "A7", "windows"))
+@register("user_behavior_features", oracle=_UBF_ORACLE, bench=True, tags=("R4", "A7", "windows"))
 def user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral feature vector in one plan: peak 5-minute
     burst, total/mean dwell, and the Shannon entropy of the user's

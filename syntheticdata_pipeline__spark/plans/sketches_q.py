@@ -199,7 +199,7 @@ FROM est e CROSS JOIN exact x
 """
 
 
-@register("join_size_estimate_cm", oracle=_JS_ORACLE, tags=("sketch", "tuning", "J2"))
+@register("join_size_estimate_cm", oracle=_JS_ORACLE, bench=True, tags=("sketch", "tuning", "J2"))
 def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict an equi-join's output cardinality WITHOUT running it: the
     Count-Min inner product. |A ⋈_k B| = Σ_k a_k·b_k, and the inner
@@ -294,7 +294,7 @@ FROM est e CROSS JOIN ex x
 """
 
 
-@register("kmv_set_overlap", oracle=_KMVSET_ORACLE, tags=("sketch", "A11", "tuning"))
+@register("kmv_set_overlap", oracle=_KMVSET_ORACLE, bench=True, tags=("sketch", "A11", "tuning"))
 def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra on KMV sketches: union size, intersection size, and
     Jaccard between the 'view' and 'purchase' user sets estimated from

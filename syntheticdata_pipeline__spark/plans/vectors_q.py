@@ -637,7 +637,7 @@ SELECT id_a, id_b, cos_sim, same_label FROM p WHERE cos_sim >= {_COS_THRESH}
 """
 
 
-@register("cosine_neardup_lsh_probed", oracle=_NEARDUP_MP_ORACLE, tags=("dedup-cosine", "lsh"))
+@register("cosine_neardup_lsh_probed", oracle=_NEARDUP_MP_ORACLE, bench=True, tags=("dedup-cosine", "lsh"))
 def cosine_neardup_lsh_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH cosine near-dup pairs: Hamming-1 bucket probing on
     one side lifts recall (near-threshold pairs usually flip exactly one
@@ -1412,7 +1412,7 @@ GROUP BY t.dim
 """
 
 
-@register("ann_dim_truncation_recall", oracle=_nonnull_vec_oracle(_trunc_oracle()), tags=("similarity", "tuning"))
+@register("ann_dim_truncation_recall", oracle=_nonnull_vec_oracle(_trunc_oracle()), bench=True, tags=("similarity", "tuning"))
 def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of brute-force retrieval scored on the first 8/16/32
     embedding dimensions against the full-dimension truth — the
