@@ -100,9 +100,16 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
             widths, heights, oks = [], [], []
             for payload in pdf[content_col]:
                 try:
-                    arr = decode_ppm(bytes(payload or b""))
+                    data = bytes(payload or b"")
+                    arr = decode_ppm(data)
                     if arr is not None:  # real container-native codec
                         h, w = arr.shape[:2]
+                    elif not data or data.startswith(b"P6"):
+                        # detectable without any codec: a NULL/empty payload,
+                        # or one that declares the P6 magic but failed to
+                        # parse, is corrupt on the real (PIL) path too — the
+                        # fake must not launder it into 'ok'
+                        raise ValueError("empty or malformed payload")
                     elif _HAVE_PIL:
                         import io
 
@@ -224,6 +231,15 @@ def resize_images(
                     widths.append(width)
                     heights.append(height)
                     oks.append("ok")
+                elif not data or data.startswith(b"P6"):
+                    # NULL/empty payloads and claimed-P6 payloads that fail
+                    # to parse are detectably corrupt container-natively —
+                    # not merely 'unsupported' (which is for formats this
+                    # build has no codec for); payload passes through
+                    contents.append(data)
+                    widths.append(None)
+                    heights.append(None)
+                    oks.append("corrupt")
                 elif _HAVE_PIL:  # pragma: no cover - codec not in container
                     import io
 
@@ -358,8 +374,19 @@ def ssim_pairs(
         for pdf in batches:
             vals = []
             for a, b in zip(pdf[a_col], pdf[b_col]):
+                # undefined-input contract (mirrors the r9 valid-vector /
+                # non-finite rule: bad measurements skip like NULL): a NULL
+                # or empty side, mismatched lengths (would otherwise raise a
+                # broadcasting error and kill the task), or any non-finite
+                # component → NULL ssim
+                if a is None or b is None or len(a) == 0 or len(a) != len(b):
+                    vals.append(None)
+                    continue
                 x = np.asarray(a, dtype=np.float64)
                 y = np.asarray(b, dtype=np.float64)
+                if not (np.isfinite(x).all() and np.isfinite(y).all()):
+                    vals.append(None)
+                    continue
                 mx, my = x.mean(), y.mean()
                 vx, vy = x.var(), y.var()
                 cxy = ((x - mx) * (y - my)).mean()
