@@ -205,6 +205,33 @@ def main() -> None:
     stress: dict = {}
     if not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         try:
+            # The stress phase runs in a RESTARTED session with its own
+            # re-measured base: after the ~100-query main loop, the first
+            # stress entries measured 4-7x slower best-of-2 at identical
+            # output rows than the same query in a fresh session
+            # (minhash@10x 17.5-26.7 s in-context vs 3.9-4.2 s solo,
+            # reproduced across two full-run contexts 2026-08-15; a
+            # 12-heavy-query prefix does NOT reproduce it — accumulated
+            # session state, not the plan). Growth curves are evidence
+            # about plan SHAPE, so both sides of each ratio are measured
+            # inside the same fresh session: base_sec at SF_DIR first,
+            # then the replicated runs.
+            spark.stop()
+            spark = get_spark("bench-stress")
+            spark.sparkContext.setLogLevel("ERROR")
+            stress_base: dict[str, float] = {}
+
+            def fresh_base(name: str) -> float:
+                if name not in stress_base:
+                    best = None
+                    for _ in range(2):
+                        t0 = time.time()
+                        registry[name].build(spark, SF_DIR).count()
+                        sec = time.time() - t0
+                        best = sec if best is None else min(best, sec)
+                    stress_base[name] = round(best, 3)
+                return stress_base[name]
+
             # best-of-2 like the main loop: the first stress execution pays
             # cold codegen + cold stress-dir file cache, which previously
             # made growth curves cold-vs-warm noise (a 30x point measuring
@@ -218,10 +245,11 @@ def main() -> None:
                     sec = time.time() - t0
                     best = sec if best is None else min(best, sec)
                 sec = round(best, 3)
-                base = timings.get(name)
+                base = fresh_base(name)
                 rec = {
                     "sec": sec,
                     "rows": n,
+                    "base_sec": base,
                     "growth_x": round(sec / base, 2) if base else None,
                 }
                 if vs_10x_key is not None and vs_10x_key in stress:

@@ -118,6 +118,15 @@ def kmeans_fixed_iters(
     from ..functions.vectors import sqdist
 
     train = vecs if train_vecs is None else train_vecs
+    # Pin the training set: the seeded init plus EVERY Lloyd assignment
+    # re-scans it, so without truncation the final plan re-reads the
+    # parquet (and re-applies the upstream valid-vector per-element
+    # predicate, which the r10 NULL-component rule made pricier) once
+    # per iteration. One materialization beats iters+1 re-scans at any
+    # scale — and in the 100 TB form (train_vecs = a seeded sample)
+    # this pins only the sample, never the full corpus, whose single
+    # assignment pass below stays a streaming scan.
+    train = train.localCheckpoint(eager=False)
     cents = (
         train.orderBy(unit_rand(F.col(id_col), salt), id_col)
         .limit(k)

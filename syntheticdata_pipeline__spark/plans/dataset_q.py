@@ -143,7 +143,7 @@ GROUP BY lang
 """
 
 
-@register("decontaminate_train", oracle=_DECON_ORACLE, tags=("dataset-prep", "dedup-exact"))
+@register("decontaminate_train", oracle=_DECON_ORACLE, bench=True, tags=("dataset-prep", "dedup-exact"))
 def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word-5-gram
     with the test split are flagged. Plan: the test side's distinct grams
@@ -715,7 +715,7 @@ FROM freq GROUP BY lang
 """
 
 
-@register("chunk_level_dedup_stats", oracle=_CHUNK_DEDUP_ORACLE, tags=("dataset-prep", "dedup-exact", "M12"))
+@register("chunk_level_dedup_stats", oracle=_CHUNK_DEDUP_ORACLE, bench=True, tags=("dataset-prep", "dedup-exact", "M12"))
 def chunk_level_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicate-chunk stats per lang: every sliding chunk (32
     tokens, stride 24 — identical to chunk_documents) is fingerprinted
@@ -1001,7 +1001,7 @@ FROM classed GROUP BY change_class
 """
 
 
-@register("dataset_version_diff", oracle=_VDIFF_ORACLE, tags=("dataset-prep", "D5"))
+@register("dataset_version_diff", oracle=_VDIFF_ORACLE, bench=True, tags=("dataset-prep", "D5"))
 def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconcile two corpus snapshots by doc id + content key: counts of
     added / removed / modified / unchanged documents (v2 is derived from
@@ -1084,7 +1084,7 @@ CROSS JOIN n
 """
 
 
-@register("rank_normalized_quality", oracle=_RANKBLEND_ORACLE, tags=("dataset-prep", "F4"))
+@register("rank_normalized_quality", oracle=_RANKBLEND_ORACLE, bench=True, tags=("dataset-prep", "F4"))
 def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blend two incomparable per-doc signals — the heuristic quality
     score and raw document length — by mapping each onto its empirical

@@ -1154,7 +1154,7 @@ WHERE len(list_intersect(a.big_toks, b.big_toks)) > 0
 """
 
 
-@register("token_overlap_pairs", oracle=_OVERLAP_ORACLE, tags=("F5",))
+@register("token_overlap_pairs", oracle=_OVERLAP_ORACLE, bench=True, tags=("F5",))
 def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-source doc pairs sharing at least one >3-char token (the
     filename/handle token-match predicate F5).
@@ -1526,7 +1526,7 @@ FROM u JOIN b USING (source)
 """
 
 
-@register("ngram_diversity_by_source", oracle=_DIVERSITY_ORACLE, tags=("text-analysis",))
+@register("ngram_diversity_by_source", oracle=_DIVERSITY_ORACLE, bench=True, tags=("text-analysis",))
 def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct-1 / distinct-2 per source (Li et al. 2016 dialog-diversity
     metrics): unique-to-total n-gram ratios — the cheap first check that a
@@ -2035,7 +2035,7 @@ WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
 """
 
 
-@register("ngram_containment_pairs", oracle=_CONTAIN_ORACLE, tags=("dedup-jaccard", "X1"))
+@register("ngram_containment_pairs", oracle=_CONTAIN_ORACLE, bench=True, tags=("dedup-jaccard", "X1"))
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment per same-language pair:
     contain_a = |A∩B|/|A| (how much of A lives inside B) and the mirror,
@@ -2099,7 +2099,7 @@ FROM terms GROUP BY source
 """
 
 
-@register("token_entropy_by_source", oracle=_ENTROPY_ORACLE, tags=("text-analysis", "X4"))
+@register("token_entropy_by_source", oracle=_ENTROPY_ORACLE, bench=True, tags=("text-analysis", "X4"))
 def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the token distribution per source, plus the
     vocabulary-normalized form H/ln(V) ∈ (0, 1] — ≈1 means tokens are
@@ -2830,7 +2830,7 @@ FROM est e CROSS JOIN truth t
 """
 
 
-@register("dup_rate_estimate", oracle=_DUPEST_ORACLE, tags=("dedup-exact", "tuning", "M4"))
+@register("dup_rate_estimate", oracle=_DUPEST_ORACLE, bench=True, tags=("dedup-exact", "tuning", "M4"))
 def dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim 8-gram repetition rate (the Lee et al. 2021 duplication
     measure) estimated from a seeded 20% document sample with its Wilson

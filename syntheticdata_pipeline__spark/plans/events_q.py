@@ -357,7 +357,7 @@ GROUP BY c.w0, u.week - c.w0
 """
 
 
-@register("weekly_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("A4", "M1"))
+@register("weekly_retention_cohorts", oracle=_RETENTION_ORACLE, bench=True, tags=("A4", "M1"))
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: distinct (user, week) → per-user first week →
     join back + offset rollup. Both aggregates and the join share the
@@ -619,7 +619,7 @@ FROM top t CROSS JOIN tot x
 """
 
 
-@register("key_skew_profile", oracle=_SKEW_ORACLE, tags=("A1", "D8", "skew"))
+@register("key_skew_profile", oracle=_SKEW_ORACLE, bench=True, tags=("A1", "D8", "skew"))
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-key profile of the event stream: the top-10 user keys by row
     count, each with its share of the total, plus the global distinct-key
@@ -712,7 +712,7 @@ FROM pairs p JOIN tot t ON p.from_type = t.from_type
 """
 
 
-@register("event_transition_matrix", oracle=_TRANS_ORACLE, tags=("A2", "windows"))
+@register("event_transition_matrix", oracle=_TRANS_ORACLE, bench=True, tags=("A2", "windows"))
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types: for each
     consecutive (prev → next) pair inside a user's time-ordered stream,
@@ -1110,7 +1110,7 @@ WHERE r.rnk <= {_TRIGRAM_TOPK}
 """
 
 
-@register("top_event_trigrams", oracle=_SEQ3_ORACLE, tags=("A2", "windows"))
+@register("top_event_trigrams", oracle=_SEQ3_ORACLE, bench=True, tags=("A2", "windows"))
 def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 three-step event-type sequences across all user streams,
     with each trigram's share of all observed trigrams — the sequence-
@@ -1326,7 +1326,7 @@ JOIN mx m ON c.event_type = m.event_type
 """
 
 
-@register("hourly_profile_by_type", oracle=_HOURLY_ORACLE, tags=("R7", "A2"))
+@register("hourly_profile_by_type", oracle=_HOURLY_ORACLE, bench=True, tags=("R7", "A2"))
 def hourly_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diurnal activity profile: event share per UTC hour-of-day per
     type, with the peak hour(s) flagged — the first chart of capacity

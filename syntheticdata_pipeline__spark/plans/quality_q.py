@@ -507,7 +507,7 @@ GROUP BY d.lang
 """
 
 
-@register("repetition_dup_ngrams", oracle=_DUP_NGRAM_ORACLE, tags=("quality", "dedup-exact"))
+@register("repetition_dup_ngrams", oracle=_DUP_NGRAM_ORACLE, bench=True, tags=("quality", "dedup-exact"))
 def repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang duplicate-4-gram token-coverage stats (Gopher's duplicate
     n-gram char-fraction rule, token-denominated): docs whose repeated
@@ -704,7 +704,7 @@ FROM resid r CROSS JOIN stat s
 """
 
 
-@register("lang_source_chi2", oracle=_CHI2_ORACLE, tags=("quality", "A7"))
+@register("lang_source_chi2", oracle=_CHI2_ORACLE, bench=True, tags=("quality", "A7"))
 def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence check of the language × source
     contingency table, with each cell's standardized residual — the

@@ -31,7 +31,7 @@ FROM est e JOIN exact x USING (event_type)
 """
 
 
-@register("kmv_distinct_users", oracle=_KMV_ORACLE, tags=("sketch", "A11"))
+@register("kmv_distinct_users", oracle=_KMV_ORACLE, bench=True, tags=("sketch", "A11"))
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV(64) distinct-user estimate per event type, alongside the exact
     count — a reproducible (md5-hashed) alternative to HLL with fixed
@@ -70,7 +70,7 @@ GROUP BY j.user_id
 """
 
 
-@register("countmin_user_freq", oracle=_CM_ORACLE, tags=("sketch", "A1"))
+@register("countmin_user_freq", oracle=_CM_ORACLE, bench=True, tags=("sketch", "A1"))
 def countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min(3×64) event-frequency estimates for 20 probe users,
     alongside exact counts — the CM tables are a tiny mergeable state
@@ -97,7 +97,7 @@ FROM est e JOIN exact x USING (event_type)
 """
 
 
-@register("hll_distinct_users", oracle=_HLL_ORACLE, tags=("sketch", "A11"))
+@register("hll_distinct_users", oracle=_HLL_ORACLE, bench=True, tags=("sketch", "A11"))
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog(m=64) distinct-user estimate per event type alongside
     the exact count — the register-max sketch (Flajolet et al. 2007) in a
@@ -127,7 +127,7 @@ FROM est e JOIN exact x USING (event_type)
 """
 
 
-@register("hll_window_merge", oracle=_HLL_MERGE_ORACLE, tags=("sketch", "A11", "R7"))
+@register("hll_window_merge", oracle=_HLL_MERGE_ORACLE, bench=True, tags=("sketch", "A11", "R7"))
 def hll_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeability proven against the one-shot oracle: the stream is
     cut into DAILY chunks, per-day register partials are computed
