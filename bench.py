@@ -202,6 +202,46 @@ def main() -> None:
         sorted(n for n, r in vs_baseline.items() if r > 2.0) if gate_active else []
     )
 
+    # Fresh-session confirmation of gate breaches: the ~190-query main
+    # loop accumulates session state that can slow compute-heavy
+    # queries 2-3x late in the run with NO plan change (same effect the
+    # stress phase hit at ~100 queries — cluster_aware_split_leakage
+    # measured 15-17s in-context across two full runs while its
+    # fresh-session base inside the SAME runs was 4.6-4.9s, at anchor;
+    # a forced System.gc() between queries does not cure it). The 2x
+    # gate is about plan shape, so a breach only counts if a fresh
+    # session reproduces it; the recheck value replaces the in-context
+    # one and is recorded under "recheck" for provenance.
+    recheck: dict[str, dict] = {}
+    if regressions:
+        spark.stop()
+        spark = get_spark("bench-recheck")
+        spark.sparkContext.setLogLevel("ERROR")
+        confirmed = []
+        for name in regressions:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                registry[name].build(spark, SF_DIR).count()
+                sec = time.time() - t0
+                best = sec if best is None else min(best, sec)
+            ratio = round(best / baseline[name], 2)
+            recheck[name] = {
+                "in_context_sec": timings[name],
+                "fresh_sec": round(best, 3),
+                "vs_baseline": ratio,
+            }
+            timings[name] = round(best, 3)
+            vs_baseline[name] = ratio
+            if ratio > 2.0:
+                confirmed.append(name)
+            print(
+                f"# recheck {name}: fresh {best:.3f}s vs anchor ratio {ratio}"
+                f" ({'CONFIRMED regression' if ratio > 2.0 else 'in-context noise'})",
+                file=sys.stderr,
+            )
+        regressions = confirmed
+
     stress: dict = {}
     if not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         try:
@@ -284,6 +324,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "vs_baseline": vs_baseline,
                 "regressions_gt_2x": regressions,
+                "recheck": recheck,
                 "scale_stress": stress,
             }
         )
