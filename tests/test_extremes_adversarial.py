@@ -114,10 +114,101 @@ def extreme_meta_dir(tmp_path_factory):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def extreme_facts_dir(tmp_path_factory):
+    """lineitem/orders with domain-edge stripes on coprime residues:
+    measures at ±huge / signed zero / subnormal, dates at the timestamp
+    range edges (year 1 / year 9999). The row keys mirror the NULL-facts
+    sweep (l_orderkey*10+l_linenumber; o_orderkey)."""
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("extreme_facts"))
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE (l_orderkey*10+l_linenumber) % 41
+                 WHEN 0 THEN 1.7e308 WHEN 1 THEN -0.0 WHEN 2 THEN 5e-324
+                 ELSE l_quantity END AS l_quantity,
+            CASE (l_orderkey*10+l_linenumber) % 43
+                 WHEN 0 THEN 1.7e308 WHEN 1 THEN -1.7e308
+                 ELSE l_extendedprice END AS l_extendedprice,
+            CASE (l_orderkey*10+l_linenumber) % 47
+                 WHEN 0 THEN -0.0 WHEN 1 THEN 1e-310
+                 ELSE l_discount END AS l_discount,
+            CASE (l_orderkey*10+l_linenumber) % 53
+                 WHEN 0 THEN TIMESTAMP '9999-12-31 23:59:59'
+                 WHEN 1 THEN TIMESTAMP '0001-01-01 00:00:00'
+                 ELSE l_shipdate END AS l_shipdate)
+            FROM read_parquet('{_SRC}/lineitem.parquet'))
+            TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE o_orderkey % 17 WHEN 0 THEN 1.7e308 WHEN 1 THEN -0.0
+                 ELSE o_totalprice END AS o_totalprice,
+            CASE o_orderkey % 19
+                 WHEN 0 THEN TIMESTAMP '9999-12-31 23:59:59'
+                 WHEN 1 THEN TIMESTAMP '0001-01-01 00:00:00'
+                 ELSE o_orderdate END AS o_orderdate)
+            FROM read_parquet('{_SRC}/orders.parquet'))
+            TO '{tmp}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    _symlink_rest(tmp, ("lineitem", "orders"))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def extreme_embeddings_dir(tmp_path_factory):
+    """embeddings (FLOAT[], 64-dim) with FINITE domain-edge components —
+    the non-finite sweep already covers NaN/±Inf, and the valid-vector
+    rule keeps finite components, so these vectors stay searchable:
+    one ±3e38 component (float32 edge; squares/sums overflow any
+    DECIMAL(38,·) intermediate downstream), an all-subnormal vector
+    (1e-40: norms underflow), and a signed-zero component."""
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("extreme_embeddings"))
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE vec_id % 23
+                 WHEN 0 THEN list_transform(list_zip(embedding,
+                        range(1, len(embedding)+1)),
+                        z -> CASE WHEN z[2]-1 = vec_id % 64
+                                  THEN 3.0e38::FLOAT ELSE z[1] END)
+                 WHEN 1 THEN list_transform(embedding, x -> 1e-40::FLOAT)
+                 WHEN 2 THEN list_transform(list_zip(embedding,
+                        range(1, len(embedding)+1)),
+                        z -> CASE WHEN z[2]-1 = vec_id % 64
+                                  THEN -0.0::FLOAT ELSE z[1] END)
+                 ELSE embedding END AS embedding)
+            FROM read_parquet('{_SRC}/embeddings.parquet'))
+            TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    _symlink_rest(tmp, ("embeddings",))
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _events_members():
     from tests.sweep_membership import sweep_members
 
     return sweep_members(("events",), floor=37)
+
+
+def _facts_members():
+    from tests.sweep_membership import sweep_members
+
+    return sweep_members(("lineitem", "orders"), floor=45)
+
+
+def _embeddings_members():
+    from tests.sweep_membership import sweep_members
+
+    return sweep_members(("embeddings",), extra_src_markers=("_E(spark",), floor=22)
 
 
 def _n_chars_members():
@@ -172,6 +263,62 @@ _QUEUED_R11_NCHARS = {
     # (dataset_q.py:514) — DuckDB tolerates (IEEE), Spark ANSI throws.
     "weighted_sample_no_replacement": "ANSI DIVIDE_BY_ZERO on zero weight sum",
 }
+# First run of the facts sweep: every query whose revenue/price math
+# reaches the dsum/davg DECIMAL pathway dies on ±1.7e308 measures —
+# class (a), same envelope as the events family — plus one class-(c)
+# ANSI divide (a -0.0/subnormal-derived zero denominator that DuckDB
+# tolerates as IEEE).
+_DECIMAL_ENVELOPE = "decimal-envelope overflow (dsum/davg pathway)"
+_QUEUED_R11_FACTS = {
+    **{
+        n: _DECIMAL_ENVELOPE
+        for n in (
+            "customer_revenue_concentration",
+            "dispatch_rollup_by_region",
+            "grouping_sets_order_stats",
+            "order_aging_report",
+            "part_velocity_movers",
+            "region_nation_revenue_share",
+            "report_order_fulfillment",
+            "running_order_totals",
+            "salted_skew_aggregate",
+            "stats_quantity_by_returnflag",
+            "tpch_q10_returned_items",
+            "tpch_q11_important_stock",
+            "tpch_q14_promo_revenue",
+            "tpch_q15_top_supplier",
+            "tpch_q17_small_qty_revenue",
+            "tpch_q18_large_orders",
+            "tpch_q1_pricing_summary",
+            "tpch_q20_part_promotion",
+            "tpch_q2_min_cost_supplier",
+            "tpch_q3_shipping_priority",
+            "tpch_q5_local_supplier_revenue",
+            "tpch_q6_forecast_revenue",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+        )
+    },
+}
+_QUEUED_R11_FACTS["tpch_q2_min_cost_supplier"] = (
+    "ANSI DIVIDE_BY_ZERO on extreme-derived zero denominator"
+)
+# First run of the embeddings sweep: class (d) — the fixed-point
+# deterministic-accumulation twin (CAST(x * 1e9 AS BIGINT), the
+# order-independent integer-sum trick from functions/determinism) has
+# its own envelope: a finite 3e38 float32 component squares/sums past
+# BIGINT on BOTH engines. cosine_pair_histogram is class (b): the
+# oracle's bucket-index BIGINT cast dies while the engine survives.
+_FIXED_POINT = "fixed-point (x*1e9 -> BIGINT) accumulation overflow"
+_QUEUED_R11_EMBEDDINGS = {
+    "ann_ivf_trained_topk": _FIXED_POINT,
+    "embedding_covariance": _FIXED_POINT,
+    "embedding_moments": _FIXED_POINT,
+    "embedding_top_pc_power": _FIXED_POINT,
+    "inception_score_splits": _FIXED_POINT,
+    "kmeans_embedding_clusters": _FIXED_POINT,
+    "cosine_pair_histogram": "bucket-index BIGINT cast overflow (oracle side)",
+}
 
 
 def _marked(names: list[str], queued: dict[str, str]) -> list:
@@ -211,3 +358,13 @@ def test_extreme_events_match_oracle(spark, extreme_events_dir, name):
 @pytest.mark.parametrize("name", _marked(_n_chars_members(), _QUEUED_R11_NCHARS))
 def test_extreme_n_chars_match_oracle(spark, extreme_meta_dir, name):
     _run_one(spark, extreme_meta_dir, name)
+
+
+@pytest.mark.parametrize("name", _marked(_facts_members(), _QUEUED_R11_FACTS))
+def test_extreme_facts_match_oracle(spark, extreme_facts_dir, name):
+    _run_one(spark, extreme_facts_dir, name)
+
+
+@pytest.mark.parametrize("name", _marked(_embeddings_members(), _QUEUED_R11_EMBEDDINGS))
+def test_extreme_embeddings_match_oracle(spark, extreme_embeddings_dir, name):
+    _run_one(spark, extreme_embeddings_dir, name)
