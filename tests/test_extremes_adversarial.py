@@ -24,9 +24,14 @@ INT64_MAX, denormal rates); reference anchor: the R1-R7 telemetry loop
 (any_scraper.py:85-116) and run_stats (test_kimono.py:63-74) take these
 fields from uncontrolled input.
 
+Disposition (see the triage block below): out-of-domain measures that
+make BOTH engines raise are the documented value-domain contract
+working (tests/test_value_domain_contract.py — loud SYMMETRIC
+rejection, asserted here at the true envelope edge); only ASYMMETRIC
+cases (one engine errors, the other returns rows) are divergences.
 ROUND-10 FREEZE NOTE (r9 verdict "Next round" #2): the catalog and
 semantics are frozen while the driver window drains the r9 rewrite
-tail, so divergences this battery finds ship FIXTURE-FIRST — pinned
+tail, so those asymmetric divergences ship FIXTURE-FIRST — pinned
 here as strict xfails with the fix queued in DIVERGENCES.md ("Queued
 fixes", round 11) — unless wrong-answer-on-clean-data.
 """
@@ -231,97 +236,99 @@ def _n_chars_members():
     return sorted(out)
 
 
-# Divergences THIS battery found at first run (r10), pinned strict and
-# queued for the round-11 fix wave (DIVERGENCES.md "Queued fix:
-# domain-extreme measures"): the catalog is frozen while the driver
-# window drains the r9 rewrite tail, and none of these is
-# wrong-answer-on-clean-data (clean driver data stays far inside the
-# envelopes; the full clean-data suite + driver greens stand).
+# First-run triage of this battery, CORRECTED against the engine's
+# existing value-domain contract (tests/test_value_domain_contract.py):
+# the exact fixed-point statistics discipline (DECIMAL dsum/davg and
+# the CAST(x*1e9 AS BIGINT) integer accumulation) has an inherent
+# magnitude domain, and the DOCUMENTED contract for finite-but-
+# unrepresentable magnitudes is LOUD SYMMETRIC REJECTION on both
+# engines — never a silently corrupted or NULLed statistic. So a
+# hostile measure that makes BOTH engines raise is the contract
+# WORKING, and this battery asserts that symmetry at the true envelope
+# edge (±1.7e308 doubles, ±3e38 float32 components) — a far harder
+# probe than the contract test's original 1e12 stripe. Only the
+# ASYMMETRIC cases (one engine errors while the other returns rows)
+# are divergences; those are pinned strict-xfail below and queued in
+# DIVERGENCES.md for round 11.
+
+# Both-engines-raise on the hostile stripes: the value-domain
+# contract's symmetric rejection, asserted by
+# test_*_reject_symmetrically below (NOT divergences).
+_SYMMETRIC_EVENTS = frozenset({
+    "event_value_outliers",       # dsum/round DECIMAL pathway
+    "event_value_stats",
+    "moving_avg_user_value",      # windowed dsum
+    "multi_resolution_rollup_q",
+    "neyman_allocation_sample",   # stddev/allocation
+    "stream_tumbling_counts",     # streaming twin (STREAM_FAILED wraps it)
+    "tumbling_event_stats",
+    "value_trend_by_type",        # slope BIGINT cast, both sides
+})
+_SYMMETRIC_FACTS = frozenset({
+    # every revenue/price aggregate riding the dsum/davg pathway
+    "customer_revenue_concentration",
+    "dispatch_rollup_by_region",
+    "grouping_sets_order_stats",
+    "order_aging_report",
+    "part_velocity_movers",
+    "region_nation_revenue_share",
+    "report_order_fulfillment",
+    "running_order_totals",
+    "salted_skew_aggregate",
+    "stats_quantity_by_returnflag",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_part_promotion",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+})
+_SYMMETRIC_EMBEDDINGS = frozenset({
+    # the fixed-point CAST(x*1e9 AS BIGINT) accumulation envelope:
+    # a finite 3e38 float32 component squares/sums past BIGINT on both
+    "ann_ivf_trained_topk",
+    "embedding_covariance",
+    "embedding_moments",
+    "embedding_top_pc_power",
+    "inception_score_splits",
+    "kmeans_embedding_clusters",
+})
+
+# ASYMMETRIC divergences — one engine errors, the other returns rows —
+# pinned strict and queued for the round-11 fix wave (DIVERGENCES.md
+# "Queued fix: domain-extreme measures"); none is
+# wrong-answer-on-clean-data, and the r10 driver window is saturated
+# by the r9 rewrite tail, so the fixes land in round 11.
 _QUEUED_R11_EVENTS = {
-    # (a) the deterministic-sum DECIMAL pathway (functions/determinism.
-    # dsum/davg and the inline DECIMAL(28,12) twins) has a finite domain
-    # envelope: |value| ~ 1.7e308 overflows BigDecimal on Spark
-    # (NUMERIC_VALUE_OUT_OF_RANGE under ANSI) and DECIMAL(·) casts on
-    # DuckDB ("can't cast inf/1.7e308") — both engines die, differently.
-    "event_value_outliers": "decimal-envelope overflow (dsum/round pathway)",
-    "event_value_stats": "decimal-envelope overflow (dsum/round pathway)",
-    "moving_avg_user_value": "decimal-envelope overflow (windowed dsum)",
-    "multi_resolution_rollup_q": "decimal-envelope overflow (dsum rollup)",
-    "neyman_allocation_sample": "decimal-envelope overflow (stddev/alloc)",
-    "stream_tumbling_counts": "decimal-envelope overflow (streaming dsum twin)",
-    "tumbling_event_stats": "decimal-envelope overflow (windowed dsum)",
-    # (b) bucket-index arithmetic casts a huge/Inf-derived double to
-    # BIGINT: Spark CAST_OVERFLOW vs DuckDB conversion error (and for
-    # the histogram/median, the ORACLE side dies while the engine
-    # survives — the twin is not domain-total).
-    "event_value_histogram": "bucket-index BIGINT cast overflow (oracle side)",
-    "exact_median_two_pass": "bucket-index BIGINT cast overflow (oracle side)",
-    "value_trend_by_type": "slope BIGINT cast overflow (both sides)",
+    # ORACLE-side death while the engine survives: the twin's
+    # bucket-index BIGINT cast is less domain-total than the engine.
+    "event_value_histogram": "oracle bucket-index BIGINT cast dies; engine survives",
+    "exact_median_two_pass": "oracle bucket-index BIGINT cast dies; engine survives",
 }
 _QUEUED_R11_NCHARS = {
-    # (c) ANSI divide-by-zero: a 0 total/weight reaches a bare `/`
-    # (dataset_q.py:514) — DuckDB tolerates (IEEE), Spark ANSI throws.
-    "weighted_sample_no_replacement": "ANSI DIVIDE_BY_ZERO on zero weight sum",
+    # Spark-side death while DuckDB survives: ANSI DIVIDE_BY_ZERO on a
+    # zero weight total (dataset_q.py:514) vs DuckDB's IEEE division.
+    "weighted_sample_no_replacement": "ANSI DIVIDE_BY_ZERO on zero weight sum; DuckDB survives",
 }
-# First run of the facts sweep: every query whose revenue/price math
-# reaches the dsum/davg DECIMAL pathway dies on ±1.7e308 measures —
-# class (a), same envelope as the events family — plus one class-(c)
-# ANSI divide (a -0.0/subnormal-derived zero denominator that DuckDB
-# tolerates as IEEE).
-_DECIMAL_ENVELOPE = "decimal-envelope overflow (dsum/davg pathway)"
 _QUEUED_R11_FACTS = {
-    **{
-        n: _DECIMAL_ENVELOPE
-        for n in (
-            "customer_revenue_concentration",
-            "dispatch_rollup_by_region",
-            "grouping_sets_order_stats",
-            "order_aging_report",
-            "part_velocity_movers",
-            "region_nation_revenue_share",
-            "report_order_fulfillment",
-            "running_order_totals",
-            "salted_skew_aggregate",
-            "stats_quantity_by_returnflag",
-            "tpch_q10_returned_items",
-            "tpch_q11_important_stock",
-            "tpch_q14_promo_revenue",
-            "tpch_q15_top_supplier",
-            "tpch_q17_small_qty_revenue",
-            "tpch_q18_large_orders",
-            "tpch_q1_pricing_summary",
-            "tpch_q20_part_promotion",
-            "tpch_q2_min_cost_supplier",
-            "tpch_q3_shipping_priority",
-            "tpch_q5_local_supplier_revenue",
-            "tpch_q6_forecast_revenue",
-            "tpch_q8_market_share",
-            "tpch_q9_product_profit",
-        )
-    },
+    "tpch_q2_min_cost_supplier": "ANSI DIVIDE_BY_ZERO on extreme-derived zero denominator; DuckDB survives",
 }
-_QUEUED_R11_FACTS["tpch_q2_min_cost_supplier"] = (
-    "ANSI DIVIDE_BY_ZERO on extreme-derived zero denominator"
-)
-# First run of the embeddings sweep: class (d) — the fixed-point
-# deterministic-accumulation twin (CAST(x * 1e9 AS BIGINT), the
-# order-independent integer-sum trick from functions/determinism) has
-# its own envelope: a finite 3e38 float32 component squares/sums past
-# BIGINT on BOTH engines. cosine_pair_histogram is class (b): the
-# oracle's bucket-index BIGINT cast dies while the engine survives.
-_FIXED_POINT = "fixed-point (x*1e9 -> BIGINT) accumulation overflow"
 _QUEUED_R11_EMBEDDINGS = {
-    "ann_ivf_trained_topk": _FIXED_POINT,
-    "embedding_covariance": _FIXED_POINT,
-    "embedding_moments": _FIXED_POINT,
-    "embedding_top_pc_power": _FIXED_POINT,
-    "inception_score_splits": _FIXED_POINT,
-    "kmeans_embedding_clusters": _FIXED_POINT,
-    "cosine_pair_histogram": "bucket-index BIGINT cast overflow (oracle side)",
+    "cosine_pair_histogram": "oracle bucket-index BIGINT cast dies; engine survives",
 }
 
 
-def _marked(names: list[str], queued: dict[str, str]) -> list:
+def _marked(names: list[str], queued: dict[str, str], symmetric: frozenset = frozenset()) -> list:
+    """Parametrize the compare sweep: queued asymmetric divergences get a
+    strict xfail; symmetric-rejection names are excluded here because
+    test_*_reject_symmetrically asserts their (stronger) contract."""
     return [
         pytest.param(
             n,
@@ -332,7 +339,38 @@ def _marked(names: list[str], queued: dict[str, str]) -> list:
         if n in queued
         else n
         for n in names
+        if n not in symmetric
     ]
+
+
+_SPARK_REJECT_TAGS = ("NUMERIC_VALUE_OUT_OF_RANGE", "CAST_OVERFLOW", "ARITHMETIC")
+
+
+def _assert_symmetric_rejection(spark, sf_dir: str, name: str) -> None:
+    """The value-domain contract at the envelope edge: BOTH engines must
+    raise on the out-of-domain measure — never the asymmetric middle
+    state where one errors and the other returns numbers
+    (tests/test_value_domain_contract.py, extended here from its 1e12
+    probe to ±1.7e308 / ±3e38 inputs)."""
+    import duckdb
+
+    from tools.check_oracle import duck_connect
+
+    from syntheticdata_pipeline__spark.plans import load_all
+
+    spec = load_all()[name]
+    with pytest.raises(Exception) as spark_err:
+        spec.build(spark, sf_dir).collect()
+    msg = str(spark_err.value)
+    assert any(tag in msg for tag in _SPARK_REJECT_TAGS), (
+        f"Spark rejected for an unexpected reason: {msg[:300]}"
+    )
+    con = duck_connect(sf_dir)
+    try:
+        with pytest.raises(duckdb.Error):
+            con.execute(spec.oracle).fetchall()
+    finally:
+        con.close()
 
 
 def _run_one(spark, sf_dir: str, name: str) -> None:
@@ -350,9 +388,16 @@ def _run_one(spark, sf_dir: str, name: str) -> None:
         con.close()
 
 
-@pytest.mark.parametrize("name", _marked(_events_members(), _QUEUED_R11_EVENTS))
+@pytest.mark.parametrize(
+    "name", _marked(_events_members(), _QUEUED_R11_EVENTS, _SYMMETRIC_EVENTS)
+)
 def test_extreme_events_match_oracle(spark, extreme_events_dir, name):
     _run_one(spark, extreme_events_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(_SYMMETRIC_EVENTS))
+def test_extreme_events_reject_symmetrically(spark, extreme_events_dir, name):
+    _assert_symmetric_rejection(spark, extreme_events_dir, name)
 
 
 @pytest.mark.parametrize("name", _marked(_n_chars_members(), _QUEUED_R11_NCHARS))
@@ -360,11 +405,26 @@ def test_extreme_n_chars_match_oracle(spark, extreme_meta_dir, name):
     _run_one(spark, extreme_meta_dir, name)
 
 
-@pytest.mark.parametrize("name", _marked(_facts_members(), _QUEUED_R11_FACTS))
+@pytest.mark.parametrize(
+    "name", _marked(_facts_members(), _QUEUED_R11_FACTS, _SYMMETRIC_FACTS)
+)
 def test_extreme_facts_match_oracle(spark, extreme_facts_dir, name):
     _run_one(spark, extreme_facts_dir, name)
 
 
-@pytest.mark.parametrize("name", _marked(_embeddings_members(), _QUEUED_R11_EMBEDDINGS))
+@pytest.mark.parametrize("name", sorted(_SYMMETRIC_FACTS))
+def test_extreme_facts_reject_symmetrically(spark, extreme_facts_dir, name):
+    _assert_symmetric_rejection(spark, extreme_facts_dir, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    _marked(_embeddings_members(), _QUEUED_R11_EMBEDDINGS, _SYMMETRIC_EMBEDDINGS),
+)
 def test_extreme_embeddings_match_oracle(spark, extreme_embeddings_dir, name):
     _run_one(spark, extreme_embeddings_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(_SYMMETRIC_EMBEDDINGS))
+def test_extreme_embeddings_reject_symmetrically(spark, extreme_embeddings_dir, name):
+    _assert_symmetric_rejection(spark, extreme_embeddings_dir, name)
