@@ -159,6 +159,48 @@ def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     return stress
 
 
+def _confirm_regressions(
+    spark,
+    registry,
+    candidates: list[str],
+    baseline: dict[str, float],
+    timings: dict[str, float],
+    vs_baseline: dict[str, float],
+    recheck: dict[str, dict],
+    sf_dir: str | None = None,
+) -> list[str]:
+    """Fresh-session confirmation of would-be 2x gate breaches: only a
+    breach that REPRODUCES in the given (fresh) session counts. The
+    fresh best-of-2 replaces the in-context timing/ratio and both values
+    are recorded in ``recheck`` for provenance; returns the confirmed
+    subset. Tested in tests/test_bench_reclaim.py."""
+    sf_dir = sf_dir or SF_DIR
+    confirmed = []
+    for name in candidates:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].build(spark, sf_dir).count()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        ratio = round(best / baseline[name], 2)
+        recheck[name] = {
+            "in_context_sec": timings[name],
+            "fresh_sec": round(best, 3),
+            "vs_baseline": ratio,
+        }
+        timings[name] = round(best, 3)
+        vs_baseline[name] = ratio
+        if ratio > 2.0:
+            confirmed.append(name)
+        print(
+            f"# recheck {name}: fresh {best:.3f}s vs anchor ratio {ratio}"
+            f" ({'CONFIRMED regression' if ratio > 2.0 else 'in-context noise'})",
+            file=sys.stderr,
+        )
+    return confirmed
+
+
 def main() -> None:
     from syntheticdata_pipeline__spark.plans import load_all
     from syntheticdata_pipeline__spark.session import get_spark
@@ -217,30 +259,9 @@ def main() -> None:
         spark.stop()
         spark = get_spark("bench-recheck")
         spark.sparkContext.setLogLevel("ERROR")
-        confirmed = []
-        for name in regressions:
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                registry[name].build(spark, SF_DIR).count()
-                sec = time.time() - t0
-                best = sec if best is None else min(best, sec)
-            ratio = round(best / baseline[name], 2)
-            recheck[name] = {
-                "in_context_sec": timings[name],
-                "fresh_sec": round(best, 3),
-                "vs_baseline": ratio,
-            }
-            timings[name] = round(best, 3)
-            vs_baseline[name] = ratio
-            if ratio > 2.0:
-                confirmed.append(name)
-            print(
-                f"# recheck {name}: fresh {best:.3f}s vs anchor ratio {ratio}"
-                f" ({'CONFIRMED regression' if ratio > 2.0 else 'in-context noise'})",
-                file=sys.stderr,
-            )
-        regressions = confirmed
+        regressions = _confirm_regressions(
+            spark, registry, regressions, baseline, timings, vs_baseline, recheck
+        )
 
     stress: dict = {}
     if not os.environ.get("SPARK_GRAFT_NO_STRESS"):
