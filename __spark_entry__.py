@@ -43,56 +43,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver round has re-checked them post-rewrite. Add entries here ONLY
 # for queries rewritten this round.
 #
-# Round 10: the round-9 rewrite wave put 77 queries in this list; the
-# 50-slot r9 driver window re-checked 50 of them (all green,
-# CORRECTNESS_r09.json) and those cycled out per the exit criterion.
-# The 27 below are the stale-on-rewrite tail (r9 verdict "What's wrong"
-# #1 / "Next round" #1): rewritten in round 9 (valid-vector rule,
-# NULL-embedding filters, shared dsum/davg/format_duration oracle
-# twins) AFTER the window filled, so their latest driver greens (r7/r8)
-# describe pre-rewrite code. All 27 were independently re-verified at
-# sf0.01 by the r9 judge (27/27 PASS) and are green in SELFCHECK.json,
-# but driver evidence is the contract — they stay tier-0 until
-# CORRECTNESS_r10 lands. The remaining 23 window slots then drain the
-# r5 cohort (tier-3 stalest, 4 rounds old). 27 + 23 = exactly 50, so
-# per the r9 verdict "Next round" #2 the catalog and semantics are
-# FROZEN this round: new adversarial findings ship fixture-first with
-# the fix queued for round 11 (see DIVERGENCES.md "Queued fixes")
-# unless wrong-answer-on-clean-data.
-#
-# Round-10 exception (r9 ADVICE, medium): the valid-vector rule's
-# NULL-component asymmetry fix (plans/vectors_q._E + _FINITE_VEC_CTE)
-# touches ONLY queries already in this list — the whole embeddings
-# family is awaiting its post-rewrite check anyway, so the fix folds
-# into the same pending re-verification at zero window cost.
+# Round 11: the r10 window drained the entire r9 rewrite tail
+# (CORRECTNESS_r10.json: all 27 tier-0 entries green) and the r5
+# cohort, so the freeze lifted and the three queued fix waves landed
+# (DIVERGENCES.md "Queued fixes", r10 → r11). The six entries below are
+# the queries those waves rewrote:
+#   - exact_median_two_pass: NULLs leave the selection machinery
+#     (n/k/buckets count measurements only) + clamped bucket indexes;
+#   - event_value_histogram / cosine_pair_histogram: bucket/bin indexes
+#     clamp into the BIGINT envelope on both engines (clamped_floor);
+#   - weighted_sample_no_replacement / tpch_q2_min_cost_supplier:
+#     ANSI-divide → try_divide/NULLIF, zero-denominator rows fall out
+#     identically;
+#   - parse_props_json: tolerant-parse contract keyed on
+#     object-parseability (not the test stripe's marker prefix), strict
+#     int32 LAST_WIN extraction, regex-twinned oracle.
+# The remaining ~44 window slots drain the r6 cohort (34 queries, 5
+# rounds stale) and the oldest of the r7 cohort via tier-3 ordering.
 _CHANGED_THIS_ROUND = (
-    "cosine_neardup_lsh",
-    "cosine_neardup_lsh_probed",
-    "semantic_dedup_stats",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "ann_recall_at_k",
-    "ann_dim_truncation_recall",
-    "embedding_int8_quantize",
+    "exact_median_two_pass",
+    "event_value_histogram",
     "cosine_pair_histogram",
-    "slugify_titles",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q20_part_promotion",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "array_error_metrics",
-    "embedding_cosine_neardup",
-    "embedding_covariance",
-    "embedding_moments",
-    "embedding_norms",
-    "embedding_top_pc_power",
-    "inception_score_splits",
-    "kmeans_embedding_clusters",
-    "semantic_decontaminate",
-    "similarity_pagerank",
+    "weighted_sample_no_replacement",
+    "tpch_q2_min_cost_supplier",
+    "parse_props_json",
 )
 
 

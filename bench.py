@@ -1,8 +1,9 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ..., "vs_baseline": {...},
-"regressions_gt_2x": [...], "scale_stress": {...}}.
+JSON line: {"queries": {name: sec, ...}, "vs_baseline": {...},
+"scale_stress": {...}, "recheck": {...}, ..., "regressions_gt_2x": [...],
+"sf": ..., "metric": ..., "unit": "sec", "value": total_sec} — summary
+keys LAST so a tail-truncated capture of the line keeps the headline.
 
 The 2x gate is falsifiable: per-query targets live in
 bench_baseline.json (round-1 measured numbers); "vs_baseline" reports
@@ -177,24 +178,38 @@ def _confirm_regressions(
     sf_dir = sf_dir or SF_DIR
     confirmed = []
     for name in candidates:
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            registry[name].build(spark, sf_dir).count()
-            sec = time.time() - t0
-            best = sec if best is None else min(best, sec)
-        ratio = round(best / baseline[name], 2)
+        # A recheck crash (transient Spark failure, OOM) must not sink the
+        # bench line (r10 ADVICE): keep the in-context breach as confirmed
+        # — the conservative reading — and record the error for triage.
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                registry[name].build(spark, sf_dir).count()
+                sec = time.time() - t0
+                best = sec if best is None else min(best, sec)
+        except Exception as e:
+            recheck[name] = {
+                "in_context_sec": timings[name],
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+            confirmed.append(name)
+            print(f"# recheck {name}: ERROR ({type(e).__name__}) — breach kept", file=sys.stderr)
+            continue
+        # gate on the UNROUNDED ratio (r10 ADVICE: 2.0049 must not pass a
+        # 2.0 gate); round only the recorded artifact values
+        ratio = best / baseline[name]
         recheck[name] = {
             "in_context_sec": timings[name],
             "fresh_sec": round(best, 3),
-            "vs_baseline": ratio,
+            "vs_baseline": round(ratio, 2),
         }
         timings[name] = round(best, 3)
-        vs_baseline[name] = ratio
+        vs_baseline[name] = round(ratio, 2)
         if ratio > 2.0:
             confirmed.append(name)
         print(
-            f"# recheck {name}: fresh {best:.3f}s vs anchor ratio {ratio}"
+            f"# recheck {name}: fresh {best:.3f}s vs anchor ratio {ratio:.3f}"
             f" ({'CONFIRMED regression' if ratio > 2.0 else 'in-context noise'})",
             file=sys.stderr,
         )
@@ -230,18 +245,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     baseline = _load_baseline()
-    vs_baseline = {
-        name: round(timings[name] / baseline[name], 2)
+    # gate on UNROUNDED ratios (r10 ADVICE: a true 2.0049 must not slip a
+    # 2.0 gate via display rounding); vs_baseline keeps 2-decimal artifact
+    # values for the committed JSON.
+    ratios = {
+        name: timings[name] / baseline[name]
         for name in timings
         if name in baseline and baseline[name] > 0
     }
+    vs_baseline = {name: round(r, 2) for name, r in ratios.items()}
     # The anchors are sf0.1/local[32] measurements; at other SFs fixed
     # per-job overhead dominates sub-second queries and the ratio is
     # meaningless, so the 2x gate only binds when run-sf == anchor-sf.
     sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     gate_active = sf_str == str(_load_baseline_sf())
     regressions = (
-        sorted(n for n, r in vs_baseline.items() if r > 2.0) if gate_active else []
+        sorted(n for n, r in ratios.items() if r > 2.0) if gate_active else []
     )
 
     # Fresh-session confirmation of gate breaches: the ~190-query main
@@ -334,19 +353,46 @@ def main() -> None:
         except Exception as e:  # stress must never sink the bench line
             stress = {"error": f"{type(e).__name__}: {e}"}
 
+    # A query the fresh-session recheck forgives in CONSECUTIVE committed
+    # runs is a repeat offender (r10 ADVICE): a plan regression that only
+    # manifests under accumulated session state would be silently forgiven
+    # forever, so surface the overlap with the previously committed run.
+    prior_forgiven: set[str] = set()
+    try:
+        with open(os.path.join(REPO, "BENCH_local.json")) as f:
+            prior_forgiven = set(json.load(f).get("recheck", {}))
+    except Exception:
+        pass
+    repeat_offenders = sorted(prior_forgiven & set(recheck))
+
+    # Key order matters for the DRIVER's evidence, not for JSON parsing:
+    # the per-round artifact stores only a tail fragment of this (long)
+    # line, so the big per-query dicts go FIRST and the headline summary
+    # (metric/value/regressions) goes LAST, where the tail keeps it
+    # (BENCH_r10's tail lost the headline to the grown stress section).
     sf = sf_str
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "vs_baseline": vs_baseline,
-                "regressions_gt_2x": regressions,
-                "recheck": recheck,
                 "scale_stress": stress,
+                "recheck": recheck,
+                "recheck_repeat_offenders": repeat_offenders,
+                "n_queries": len(timings),
+                "median_vs_baseline": (
+                    round(sorted(vs_baseline.values())[len(vs_baseline) // 2], 2)
+                    if vs_baseline
+                    else None
+                ),
+                "worst_vs_baseline": (
+                    round(max(vs_baseline.values()), 2) if vs_baseline else None
+                ),
+                "regressions_gt_2x": regressions,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "metric": "headline_queries_total_runtime",
+                "unit": "sec",
+                "value": round(sum(timings.values()), 3),
             }
         )
     )

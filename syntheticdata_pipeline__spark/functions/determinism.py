@@ -89,6 +89,36 @@ def finite_or_null_sql(col_sql: str) -> str:
     return f"(CASE WHEN isfinite({col_sql}) THEN {col_sql} END)"
 
 
+# 2^62: exactly representable as a double AND inside BIGINT range, so the
+# same clamp constant survives double arithmetic and the BIGINT cast
+# identically on both engines (Long.MAX itself rounds UP to 2^63 as a
+# double, which DuckDB's cast then rejects).
+BUCKET_CLAMP = 4611686018427387904.0
+
+
+def clamped_floor(pos: Column, lo: float, hi: float) -> Column:
+    """Saturating bucket index: floor(clamp(pos, lo, hi)) as BIGINT.
+
+    Domain-total by construction (r10 extremes battery → r11 fix): a
+    bucket position derived from domain-edge doubles can be huge-finite,
+    ±Inf, or NaN (range width overflowing to Inf makes (v-mn)/(mx-mn)
+    = Inf/Inf). Both engines order NaN above every double and skip NULL
+    in least/greatest, so clamp-then-floor lands NaN/+Inf on ``hi``,
+    -Inf on ``lo``, and every finite position on the same integer —
+    where the bare ``CAST(floor(pos) AS BIGINT)`` saturates silently in
+    Spark and raises in DuckDB. NULL positions must be guarded by the
+    CALLER (least/greatest would swallow the NULL into the clamp edge).
+    """
+    return F.floor(F.least(F.lit(hi), F.greatest(F.lit(lo), pos))).cast("bigint")
+
+
+def clamped_floor_sql(pos_sql: str, lo: float, hi: float) -> str:
+    """DuckDB twin of :func:`clamped_floor` (same NULL caveat)."""
+    return (
+        f"CAST(floor(least(greatest({pos_sql}, {lo!r}), {hi!r})) AS BIGINT)"
+    )
+
+
 def dsum(col: Column, scale: int = 2, precision: int = 38) -> Column:
     """Order-independent SUM of a double column with ``scale`` true decimals.
 

@@ -254,9 +254,12 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HIST_ORACLE = """
+from ..functions.determinism import BUCKET_CLAMP, clamped_floor, clamped_floor_sql  # noqa: E402
+
+_HIST_ORACLE = f"""
 SELECT event_type,
-  CAST(floor((CASE WHEN isfinite(value) THEN value END) / 10.0) AS BIGINT) AS bucket,
+  CASE WHEN isfinite(value)
+       THEN {clamped_floor_sql('value / 10.0', -BUCKET_CLAMP, BUCKET_CLAMP)} END AS bucket,
   COUNT(*) AS n
 FROM events GROUP BY event_type, bucket
 """
@@ -267,17 +270,21 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (floor-bucketing is one
     codegen expression; no two-pass min/max needed). A non-finite value
     is not a point on the distribution: it lands in the NULL bucket with
-    the NULL values (finite_or_null contract, r9) — without the guard
-    Spark's non-ANSI BIGINT cast would silently file NaN under bucket 0
-    while DuckDB raises."""
+    the NULL values (finite_or_null contract, r9). The bucket index
+    saturates at ±2^62 (clamped_floor, r10 extremes battery → r11 fix):
+    a finite ±1.7e308 value has a real bucket but no BIGINT for it, and
+    the unclamped floor saturated silently in Spark while DuckDB's cast
+    raised — the asymmetric middle state the contract forbids."""
     from ..functions.determinism import finite_or_null
 
     ev = T(spark, sf_dir, "events")
+    fin = finite_or_null(F.col("value"))
     return ev.groupBy(
         "event_type",
-        F.floor(finite_or_null(F.col("value")) / F.lit(10.0))
-        .cast("bigint")
-        .alias("bucket"),
+        F.when(
+            fin.isNotNull(),
+            clamped_floor(fin / F.lit(10.0), -BUCKET_CLAMP, BUCKET_CLAMP),
+        ).alias("bucket"),
     ).agg(F.count("*").alias("n"))
 
 
@@ -489,12 +496,12 @@ _WSAMPLE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
          pow({unit_rand_sql('doc_id', 'wsample')},
-             1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+             1.0 / NULLIF(CAST(n_chars AS DOUBLE), 0.0)) AS es_key
   FROM documents),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY lang
                                ORDER BY es_key DESC, doc_id) AS rk
-  FROM keyed)
+  FROM keyed WHERE es_key IS NOT NULL)
 SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM ranked WHERE rk <= {_WS_K}
 """
@@ -505,15 +512,24 @@ def weighted_sample_no_replacement(spark: SparkSession, sf_dir: str) -> DataFram
     """Efraimidis–Spirakis A-Res: P(doc in sample) ∝ n_chars, no
     replacement, via key = u^(1/w) and per-lang top-k. pow/division are
     single IEEE ops on identical inputs → the same sample on every engine
-    and partitioning."""
+    and partitioning.
+
+    A zero or NULL weight has no A-Res key (u^(1/0) is undefined — the
+    doc carries no sampling mass) and falls out of the sample on BOTH
+    engines: try_divide/NULLIF makes the exponent NULL and the explicit
+    es_key filter drops the row, where ANSI Spark previously died on
+    DIVIDE_BY_ZERO while DuckDB IEEE-tolerated (r10 extremes battery →
+    r11 fix)."""
     from ..functions.determinism import unit_rand
 
     d = T(spark, sf_dir, "documents")
     es_key = F.pow(
         unit_rand(F.col("doc_id"), "wsample"),
-        F.lit(1.0) / F.col("n_chars").cast("double"),
+        F.try_divide(F.lit(1.0), F.col("n_chars").cast("double")),
     )
-    keyed = d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+    keyed = d.select("doc_id", "lang", "n_chars", es_key.alias("es_key")).filter(
+        F.col("es_key").isNotNull()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.col("doc_id"))

@@ -751,13 +751,26 @@ _MED_B = 512
 
 
 def _median_oracle() -> str:
+    from ..functions.determinism import clamped_floor_sql
+
     b = _MED_B
-    # The events CTE shadows the raw table: non-finite values enter the
-    # selection machinery as NULL (finite_or_null contract, r9) — same
-    # path the NULL-value stripes already pin.
+    # The ev_fin CTE shadows the raw table: non-finite values become NULL
+    # (finite_or_null contract, r9) and then LEAVE the selection machinery
+    # entirely (r11 fix: n, k, and every bucket count measurements only —
+    # previously NULLs inflated n/k and landed in the top bucket, where the
+    # engines' opposite NULL orderings picked different terminal rows).
+    # Bucket indexes clamp into [0, b-1] BEFORE the BIGINT cast: a range
+    # whose width overflows to Inf makes the position NaN/Inf, which both
+    # engines clamp to the top/bottom bucket instead of DuckDB raising on
+    # the cast while Spark saturates (r10 extremes battery → r11 fix).
+    def bkt_sql(pos: str) -> str:
+        return clamped_floor_sql(pos, 0.0, float(b - 1))
+
     return f"""
 WITH ev_fin AS (
-  SELECT event_type, {_FIN_VALUE} AS value FROM events),
+  SELECT event_type, value FROM (
+    SELECT event_type, {_FIN_VALUE} AS value FROM events)
+  WHERE value IS NOT NULL),
 stats AS (
   SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
   FROM ev_fin GROUP BY 1),
@@ -765,7 +778,7 @@ k AS (SELECT event_type, n, mn, mx, (n + 1) // 2 AS k FROM stats),
 b1 AS (
   SELECT e.event_type, k.k, k.mn, k.mx,
     CASE WHEN k.mx = k.mn THEN 0
-         ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
+         ELSE {bkt_sql(f'(e.value - k.mn) / (k.mx - k.mn) * {b}')}
     END AS bkt
   FROM ev_fin e JOIN k ON e.event_type = k.event_type),
 h1 AS (SELECT event_type, bkt, COUNT(*) AS cnt FROM b1 GROUP BY 1, 2),
@@ -785,12 +798,11 @@ o1 AS (
 b2 AS (
   SELECT x.event_type, x.bkt, o.before1, k.k, x.value,
     CASE WHEN k.mx = k.mn THEN 0
-         ELSE least({b - 1}, CAST(floor(
-           ((x.value - k.mn) / (k.mx - k.mn) * {b} - x.bkt) * {b}) AS BIGINT))
+         ELSE {bkt_sql(f'((x.value - k.mn) / (k.mx - k.mn) * {b} - x.bkt) * {b}')}
     END AS sb
   FROM (SELECT e.event_type, e.value,
           CASE WHEN k.mx = k.mn THEN 0
-               ELSE least({b - 1}, CAST(floor((e.value - k.mn) / (k.mx - k.mn) * {b}) AS BIGINT))
+               ELSE {bkt_sql(f'(e.value - k.mn) / (k.mx - k.mn) * {b}')}
           END AS bkt
         FROM ev_fin e JOIN k ON e.event_type = k.event_type) x
   JOIN t1 o2 ON x.event_type = o2.event_type AND x.bkt = o2.tb
@@ -839,9 +851,23 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: bucket arithmetic and the selected value are pure IEEE
     doubles computed identically in both engines; counts are exact; the
-    only windows run over ≤512 histogram rows per group."""
-    ev = T(spark, sf_dir, "events").select(
-        "event_type", finite_or_null(F.col("value")).alias("value")
+    only windows run over ≤512 histogram rows per group.
+
+    NULL and non-finite values leave the selection machinery entirely
+    (r11 fix): n, k, and every bucket count measurements only — before
+    the filter, NULLed non-finite rows inflated n/k, fell into the top
+    bucket via the NULL-skipping least(), and the terminal
+    row_number() ORDER BY value diverged on the engines' opposite NULL
+    orderings (tests/test_median_null_gap.py). Bucket positions clamp
+    into [0, b-1] before the BIGINT conversion (clamped_floor): a range
+    width overflowing to Inf makes the position NaN, which both engines
+    land on the top bucket instead of forking on the cast."""
+    from ..functions.determinism import clamped_floor
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_type", finite_or_null(F.col("value")).alias("value"))
+        .filter(F.col("value").isNotNull())
     )
     # The per-group stats/threshold tables are tiny (|groups| and ≤512
     # histogram rows) but their lineage re-embeds the fact scan; without
@@ -864,10 +890,7 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket(val, mn, mx):
         return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
-            F.least(
-                F.lit(b - 1).cast("bigint"),
-                F.floor((val - mn) / (mx - mn) * b).cast("bigint"),
-            )
+            clamped_floor((val - mn) / (mx - mn) * b, 0.0, float(b - 1))
         )
 
     b1 = ev.join(F.broadcast(k), "event_type").withColumn(
@@ -904,17 +927,16 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sb",
             F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
-                F.least(
-                    F.lit(b - 1).cast("bigint"),
-                    F.floor(
-                        (
-                            (F.col("value") - F.col("mn"))
-                            / (F.col("mx") - F.col("mn"))
-                            * b
-                            - F.col("bkt")
-                        )
+                clamped_floor(
+                    (
+                        (F.col("value") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
                         * b
-                    ).cast("bigint"),
+                        - F.col("bkt")
+                    )
+                    * b,
+                    0.0,
+                    float(b - 1),
                 )
             ),
         )

@@ -242,22 +242,55 @@ def slugify_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (qwen_vl_processor.py:177-187 free-text JSON rescue).
 # --------------------------------------------------------------------------
 
-_JSON_ORACLE = """
+# Tolerant-parse contract (r10 hostile-props battery → r11 fix,
+# DIVERGENCES.md "Queued fix: hostile JSON props"):
+#   valid   := the payload parses as a JSON OBJECT (the shape the model
+#              was asked for) — anything else, from truncated text to a
+#              bare array/null root, is preserved verbatim in
+#              raw_response (the reference's free-text rescue,
+#              qwen_vl_processor.py:177-187, keys on parseability — not
+#              on any marker prefix);
+#   k       := the value under key "k" iff it is a JSON NUMBER written
+#              as an integer literal that fits INT32 — quoted "12" stays
+#              NULL (strict typing), duplicate keys resolve LAST_WIN
+#              (the J5 merge contract; Spark's Jackson parse and the
+#              session's mapKeyDedupPolicy both take the last), 1e999 /
+#              INT64_MAX+1 overflow to NULL on both engines (try_cast).
+# The DuckDB twin mirrors each clause: json_valid + json_type='OBJECT'
+# for validity, and a greedy last-occurrence integer-literal extract +
+# TRY_CAST for k (json_extract alone is first-win and its INTEGER cast
+# raises on Infinity/overflow — the r10 asymmetries). The regex twin's
+# domain is flat objects with integer-literal values, which is both the
+# clean-data shape and every hostile stripe.
+_JSON_ORACLE = r"""
 WITH raw AS (
   SELECT event_id,
          CASE WHEN event_id % 17 = 0 THEN 'garbage ' || props ELSE props END AS payload
-  FROM events)
+  FROM events),
+v AS (
+  SELECT event_id, payload,
+    CASE WHEN json_valid(payload)
+         THEN (json_type(payload) = 'OBJECT') ELSE FALSE END AS is_obj
+  FROM raw)
 SELECT event_id,
-  CASE WHEN json_valid(payload) THEN CAST(json_extract(payload, '$.k') AS INTEGER) END AS k,
-  CASE WHEN json_valid(payload) THEN NULL ELSE payload END AS raw_response
-FROM raw
+  CASE WHEN is_obj THEN TRY_CAST(
+    regexp_extract(payload, '^.*"k"\s*:\s*(-?\d+)\s*[,}]', 1) AS INTEGER) END AS k,
+  CASE WHEN is_obj THEN NULL ELSE payload END AS raw_response
+FROM v
 """
 
 
 @register("parse_props_json", oracle=_JSON_ORACLE, tags=("T10", "T11", "S1", "F8"))
 def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERMISSIVE JSON parsing: valid payloads yield k, corrupt ones fall
-    back to a raw_response column (the reference's escape hatch)."""
+    """PERMISSIVE JSON parsing: object payloads yield k, everything else
+    falls back to a raw_response column (the reference's escape hatch).
+
+    Parseability is probed with a schema-free map parse — from_json
+    returns NULL for any payload that is not a JSON object, exactly the
+    validity rule — while k comes from the schema-typed struct parse,
+    which is strict (quoted numbers / overflow → NULL) and LAST_WIN on
+    duplicate keys. The corrupt-record fallback therefore keys on what
+    the payload IS, not on any test stripe's marker prefix."""
     ev = T(spark, sf_dir, "events")
     raw = ev.select(
         "event_id",
@@ -265,17 +298,18 @@ def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("props"))
         .alias("payload"),
     )
-    parsed = raw.withColumn(
-        "k_struct", F.from_json(F.col("payload"), "k int", {"mode": "PERMISSIVE"})
+    parsed = raw.select(
+        "event_id",
+        "payload",
+        F.from_json(F.col("payload"), "map<string,string>", {"mode": "PERMISSIVE"})
+        .isNotNull()
+        .alias("is_obj"),
+        F.from_json(F.col("payload"), "k int", {"mode": "PERMISSIVE"}).alias("k_struct"),
     )
     return parsed.select(
         "event_id",
-        F.when(F.col("payload").startswith("garbage"), F.lit(None).cast("int"))
-        .otherwise(F.col("k_struct.k"))
-        .alias("k"),
-        F.when(F.col("payload").startswith("garbage"), F.col("payload"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("raw_response"),
+        F.when(F.col("is_obj"), F.col("k_struct.k")).alias("k"),
+        F.when(~F.col("is_obj"), F.col("payload")).alias("raw_response"),
     )
 
 

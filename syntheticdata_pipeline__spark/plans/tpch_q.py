@@ -742,7 +742,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q2_ORACLE = """
 WITH ps AS (
   SELECT l_partkey AS pk, l_suppkey AS sk,
-         MIN(l_extendedprice / l_quantity) AS supplycost
+         MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS supplycost
   FROM lineitem GROUP BY 1, 2),
 eu AS (
   SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
@@ -778,9 +778,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is scanned and shuffled exactly once. Final top-20 is
     orderBy+limit (TakeOrdered), no global window."""
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    # try_divide/NULLIF (r10 extremes battery → r11 fix): a zero-quantity
+    # line has no unit cost — NULL falls out of the MIN on both engines,
+    # where ANSI Spark previously died on DIVIDE_BY_ZERO while DuckDB
+    # IEEE-tolerated ±Inf into the aggregate.
     ps = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    ).agg(
+        F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
+            "supplycost"
+        )
+    )
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")

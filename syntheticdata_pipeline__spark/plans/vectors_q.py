@@ -1318,7 +1318,15 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CPH_BUCKETS = 50
 _CPH_BIN = 20  # bins of width 1/20 over [-1, 1]
 
-_CPH_ORACLE = f"""
+def _cph_oracle() -> str:
+    from ..functions.determinism import BUCKET_CLAMP, clamped_floor_sql
+
+    # The bin index saturates at ±2^62 (clamped_floor, r10 extremes
+    # battery → r11 fix): a finite ±3e38 float32 component makes the dot
+    # product ~1e77 — a real bin position with no BIGINT — where the bare
+    # cast raised in DuckDB while Spark's floor saturated silently.
+    bin_sql = clamped_floor_sql(f"score * {_CPH_BIN}", -BUCKET_CLAMP, BUCKET_CLAMP)
+    return f"""
 WITH b AS (
   SELECT vec_id, embedding,
          {hash_bucket_sql('vec_id', _CPH_BUCKETS, 'cph')} AS bkt
@@ -1326,12 +1334,15 @@ WITH b AS (
 pairs AS (
   SELECT {dot_sql('a.embedding', 'b2.embedding')} AS score
   FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
-SELECT CAST(floor(score * {_CPH_BIN}) AS BIGINT) AS bin,
-  CAST(floor(score * {_CPH_BIN}) AS DOUBLE) / {_CPH_BIN} AS bin_lo,
+SELECT {bin_sql} AS bin,
+  CAST({bin_sql} AS DOUBLE) / {_CPH_BIN} AS bin_lo,
   COUNT(*) AS n_pairs
 FROM pairs
 GROUP BY 1, 2
 """
+
+
+_CPH_ORACLE = _cph_oracle()
 
 
 @register("cosine_pair_histogram", oracle=_nonnull_vec_oracle(_CPH_ORACLE), tags=("similarity", "tuning"))
@@ -1346,8 +1357,10 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket pair count) constant; the sampled-pair total is then
     linear in the corpus, and the md5 assignment makes the sample
     reproducible across engines and runs. Unit-norm corpus ⇒ cosine is a
-    single fold dot product inside codegen."""
-    from ..functions.determinism import hash_bucket
+    single fold dot product inside codegen. Bin indexes saturate at
+    ±2^62 (clamped_floor, r11): domain-edge components push the dot
+    product past any BIGINT bin, which must not fork the engines."""
+    from ..functions.determinism import BUCKET_CLAMP, clamped_floor, hash_bucket
     from ..functions.vectors import dot
 
     e = _E(spark, sf_dir).filter(
@@ -1361,7 +1374,9 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bkt")
     pairs = a.join(b, ["bkt"]).filter(F.col("id_a") < F.col("id_b"))
     score = dot(F.col("va"), F.col("vb"))
-    binned = pairs.select(F.floor(score * _CPH_BIN).cast("bigint").alias("bin"))
+    binned = pairs.select(
+        clamped_floor(score * _CPH_BIN, -BUCKET_CLAMP, BUCKET_CLAMP).alias("bin")
+    )
     return binned.groupBy("bin").agg(F.count("*").alias("n_pairs")).select(
         "bin",
         (F.col("bin").cast("double") / F.lit(_CPH_BIN)).alias("bin_lo"),

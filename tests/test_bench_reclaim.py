@@ -100,3 +100,72 @@ def test_fresh_session_recheck_confirms_only_reproduced_breaches(monkeypatch):
     # the fresh values replace the in-context readings in the artifact
     assert timings == {"slow_q": 2.5, "noisy_q": 0.5}
     assert vs_baseline == {"slow_q": 2.5, "noisy_q": 0.5}
+
+
+class _CrashSpec:
+    def build(self, spark, sf_dir):
+        raise RuntimeError("executor lost")
+
+
+def test_recheck_error_keeps_breach_and_records_it(monkeypatch):
+    """r10 ADVICE: a recheck crash must not sink the bench line — the
+    in-context breach stays confirmed (conservative) and the error is
+    recorded under recheck[name] for triage."""
+    import bench
+
+    registry = {"crash_q": _CrashSpec(), "noisy_q": _FakeSpec()}
+    baseline = {"crash_q": 1.0, "noisy_q": 1.0}
+    timings = {"crash_q": 3.0, "noisy_q": 3.0}
+    vs_baseline = {"crash_q": 3.0, "noisy_q": 3.0}
+    recheck: dict = {}
+    # crash_q consumes one t0 before raising; noisy_q then runs best-of-2
+    monkeypatch.setattr(bench, "time", _FakeClock([0.0, 1.0, 1.5, 10.0, 10.6]))
+
+    confirmed = bench._confirm_regressions(
+        spark=None,
+        registry=registry,
+        candidates=["crash_q", "noisy_q"],
+        baseline=baseline,
+        timings=timings,
+        vs_baseline=vs_baseline,
+        recheck=recheck,
+        sf_dir="/nonexistent",
+    )
+
+    assert confirmed == ["crash_q"]
+    assert recheck["crash_q"]["in_context_sec"] == 3.0
+    assert "RuntimeError" in recheck["crash_q"]["error"]
+    # the crashed query's in-context reading is NOT replaced
+    assert timings["crash_q"] == 3.0
+    # the healthy candidate still rechecks normally after the crash
+    assert recheck["noisy_q"]["fresh_sec"] == 0.5
+
+
+def test_gate_compares_unrounded_ratio(monkeypatch):
+    """r10 ADVICE: a true ratio of 2.0049 must not pass the 2.0 gate via
+    2-decimal display rounding (the committed worst query sat at exactly
+    2.00x, i.e. the effective gate threshold was 2.005x)."""
+    import bench
+
+    registry = {"edge_q": _FakeSpec()}
+    baseline = {"edge_q": 1.0}
+    timings = {"edge_q": 3.0}
+    vs_baseline = {"edge_q": 3.0}
+    recheck: dict = {}
+    # fresh best-of-2 = 2.004s against a 1.0s anchor: rounds to 2.00 but
+    # the unrounded ratio breaches
+    monkeypatch.setattr(bench, "time", _FakeClock([0.0, 2.004, 10.0, 12.5]))
+
+    confirmed = bench._confirm_regressions(
+        spark=None,
+        registry=registry,
+        candidates=["edge_q"],
+        baseline=baseline,
+        timings=timings,
+        vs_baseline=vs_baseline,
+        recheck=recheck,
+        sf_dir="/nonexistent",
+    )
+
+    assert confirmed == ["edge_q"]
+    assert recheck["edge_q"]["vs_baseline"] == 2.0  # display value rounds

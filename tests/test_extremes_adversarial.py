@@ -29,11 +29,11 @@ make BOTH engines raise are the documented value-domain contract
 working (tests/test_value_domain_contract.py — loud SYMMETRIC
 rejection, asserted here at the true envelope edge); only ASYMMETRIC
 cases (one engine errors, the other returns rows) are divergences.
-ROUND-10 FREEZE NOTE (r9 verdict "Next round" #2): the catalog and
-semantics are frozen while the driver window drains the r9 rewrite
-tail, so those asymmetric divergences ship FIXTURE-FIRST — pinned
-here as strict xfails with the fix queued in DIVERGENCES.md ("Queued
-fixes", round 11) — unless wrong-answer-on-clean-data.
+The r10 first run pinned five such asymmetries as strict xfails under
+the round-10 freeze; the round-11 fix wave landed them (clamped bucket
+indexes + try_divide/NULLIF, DIVERGENCES.md "Queued fix:
+domain-extreme measures") and all 111 combinations now run as plain
+compares or symmetric-rejection assertions.
 """
 
 from __future__ import annotations
@@ -301,28 +301,21 @@ _SYMMETRIC_EMBEDDINGS = frozenset({
     "kmeans_embedding_clusters",
 })
 
-# ASYMMETRIC divergences — one engine errors, the other returns rows —
-# pinned strict and queued for the round-11 fix wave (DIVERGENCES.md
-# "Queued fix: domain-extreme measures"); none is
-# wrong-answer-on-clean-data, and the r10 driver window is saturated
-# by the r9 rewrite tail, so the fixes land in round 11.
-_QUEUED_R11_EVENTS = {
-    # ORACLE-side death while the engine survives: the twin's
-    # bucket-index BIGINT cast is less domain-total than the engine.
-    "event_value_histogram": "oracle bucket-index BIGINT cast dies; engine survives",
-    "exact_median_two_pass": "oracle bucket-index BIGINT cast dies; engine survives",
-}
-_QUEUED_R11_NCHARS = {
-    # Spark-side death while DuckDB survives: ANSI DIVIDE_BY_ZERO on a
-    # zero weight total (dataset_q.py:514) vs DuckDB's IEEE division.
-    "weighted_sample_no_replacement": "ANSI DIVIDE_BY_ZERO on zero weight sum; DuckDB survives",
-}
-_QUEUED_R11_FACTS = {
-    "tpch_q2_min_cost_supplier": "ANSI DIVIDE_BY_ZERO on extreme-derived zero denominator; DuckDB survives",
-}
-_QUEUED_R11_EMBEDDINGS = {
-    "cosine_pair_histogram": "oracle bucket-index BIGINT cast dies; engine survives",
-}
+# ASYMMETRIC divergences — one engine errored while the other returned
+# rows — were found by the r10 first run and FIXED in the round-11 fix
+# wave (DIVERGENCES.md "Queued fix: domain-extreme measures"):
+# bucket/bin indexes now clamp into the BIGINT-representable envelope
+# on both engines (clamped_floor/clamped_floor_sql:
+# event_value_histogram, exact_median_two_pass, cosine_pair_histogram),
+# and the ANSI-divide class became try_divide/NULLIF with the
+# zero-denominator row falling out identically
+# (weighted_sample_no_replacement, tpch_q2_min_cost_supplier). All five
+# run in the plain compare sweep below; these empty maps keep the
+# _marked() plumbing (and this history) in place for future finds.
+_QUEUED_R11_EVENTS: dict[str, str] = {}
+_QUEUED_R11_NCHARS: dict[str, str] = {}
+_QUEUED_R11_FACTS: dict[str, str] = {}
+_QUEUED_R11_EMBEDDINGS: dict[str, str] = {}
 
 
 def _marked(names: list[str], queued: dict[str, str], symmetric: frozenset = frozenset()) -> list:

@@ -12,12 +12,10 @@ row_number() OVER (ORDER BY value) picks a different row per engine
 
 This fixture forces exactly that shape for one event type: 40% NaN,
 real values split 20%/40% across the range ends so the k-th rank lands
-in bucket 511 with NULLs mixed in. strict xfail: the round-11 fix
-(`value IS NOT NULL` before the stats CTE on both sides, query
-re-entering _CHANGED_THIS_ROUND) must remove the marker — an XPASS
-fails the suite, so the queue cannot be forgotten. Semantics are
-frozen in round 10 because the driver window is exactly saturated
-(27 stale-rewrite + 23 r5-cohort slots).
+in bucket 511 with NULLs mixed in. The round-11 fix (`value IS NOT
+NULL` before the stats CTE on both sides — n, k, and every bucket
+count measurements only) landed in plans/events_q.py; this fixture now
+pins it as a regression test.
 """
 
 from __future__ import annotations
@@ -53,12 +51,6 @@ def median_gap_dir(tmp_path_factory):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-@pytest.mark.xfail(
-    reason="queued r11 fix: NULLed non-finite values must leave the median's "
-    "n/k/bucket machinery on both engines (DIVERGENCES.md 'Queued fix'); "
-    "window-frozen in r10",
-    strict=True,
-)
 def test_median_excludes_nulled_nonfinite_from_selection(spark, median_gap_dir):
     from tools.check_oracle import compare_one, duck_connect
 
