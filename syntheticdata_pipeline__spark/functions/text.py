@@ -10,6 +10,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# ASCII whitespace, spelled out: Java's default \s is [ \t\n\x0B\f\r] but
+# RE2's \s omits \x0B (vertical tab), so a twinned '\s' silently tokenizes
+# VT-laced text differently per engine (found by the hostile-text battery).
+# The engine contract is Java's set — the reference is Python, whose \s
+# also treats VT as whitespace — pinned explicitly on BOTH sides so neither
+# a Spark nor a DuckDB regex-flavor change can shift one engine alone.
+# (\xhh escapes parse identically in Java regex and RE2.)
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
 # --- T1: product-id extraction ----------------------------------------------
 # Reference rules: Amazon ASIN /dp|gp\/product/{B0...}; Zalando *.html slug;
 # Nykaa /p/{sku}; generic last path segment; md5(url) fallback
@@ -120,16 +129,21 @@ def extract_image_id_sql(url: str) -> str:
 # (people_western_keyword_extractor.py:44-49).
 
 
+# Slug separator class: slash, backslash, and the explicit ASCII
+# whitespace set (VT included on both engines — see WS_CLASS).
+_SLUG_SEP = "[/\\\\" + WS_CLASS[1:-1] + "]+"
+
+
 def slugify(s: Column, max_len: int = 200) -> Column:
     out = F.lower(F.trim(s))
-    out = F.regexp_replace(out, r"[/\\\s]+", "_")
+    out = F.regexp_replace(out, _SLUG_SEP, "_")
     out = F.regexp_replace(out, r"[^a-z0-9_.-]", "")
     return F.substring(out, 1, max_len)
 
 
 def slugify_sql(s: str, max_len: int = 200) -> str:
     out = f"lower(trim({s}))"
-    out = f"regexp_replace({out}, '[/\\\\\\s]+', '_', 'g')"
+    out = f"regexp_replace({out}, '{_SLUG_SEP}', '_', 'g')"
     out = f"regexp_replace({out}, '[^a-z0-9_.-]', '', 'g')"
     return f"substr({out}, 1, {max_len})"
 
@@ -261,13 +275,13 @@ def format_duration_sql(seconds: str) -> str:
 def strip_html(s: Column) -> Column:
     out = F.regexp_replace(s, r"<[^>]*>", " ")
     out = F.regexp_replace(out, r"&(amp|lt|gt|nbsp|quot);", " ")
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, WS_CLASS + "+", " "))
 
 
 def strip_html_sql(s: str) -> str:
     out = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
     out = f"regexp_replace({out}, '&(amp|lt|gt|nbsp|quot);', ' ', 'g')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({out}, '{WS_CLASS}+', ' ', 'g'))"
 
 
 # --- T6b: relative-URL resolution (urljoin) -------------------------------------
@@ -385,13 +399,26 @@ def resolve_url(base: Column, href: Column) -> Column:
 # --- tokenization (shared by text-analysis operators) ---------------------------
 
 
+def ws_normalize(text: Column) -> Column:
+    """lower → trim → collapse ASCII-whitespace runs (incl. VT, see
+    WS_CLASS) to single spaces — the canonical content-key normalization
+    shared by the exact-dedup family and its oracles."""
+    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
+
+
+def ws_normalize_sql(text: str) -> str:
+    return f"regexp_replace(lower(trim({text})), '{WS_CLASS}+', ' ', 'g')"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens; trims first so no leading/trailing empties.
 
-    DuckDB twin: ``string_split_regex(trim(text), '\\s+')`` (verified equal).
+    Splits on the explicit ASCII class :data:`WS_CLASS` (not ``\\s`` — see
+    the VT note at the top of this module); DuckDB twin is
+    :func:`tokens_sql` with the same class.
     """
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_CLASS + "+")
 
 
 def tokens_sql(text: str) -> str:
-    return f"string_split_regex(trim({text}), '\\s+')"
+    return f"string_split_regex(trim({text}), '{WS_CLASS}+')"

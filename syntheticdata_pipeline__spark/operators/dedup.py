@@ -72,7 +72,9 @@ def exact_dedup_by_hash(
     """
     c = F.col(content_col)
     if normalize:
-        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+        from ..functions.text import ws_normalize
+
+        c = ws_normalize(c)
     keyed = df.withColumn("__content_key", F.md5(c))
     return first_wins(keyed, ["__content_key"], [F.col(id_col)]).withColumnRenamed(
         "__content_key", "content_key"

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import WS_CLASS, tokens
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Deliberately deterministic and engine-portable.
@@ -24,7 +24,10 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace is the explicit WS_CLASS set, not '\s': Java counts VT as
+# whitespace but RE2 does not, so a '\s'-based negated class makes the
+# two engines disagree on whether a VT is a punctuation piece.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CLASS[1:-1] + "]"
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,7 +39,9 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": F.size(toks).cast("bigint"),
             "n_chars_m": F.length(F.col(text_col)).cast("bigint"),
             "n_punct": F.coalesce(
-                F.size(F.split(F.col(text_col), r"[^\w\s]")) - F.lit(1), F.lit(0)
+                F.size(F.split(F.col(text_col), "[^\\w" + WS_CLASS[1:-1] + "]"))
+                - F.lit(1),
+                F.lit(0),
             ).cast("bigint"),
             "n_bpe_pieces": F.coalesce(F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)), F.lit(0)).cast(
                 "bigint"

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.determinism import unit_rand_sql
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import tokens, tokens_sql, ws_normalize, ws_normalize_sql
 from ..operators.neardup import (
     hamming16_sql,
     jaccard,
@@ -36,10 +36,10 @@ from .common import T
 # Exact dedup: md5 of normalized text, lowest doc_id wins.
 # --------------------------------------------------------------------------
 
-_EXACT_DEDUP_ORACLE = """
+_EXACT_DEDUP_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, lang,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key
+         md5({ws_normalize_sql('text')}) AS content_key
   FROM documents),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) rn,
@@ -61,7 +61,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id",
         "lang",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("content_key"),
+        F.md5(ws_normalize(F.col("text"))).alias("content_key"),
     )
     from pyspark.sql import Window
 
@@ -708,7 +708,7 @@ _dp_bands_union = " UNION ALL ".join(
 _DEDUP_PIPE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, lang, text,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+         md5({ws_normalize_sql('text')}) AS ck
   FROM documents),
 exact_survivors AS (
   SELECT doc_id, lang, text FROM (
@@ -751,7 +751,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "text",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("ck"),
+        F.md5(ws_normalize(F.col("text"))).alias("ck"),
     )
     # barrier: survivors feed three consumers (minhash, shingle verify,
     # final anti-join) — the exchange is computed once and reused instead

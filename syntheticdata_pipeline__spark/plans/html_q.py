@@ -58,9 +58,15 @@ concat(
   '</body></html>')
 """
 
+# get_text(strip=True) Python-strips each text fragment, so the oracle's
+# directly-computed title must be stripped of the same ASCII whitespace
+# set (space/\t/\n/\x0B/\f/\r) — found by the hostile-text battery when a
+# fixture title carried edge whitespace that the DOM extraction removes.
+_PY_STRIP_CHARS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
 _HTML_SEL_ORACLE = f"""
 SELECT doc_id,
-  {_TITLE_DUCK} AS page_title,
+  trim({_TITLE_DUCK}, {_PY_STRIP_CHARS}) AS page_title,
   'https://cdn.test/shop/img-' || CAST(doc_id AS VARCHAR) || '-0.jpg|' ||
   'https://cdn.test/shop/img-' || CAST(doc_id AS VARCHAR) || '-1.jpg' AS gallery_srcs,
   CASE WHEN n_chars IS NULL THEN NULL

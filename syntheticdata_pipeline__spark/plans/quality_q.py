@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import tokens, tokens_sql, ws_normalize, ws_normalize_sql
 from ..operators.textops import (
     GOPHER_MIN_WORDS,
     GOPHER_STOP_FRAC,
@@ -371,7 +371,7 @@ gated AS (
                 / CAST(len(toks) AS DOUBLE)) < {_STOP_FRAC})),
 keyed AS (
   SELECT *, row_number() OVER (
-    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    PARTITION BY md5({ws_normalize_sql('text')})
     ORDER BY doc_id) AS rn
   FROM gated),
 surv AS (SELECT doc_id, lang, toks FROM keyed WHERE rn = 1),
@@ -414,9 +414,7 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = g.filter(
         ~(F.col("flag_short") | F.col("flag_wordlen") | F.col("flag_lowstop"))
     ).select("doc_id", "lang", "text")
-    content_key = F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    )
+    content_key = F.md5(ws_normalize(F.col("text")))
     wdedup = W.partitionBy(content_key).orderBy("doc_id")
     surv = (
         gated.withColumn("rn", F.row_number().over(wdedup))

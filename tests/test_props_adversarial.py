@@ -16,7 +16,10 @@ oracle on the hostile fixture.
 Stripes on event_id % 31 (coprime with the query's own %17 garbage
 stripe, so garbage-prefixed hostile payloads occur too): truncated
 object, empty string, array root, duplicate keys, quoted number,
-1e999, JSON null value, bare null root, whitespace object, INT64+1.
+1e999, JSON null value, bare null root, whitespace object, INT64+1,
+plus two round-11 whitespace-flavor stripes (VT pseudo-whitespace —
+illegal per the JSON spec, must invalidate on both engines — and a
+legal \\t/\\r/\\n mix that must parse to k=7 on both).
 
 ROUND-10 FREEZE NOTE: divergences ship fixture-first (strict xfail +
 DIVERGENCES.md queue) unless wrong-answer-on-clean-data — clean props
@@ -44,6 +47,13 @@ _STRIPES = [
     "null",                             # bare null root
     "{ }",                              # whitespace-only object
     '{"k": 9223372036854775808}',       # INT64_MAX + 1
+    # round-11 additions (hostile-text battery follow-up): VT is NOT
+    # legal JSON whitespace (spec: space/\t/\n/\r only), so a VT after
+    # the colon must invalidate the payload on BOTH engines — and the
+    # oracle's RE2 '\s*' (which excludes VT) must not extract k either;
+    # the legal-whitespace mix must parse to k=7 on both.
+    '{"k":\u000b7}',            # VT pseudo-whitespace → invalid
+    '{"k":\t 7\r\n}',                   # legal JSON whitespace mix → k=7
 ]
 
 
