@@ -237,10 +237,16 @@ def _match_complex(node: HtmlNode, compounds: list[_Compound], combinators: list
 
 
 def _walk(node: HtmlNode):
-    for child in node.children:
-        if isinstance(child, HtmlNode):
-            yield child
-            yield from _walk(child)
+    # Iterative pre-order (document order). A recursive generator costs a
+    # Python frame per DOM level, so a hostile deeply-nested page (10k
+    # <div>s costs the scraper nothing to emit) would RecursionError
+    # inside the extraction UDF and kill the task — bs4's descendants
+    # generator is iterative for the same reason (hostile-HTML battery).
+    stack = [c for c in reversed(node.children) if isinstance(c, HtmlNode)]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(c for c in reversed(n.children) if isinstance(c, HtmlNode))
 
 
 def select(root: HtmlNode, selector: str) -> list[HtmlNode]:
@@ -265,19 +271,20 @@ def select_one(root: HtmlNode, selector: str) -> HtmlNode | None:
 
 def get_text(node: HtmlNode, separator: str = "", strip: bool = False) -> str:
     """Concatenated descendant text (bs4 ``get_text`` semantics: with
-    ``strip`` each fragment is stripped and empties are skipped)."""
+    ``strip`` each fragment is stripped and empties are skipped).
+
+    Iterative for the same reason as :func:`_walk` — per-fragment
+    document order is preserved by pushing children reversed."""
     parts: list[str] = []
-
-    def rec(n: HtmlNode) -> None:
-        for child in n.children:
-            if isinstance(child, HtmlNode):
-                rec(child)
-            else:
-                frag = child.strip() if strip else child
-                if frag or not strip:
-                    parts.append(frag)
-
-    rec(node)
+    stack = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if isinstance(child, HtmlNode):
+            stack.extend(reversed(child.children))
+        else:
+            frag = child.strip() if strip else child
+            if frag or not strip:
+                parts.append(frag)
     return separator.join(parts)
 
 
