@@ -100,10 +100,34 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sinks --------------------------------------------------------------------
 
 
+_HIVE_DEFAULT_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
 def write_keyed_json(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
     """K1: logical equivalent of json-file-per-record (any_scraper.py:776-778)
     — one row per product, JSON lines, partitioned; file-per-record is an
-    anti-pattern at scale."""
+    anti-pattern at scale.
+
+    Partition values follow the Hive convention: NULL, the empty string,
+    and the literal sentinel ``__HIVE_DEFAULT_PARTITION__`` all live in
+    (and read back from) the default partition as NULL. The first two
+    are normalized to NULL EXPLICITLY before the write because Spark's
+    dynamic writer otherwise opens one output file per in-memory value —
+    three distinct values escaping to the SAME directory collide inside
+    any task that holds two of them (FileAlreadyExistsException), a
+    data-dependent job crash the hostile-key battery reproduces. Every
+    other value — separators, '=', unicode, whitespace, '..' — is
+    escaped by Spark and round-trips identically."""
+    if partition_cols:
+        for c in partition_cols:
+            if dict(df.dtypes).get(c) == "string":
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        (F.col(c) == "") | (F.col(c) == _HIVE_DEFAULT_PART),
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.col(c)),
+                )
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -120,6 +144,7 @@ def write_keyed_overwrite(
     path: str,
     key_col: str,
     n_buckets: int = 64,
+    upsert: bool = True,
 ) -> None:
     """Idempotent keyed sink (SURVEY §7.4): re-writing records for the
     same keys REPLACES them instead of duplicating — the property that
@@ -127,16 +152,45 @@ def write_keyed_overwrite(
     (the reference gets this by overwriting files keyed by product_id,
     any_scraper.py:776).
 
-    Implementation: dynamic partition overwrite on a stable hash bucket
-    of the key — a batch touches only the partitions it contains, other
-    buckets are untouched. Readers dedup by key (first_wins) in case a
-    batch itself carried duplicates.
+    The reference's overwrite is per KEY (one file per product_id), so
+    ``upsert=True`` (default) merges at key granularity: rows already in
+    a touched bucket whose key is NOT in the batch are carried forward
+    (null-safe key compare, so a NULL-key row is replaced by a NULL-key
+    batch row, not duplicated). The merge reads only the buckets the
+    batch touches — the broadcast semi-join on the partition column
+    triggers dynamic partition pruning, so untouched buckets are never
+    scanned, and dynamic partition overwrite leaves them on disk
+    untouched. This is the copy-on-write merge a log-structured table
+    format would do, expressed on plain partitioned parquet.
+
+    ``upsert=False`` is the pure retry fast path (no read): a REPLAYED
+    batch cannot duplicate, but a PARTIAL batch then replaces its
+    buckets wholesale — only safe when every batch re-emits full rows
+    for all buckets it touches (the pre-round-11 contract).
     """
     from ..functions.determinism import hash_bucket
 
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.withColumn("__bucket", hash_bucket(F.col(key_col), n_buckets))
+    if upsert:
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None  # first write: nothing to merge
+        if existing is not None:
+            touched = out.select("__bucket").distinct()
+            pruned = existing.join(F.broadcast(touched), "__bucket", "left_semi")
+            batch_keys = out.select(key_col).distinct()
+            keep = pruned.join(
+                batch_keys,
+                pruned[key_col].eqNullSafe(batch_keys[key_col]),
+                "left_anti",
+            )
+            # materialize BEFORE the write: overwriting a path while a
+            # lazy plan still reads it is rejected by Spark, and lazy
+            # evaluation during the overwrite would race the deletes
+            out = keep.unionByName(out).localCheckpoint(eager=True)
     out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 

@@ -1,5 +1,7 @@
 """Idempotent keyed-overwrite sink: replaying a batch (task retry / rerun)
-must not duplicate records; only touched buckets are rewritten."""
+must not duplicate records, and — since round 11 — a PARTIAL batch must
+replace exactly its keys, like the reference's per-product_id file
+overwrite (any_scraper.py:776), not its keys' whole hash buckets."""
 
 from __future__ import annotations
 
@@ -23,25 +25,40 @@ def test_replay_does_not_duplicate(spark, tmp_path):
     assert back.select("product_id").distinct().count() == 20
 
 
-def test_update_replaces_only_touched_keys(spark, tmp_path):
+def test_partial_batch_replaces_only_its_keys(spark, tmp_path):
+    # the round-11 upsert contract: the reference overwrites per KEY, so
+    # a one-key update batch must leave every other key intact — keys
+    # sharing the updated key's hash bucket included (the pre-r11
+    # bucket-replace semantics silently deleted those).
     path = str(tmp_path / "keyed2")
     batch1 = spark.createDataFrame(
         [(i, "old") for i in range(20)], "product_id long, payload string"
     )
     write_keyed_overwrite(batch1, path, "product_id", n_buckets=8)
 
-    # update a subset; its buckets are rewritten wholesale, so re-emit the
-    # full bucket contents for the touched keys' buckets — here we update
-    # keys 0..4 and must include any co-bucketed keys we want to keep.
-    # Simplest contract: upsert batches carry full rows for all keys they
-    # touch; untouched BUCKETS survive untouched.
     update = spark.createDataFrame(
         [(0, "new")], "product_id long, payload string"
     )
     write_keyed_overwrite(update, path, "product_id", n_buckets=8)
+    vals = {r.product_id: r.payload for r in spark.read.parquet(path).collect()}
+    assert len(vals) == 20
+    assert vals[0] == "new"
+    assert all(vals[k] == "old" for k in range(1, 20))
+
+
+def test_bucket_replace_fast_path_contract(spark, tmp_path):
+    # upsert=False is the no-read retry path: a partial batch replaces
+    # its buckets wholesale — pinned so the sharper contract stays
+    # visible and deliberate.
+    path = str(tmp_path / "keyed3")
+    batch1 = spark.createDataFrame(
+        [(i, "old") for i in range(20)], "product_id long, payload string"
+    )
+    write_keyed_overwrite(batch1, path, "product_id", n_buckets=8, upsert=False)
+    update = spark.createDataFrame([(0, "new")], "product_id long, payload string")
+    write_keyed_overwrite(update, path, "product_id", n_buckets=8, upsert=False)
+
     back = spark.read.parquet(path)
-    # key 0's bucket was replaced by the update batch; keys in OTHER
-    # buckets are fully intact
     vals = {r.product_id: r.payload for r in back.collect()}
     assert vals[0] == "new"
     from syntheticdata_pipeline__spark.functions.determinism import hash_bucket
@@ -53,5 +70,23 @@ def test_update_replaces_only_touched_keys(spark, tmp_path):
         ).collect()
     }
     untouched = [k for k, b in buckets.items() if b != buckets[0]]
-    assert all(vals[k] == "old" for k in untouched)
-    assert len(back.collect()) == 1 + len(untouched)
+    assert sorted(vals) == sorted([0, *untouched])
+
+
+def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    # NULL keys must merge null-safely: a NULL-key batch row REPLACES the
+    # stored NULL-key row (eqNullSafe), instead of NULL != NULL skipping
+    # the anti-join and duplicating it.
+    path = str(tmp_path / "keyed4")
+    b1 = spark.createDataFrame(
+        [(None, "old-null"), (1, "one")], "product_id long, payload string"
+    )
+    write_keyed_overwrite(b1, path, "product_id", n_buckets=4)
+    b2 = spark.createDataFrame([(None, "new-null")], "product_id long, payload string")
+    write_keyed_overwrite(b2, path, "product_id", n_buckets=4)
+
+    rows = sorted(
+        ((r.product_id, r.payload) for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert rows == [(None, "new-null"), (1, "one")]
