@@ -1,9 +1,18 @@
-"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"queries": {name: sec, ...}, "vs_baseline": {...},
-"scale_stress": {...}, "recheck": {...}, ..., "regressions_gt_2x": [...],
-"sf": ..., "metric": ..., "unit": "sec", "value": total_sec} — summary
-keys LAST so a tail-truncated capture of the line keeps the headline.
+"""Benchmark runner: executes every benched catalog query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
+{"queries": {<headline subset>: sec, ...}, "detail": "BENCH_local.json",
+"n_queries": N, "median_vs_baseline": ..., "worst_vs_baseline": ...,
+"recheck_repeat_offenders": [...], "regressions_gt_2x": [...],
+"sf": ..., "metric": ..., "unit": "sec", "value": total_sec}.
+
+The line is kept under the driver's ~2000-byte capture so it PARSES in
+the per-round artifact (BENCH_r05..r10 all record parsed=null because
+the full-catalog line outgrew the capture at round 5);
+tests/test_bench_line_size.py pins the budget. The full per-query
+record (all timings, vs_baseline, stress curves, recheck provenance)
+is written to /tmp/spark_graft_bench_full.json, which run_gates.sh
+installs as the committed BENCH_local.json.
 
 The 2x gate is falsifiable: per-query targets live in
 bench_baseline.json (round-1 measured numbers); "vs_baseline" reports
@@ -99,6 +108,22 @@ STRESS_QUERIES_DEEP = (
     "intradoc_repeated_span",
 )
 STRESS_FACTOR_DEEP = 30
+
+# Per-query timings printed on the STDOUT line (the driver's capture of
+# that line is bounded at ~2000 bytes, so the full 190-query dict cannot
+# ride it — it lives in the DETAIL_PATH sidecar / committed
+# BENCH_local.json). The subset is the scale-critical stress family plus
+# a few representative relational/vector anchors.
+HEADLINE_QUERIES = STRESS_QUERIES + (
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "ann_recall_at_k",
+    "bm25_topk_docs",
+)
+
+# Full-detail sidecar: run_gates.sh installs this as BENCH_local.json so
+# the committed artifact and PERF.md keep the complete per-query record.
+DETAIL_PATH = "/tmp/spark_graft_bench_full.json"
 
 
 def _load_baseline() -> dict[str, float]:
@@ -365,34 +390,52 @@ def main() -> None:
         pass
     repeat_offenders = sorted(prior_forgiven & set(recheck))
 
-    # Key order matters for the DRIVER's evidence, not for JSON parsing:
-    # the per-round artifact stores only a tail fragment of this (long)
-    # line, so the big per-query dicts go FIRST and the headline summary
-    # (metric/value/regressions) goes LAST, where the tail keeps it
-    # (BENCH_r10's tail lost the headline to the grown stress section).
     sf = sf_str
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    summary = {
+        "n_queries": len(timings),
+        "median_vs_baseline": (
+            round(sorted(vs_baseline.values())[len(vs_baseline) // 2], 2)
+            if vs_baseline
+            else None
+        ),
+        "worst_vs_baseline": (
+            round(max(vs_baseline.values()), 2) if vs_baseline else None
+        ),
+        "recheck_repeat_offenders": repeat_offenders,
+        "regressions_gt_2x": regressions,
+        "sf": sf_val,
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
+    }
+    # Full per-query detail (all queries + vs_baseline + stress curves +
+    # recheck provenance) goes to the sidecar, which run_gates.sh installs
+    # as the committed BENCH_local.json.
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(
             {
                 "queries": timings,
                 "vs_baseline": vs_baseline,
                 "scale_stress": stress,
                 "recheck": recheck,
-                "recheck_repeat_offenders": repeat_offenders,
-                "n_queries": len(timings),
-                "median_vs_baseline": (
-                    round(sorted(vs_baseline.values())[len(vs_baseline) // 2], 2)
-                    if vs_baseline
-                    else None
-                ),
-                "worst_vs_baseline": (
-                    round(max(vs_baseline.values()), 2) if vs_baseline else None
-                ),
-                "regressions_gt_2x": regressions,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "metric": "headline_queries_total_runtime",
-                "unit": "sec",
-                "value": round(sum(timings.values()), 3),
+                **summary,
+            },
+            f,
+        )
+    # The stdout line must PARSE from the driver's bounded capture
+    # (~2000 bytes: BENCH_r05..r10 all record parsed=null because the
+    # full-catalog line outgrew it in round 5). So the line carries the
+    # complete summary + gate verdicts + the fixed HEADLINE subset of
+    # per-query timings, and points at the sidecar for the rest;
+    # tests/test_bench_line_size.py pins the budget.
+    headline = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
+    print(
+        json.dumps(
+            {
+                "queries": headline,
+                "detail": "BENCH_local.json",
+                **summary,
             }
         )
     )

@@ -59,7 +59,7 @@ else
 import json, sys
 d = json.loads(sys.stdin.readline())
 regs = d.get("regressions_gt_2x", [])
-print("bench ok: total=%ss sf=%s queries=%d" % (d["value"], d["sf"], len(d["queries"])))
+print("bench ok: total=%ss sf=%s queries=%d" % (d["value"], d["sf"], d.get("n_queries", len(d["queries"]))))
 if regs:
     print("GATE FAIL: regressions_gt_2x=%s" % regs, file=sys.stderr)
     sys.exit(1)
@@ -72,8 +72,15 @@ if [ "$MODE" = "full" ] && [ $fail -eq 0 ]; then
   # BENCH_local.json and PERF.md's generated section move together, so
   # the prose can never quote a run other than the committed artifact
   # (the r5/r6 repeated finding). tests/test_perf_md_sync.py enforces
-  # the same invariant CI-side.
-  cp /tmp/run_gates_bench.json BENCH_local.json
+  # the same invariant CI-side. The committed artifact is the FULL
+  # detail sidecar — bench.py's stdout line carries only the
+  # driver-parseable headline subset since round 11.
+  if [ -f /tmp/spark_graft_bench_full.json ]; then
+    cp /tmp/spark_graft_bench_full.json BENCH_local.json
+  else
+    echo "GATE FAIL: bench detail sidecar missing" >&2
+    fail=1
+  fi
   python tools/gen_perf_md.py --write
   # In-run guarantee on the REFRESHED files (a --check right after --write
   # would be tautological — r7 ADVICE): re-run the sync test itself.
