@@ -43,11 +43,26 @@ def read_jsonl_tolerant(
 
 def read_json_docs(spark: SparkSession, path_glob: str, schema: StructType) -> DataFrame:
     """S2: directory of whole-file JSON documents
-    (edit_model_pipeline.py:98-110 globs vl_analysis_*.json)."""
+    (edit_model_pipeline.py:98-110 globs vl_analysis_*.json).
+
+    Conservation contract (same as S1): a malformed file must surface as
+    a ``_corrupt`` row carrying its raw text, never as a silent all-NULL
+    row — PERMISSIVE only routes the raw record into a column whose name
+    matches ``columnNameOfCorruptRecord``, so the option is wired here
+    and the column is appended when the caller's schema lacks it (found
+    by the hostile-bytes battery: a truncated file previously lost its
+    content). A top-level JSON ARRAY explodes into one row per element;
+    an empty/whitespace-only file yields NO row (absent, not corrupt) —
+    both pinned in tests/test_jsonl_adversarial.py."""
+    if "_corrupt" not in schema.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
     return (
         spark.read.schema(schema)
         .option("multiLine", True)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path_glob)
         .withColumn("_src_file", F.input_file_name())
     )

@@ -141,3 +141,65 @@ def test_deep_nested_ignored_field_bounded_not_fatal(spark, tmp_path):
     # blowing the task — pinned so an upgrade lifting the bound (or
     # converting it to an exception) is visible either way.
     assert rows[0]._corrupt is not None and rows[0].prompt_number is None
+
+
+# ---------------------------------------------------------------------------
+# S2 whole-file JSON (read_json_docs): the same conservation contract at
+# file granularity, plus the multiLine shape behaviors.
+# ---------------------------------------------------------------------------
+
+
+def test_json_docs_hostile_files(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from syntheticdata_pipeline__spark.sources.readers import read_json_docs
+
+    schema = StructType(
+        [StructField("name", StringType()), StructField("n", LongType())]
+    )
+    (tmp_path / "good.json").write_text('{\n "name": "ok",\n "n": 1\n}')
+    (tmp_path / "bom.json").write_bytes(b'\xef\xbb\xbf{"name": "bom", "n": 4}')
+    # top-level array: one row PER ELEMENT (multiLine semantics)
+    (tmp_path / "arr.json").write_text('[{"name": "a", "n": 2}, {"name": "b", "n": 3}]')
+    # truncated file: must surface as a _corrupt row carrying the raw
+    # text, NOT a silent all-NULL row (read_json_docs previously never
+    # wired columnNameOfCorruptRecord, so the content was lost)
+    (tmp_path / "trunc.json").write_text('{"name": "t", "n":')
+    # empty / whitespace-only files: absent (no row), not corrupt
+    (tmp_path / "empty.json").write_text("")
+    (tmp_path / "ws.json").write_text("   \n  ")
+
+    rows = read_json_docs(spark, str(tmp_path / "*.json"), schema).collect()
+    parsed = sorted((r.name, r.n) for r in rows if r._corrupt is None)
+    assert parsed == [("a", 2), ("b", 3), ("bom", 4), ("ok", 1)]
+    corrupt = [r for r in rows if r._corrupt is not None]
+    assert len(corrupt) == 1 and '"name": "t"' in corrupt[0]._corrupt
+    assert corrupt[0]._src_file.endswith("trunc.json")
+    assert len(rows) == 5  # 4 parsed + 1 corrupt; empty/ws contribute none
+
+
+def test_pairs_txt_hostile_lines(spark, tmp_path):
+    # S10 pinned behaviors: extra whitespace-separated tokens beyond the
+    # two schema columns are dropped (the reference's split()[0:2]
+    # shape); a one-token line yields cloth=NULL instead of the
+    # reference's IndexError; blank lines are skipped.
+    from syntheticdata_pipeline__spark.sources.readers import read_pairs_txt
+
+    p = tmp_path / "pairs.txt"
+    p.write_text(
+        "person1.jpg cloth1.jpg\n"
+        "person with space.jpg cloth2.jpg\n"
+        "only_one_token\n"
+        "\n"
+        "trailing.jpg cloth.jpg   \n"
+    )
+    rows = sorted(
+        ((r.person, r.cloth) for r in read_pairs_txt(spark, str(p)).collect()),
+        key=str,
+    )
+    assert rows == [
+        ("only_one_token", None),
+        ("person", "with"),
+        ("person1.jpg", "cloth1.jpg"),
+        ("trailing.jpg", "cloth.jpg"),
+    ]
