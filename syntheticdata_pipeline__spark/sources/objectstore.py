@@ -52,7 +52,16 @@ class LocalFSStore:
         self.root = root
 
     def _path(self, key: str) -> str:
-        return os.path.join(self.root, key.lstrip("/"))
+        # S3 keys are opaque strings — a '..' segment is literal key text
+        # on S3, but on a filesystem it traverses OUT of the store root
+        # (an uncontrolled scraped id in a key template would write
+        # outside the store). The directory adapter cannot represent the
+        # S3 behavior, so it rejects loudly instead of traversing.
+        path = os.path.normpath(os.path.join(self.root, key.lstrip("/")))
+        root = os.path.normpath(self.root)
+        if path != root and not path.startswith(root + os.sep):
+            raise ValueError(f"object key escapes the store root: {key!r}")
+        return path
 
     def put(self, key: str, data: bytes) -> None:
         path = self._path(key)

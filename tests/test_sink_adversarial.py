@@ -87,3 +87,25 @@ def test_hostile_partition_dirs_stay_inside_root(spark, tmp_path):
     # and every partition directory is a direct child of the root
     parts = [d for d in os.listdir(root) if d.startswith("k=")]
     assert len(parts) == 3
+
+
+def test_objectstore_key_cannot_escape_root(tmp_path):
+    # S3 keys are opaque ('..' is literal key text there); the directory
+    # adapter cannot represent that, so a traversal key must be rejected
+    # loudly — before the fix, put('../../x', ...) wrote OUTSIDE the
+    # store root (an uncontrolled scraped id in a key template).
+    import pytest as _pytest
+
+    from syntheticdata_pipeline__spark.sources.objectstore import LocalFSStore
+
+    root = tmp_path / "store"
+    root.mkdir()
+    store = LocalFSStore(str(root))
+    store.put("a/b/ok.txt", b"fine")
+    assert store.get("a/b/ok.txt") == b"fine"
+    # interior dot-dot that STAYS inside the root normalizes harmlessly
+    assert store.get("a/b/../b/ok.txt") == b"fine"
+    for hostile in ("../escape.txt", "a/../../escape.txt", "/../escape.txt"):
+        with _pytest.raises(ValueError):
+            store.put(hostile, b"evil")
+    assert not (tmp_path / "escape.txt").exists()
