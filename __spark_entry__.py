@@ -187,7 +187,12 @@ def _catalog_order(names: list[str]) -> list[str]:
     def key(name: str) -> tuple[int, int, int]:
         idx_n = idx[name]
         if name in _CHANGED_THIS_ROUND:
-            return (0, 0, idx_n)
+            # within tier 0, list order is priority order: when the tier
+            # overflows the driver window (63 entries vs 50 slots, r11),
+            # the cut must fall on the LIST's tail — the mechanical
+            # whitespace wave — never on the semantic fix waves at its
+            # head, whatever their registry positions are
+            return (0, _CHANGED_THIS_ROUND.index(name), idx_n)
         if name not in last_round:
             return (1, 0, idx_n)
         if not last_ok[name]:
