@@ -1,0 +1,91 @@
+"""Driver-evidence staleness report.
+
+For every catalog query, print the round of its most recent driver
+check (CORRECTNESS_r*.json), whether that check is stale (the query was
+rewritten afterward — it sits in _CHANGED_THIS_ROUND), and how the next
+driver window (first 50 of queries() order) will land. Usage::
+
+    python tools/staleness.py            # histogram + projected window
+    python tools/staleness.py --full     # plus the per-query table
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    ordered = list(entry.queries())
+    changed = set(entry._CHANGED_THIS_ROUND)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_round: dict[str, int] = {}
+    last_ok: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for k, v in rows.items():
+            ok = bool(
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            )
+            if rnd >= last_round.get(k, -1):
+                last_round[k] = rnd
+                last_ok[k] = ok
+
+    hist: dict[str, int] = {}
+    for name in ordered:
+        if name in changed:
+            key = "stale (rewritten after last check)"
+        elif name not in last_round:
+            key = "never checked"
+        elif not last_ok[name]:
+            key = f"RED at r{last_round[name]}"
+        else:
+            key = f"green r{last_round[name]}"
+        hist[key] = hist.get(key, 0) + 1
+
+    print(f"catalog: {len(ordered)} queries; driver window: {WINDOW}")
+    for key in sorted(hist):
+        print(f"  {hist[key]:4d}  {key}")
+
+    window = ordered[:WINDOW]
+    in_win_changed = sum(1 for n in window if n in changed)
+    print(
+        f"next window: {in_win_changed} rewritten-this-round + "
+        f"{WINDOW - in_win_changed} cohort-refresh slots"
+    )
+    overflow = [n for n in ordered[WINDOW:] if n in changed]
+    if overflow:
+        print(f"tier-0 OVERFLOW ({len(overflow)} rewritten queries miss the window):")
+        for n in overflow:
+            print(f"  - {n}")
+
+    if "--full" in sys.argv:
+        print()
+        for name in ordered:
+            mark = "CHANGED" if name in changed else (
+                f"r{last_round[name]}" if name in last_round else "never"
+            )
+            print(f"  {name:45s} {mark}")
+
+
+if __name__ == "__main__":
+    main()
