@@ -78,6 +78,11 @@ _CHANGED_THIS_ROUND = (
     "weighted_sample_no_replacement",
     "tpch_q2_min_cost_supplier",
     "parse_props_json",
+    # --- regex-flavor ('.' vs \r/U+2028, greedy-prefix) wave, round 11:
+    # _P_LAST_SEG's tail and the props-oracle k-extraction prefix moved
+    # from '.' to [\s\S] so Java and RE2 read them identically ---
+    "extract_ids_from_urls",
+    "pipeline_end_to_end",
     # --- whitespace-class (VT) rewrite wave, round 11 ---
     "bigram_perplexity_gate",
     "bloom_decontaminate",

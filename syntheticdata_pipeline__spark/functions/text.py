@@ -28,7 +28,12 @@ WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 _P_ASIN = r"/(?:dp|gp/product)/([A-Z0-9]{10})"
 _P_ZALANDO = r"/([a-z0-9-]+)\.html"
 _P_NYKAA = r"/p/([A-Za-z0-9]+)"
-_P_LAST_SEG = r"/([^/?#]+)/?(?:[?#].*)?$"
+# Tail is [\s\S]* rather than .*: Java's '.' excludes \r and the
+# U+2028/U+2029 separators while RE2's excludes only \n, so a query
+# string containing a bare \r made the twins disagree (Spark fell to
+# the md5 fallback, DuckDB extracted the segment; round-11
+# regex-flavor sweep). [\s\S] matches every char in both flavors.
+_P_LAST_SEG = r"/([^/?#]+)/?(?:[?#][\s\S]*)?$"
 
 
 def extract_product_id(url: Column) -> Column:
@@ -54,7 +59,7 @@ def extract_product_id_sql(url: str) -> str:
                 rx("/(?:dp|gp/product)/([A-Z0-9]{10})"),
                 rx("/([a-z0-9-]+)\\.html"),
                 rx("/p/([A-Za-z0-9]+)"),
-                rx("/([^/?#]+)/?(?:[?#].*)?$"),
+                rx("/([^/?#]+)/?(?:[?#][\\s\\S]*)?$"),
                 f"md5({url})",
             ]
         )

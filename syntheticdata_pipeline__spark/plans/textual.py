@@ -261,7 +261,10 @@ def slugify_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TRY_CAST for k (json_extract alone is first-win and its INTEGER cast
 # raises on Infinity/overflow — the r10 asymmetries). The regex twin's
 # domain is flat objects with integer-literal values, which is both the
-# clean-data shape and every hostile stripe.
+# clean-data shape and every hostile stripe. The greedy prefix is
+# [\s\S]* rather than .* — RE2's '.' excludes \n, so a pretty-printed
+# (multi-line) object would extract no k here while the engine's real
+# JSON parser reads it fine (round-11 regex-flavor sweep).
 _JSON_ORACLE = r"""
 WITH raw AS (
   SELECT event_id,
@@ -274,7 +277,7 @@ v AS (
   FROM raw)
 SELECT event_id,
   CASE WHEN is_obj THEN TRY_CAST(
-    regexp_extract(payload, '^.*"k"\s*:\s*(-?\d+)\s*[,}]', 1) AS INTEGER) END AS k,
+    regexp_extract(payload, '^[\s\S]*"k"\s*:\s*(-?\d+)\s*[,}]', 1) AS INTEGER) END AS k,
   CASE WHEN is_obj THEN NULL ELSE payload END AS raw_response
 FROM v
 """

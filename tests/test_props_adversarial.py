@@ -54,6 +54,11 @@ _STRIPES = [
     # the legal-whitespace mix must parse to k=7 on both.
     '{"k":\u000b7}',            # VT pseudo-whitespace → invalid
     '{"k":\t 7\r\n}',                   # legal JSON whitespace mix → k=7
+    # pretty-printed object (round-11 regex-flavor sweep): the
+    # oracle's greedy k-extraction prefix was '.*', and RE2's '.'
+    # excludes newline, so a multi-line object parsed k=7 in the
+    # engine but NULL in the oracle; the prefix is now [\s\S]*
+    '{\n  "k": 7,\n  "other": "x"\n}',
 ]
 
 

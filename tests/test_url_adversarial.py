@@ -27,11 +27,15 @@ repeated extension), rule-boundary probes for each extraction regex
 id, 32-hex boundary, _WxH without digits), pathological length (10k
 path), and non-http schemes (mailto:, javascript:, data:, file:).
 
-First-run triage (round 11): ZERO divergences across the full grid —
-the twins already stick to the shared Java/RE2 regex subset and
-codepoint-based substring/instr semantics, so this battery lands as
-pure regression armor (a Spark or DuckDB regex/collation change now
-trips it immediately).
+First-run triage (round 11): ZERO divergences across the original
+41-input grid — the twins already stuck to the shared Java/RE2 subset.
+The same-round regex-flavor EXTENSION (the last five inputs) then
+caught a real one: Java's '.' excludes \\r and the U+2028/U+2029
+separators while RE2's excludes only \\n, so _P_LAST_SEG's
+``(?:[?#].*)?$`` tail failed to anchor past a bare \\r in the query on
+Spark (md5 fallback) while DuckDB extracted the segment. Both twins
+now use ``[\\s\\S]*`` — the flavor-identical any-char — and the probes
+hold it.
 """
 
 from __future__ import annotations
@@ -105,6 +109,14 @@ HOSTILE_URLS = [
     "ht!tp://bad scheme.example/x",                           # malformed scheme
     "https://shop.example.com/][/item.html",                  # brackets in path
     "https:\\\\shop.example.com\\item.html",                  # backslashes
+    # regex-flavor probes (round 11): Java's '.' excludes \r and the
+    # U+2028/U+2029 separators, RE2's only \n — these inputs caught the
+    # _P_LAST_SEG tail divergence ('.' -> [\s\S] fix)
+    "https://x.com/item-9.html\n",                           # trailing \n
+    "https://x.com/item-9.html\r",                           # trailing \r
+    "https://x.com/a?q=1\rrest",                             # \r inside query
+    "https://x.com/a?q=1\u2028rest",                         # U+2028 in query
+    "https://x.com/dp/B012345678?x=1\ry=2",                  # \r after ASIN query
 ]
 # fmt: on
 
