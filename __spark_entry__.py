@@ -83,6 +83,9 @@ _CHANGED_THIS_ROUND = (
     # from '.' to [\s\S] so Java and RE2 read them identically ---
     "extract_ids_from_urls",
     "pipeline_end_to_end",
+    # resolve_url gained the CPython WHATWG unsafe-byte removal (same
+    # flavor sweep; clean-fixture outputs identical, build rewritten):
+    "resolve_relative_urls",
     # --- whitespace-class (VT) rewrite wave, round 11 ---
     "bigram_perplexity_gate",
     "bloom_decontaminate",

@@ -347,7 +347,22 @@ def _resolve_segments(raw_segs: Column, filter_mid: bool = False) -> Column:
 
 
 def resolve_url(base: Column, href: Column) -> Column:
-    """urljoin(base, href) as a Column expression (any_scraper.py:284,444)."""
+    """urljoin(base, href) as a Column expression (any_scraper.py:284,444).
+
+    CPython's urlsplit removes the WHATWG unsafe bytes (tab/CR/LF) from
+    the whole URL before parsing (the 3.6.14/3.9.5 security change), so
+    ``urljoin(base, "a#frag\\nmore")`` is ``.../a#fragmore`` — the same
+    removal happens here first (round-11 regex-flavor sweep: without
+    it, Java's '.'-excludes-\\r/\\n semantics truncated fragments that
+    CPython merely de-tabs)."""
+    def _whatwg_clean(c: Column) -> Column:
+        # urlsplit also LSTRIPS C0-controls-or-space (leading only —
+        # trailing spaces are kept, verified against CPython 3.11)
+        c = F.regexp_replace(c, "[\\t\\n\\r]", "")
+        return F.regexp_replace(c, "^[\\x00-\\x20]+", "")
+
+    base = _whatwg_clean(base)
+    href = _whatwg_clean(href)
     h_scheme = F.regexp_extract(href, _P_SCHEME, 1)
     b_scheme = F.regexp_extract(base, _P_SCHEME, 1)
     origin = F.regexp_extract(base, _P_ORIGIN, 1)

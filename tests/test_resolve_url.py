@@ -54,6 +54,20 @@ HREFS = [
     "photo.png?w=100",
     "photo.png#zoom",
     "../x?y=1#z",
+    # WHATWG unsafe bytes + leading C0 controls (round-11 regex-flavor
+    # sweep): CPython's urlsplit REMOVES \t\r\n everywhere and lstrips
+    # C0-or-space — before resolve_url mirrored that, Java's
+    # '.'-excludes-\r/\n semantics truncated fragments CPython de-tabs
+    "a#frag\nmore",
+    "a#frag\rmore",
+    "b?q=1\n2#f",
+    "#only\nfrag",
+    "\ta/b\n",
+    "  spaced  ",
+    "a\tb#f\rrag",
+    "..\n/up",
+    "?q\t=1",
+    "\x0b\x00weird",
 ]
 
 
