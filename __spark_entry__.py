@@ -66,11 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # was replaced by the explicit WS_CLASS set, and the
 # html_selector_extract oracle gained the get_text(strip=True) twin.
 # That rewrites the oracle text of 57 token-family queries (listed
-# below after the six wave entries, in registry order). 63 tier-0
-# entries overflow a 50-slot window by 13: every changed query is green
+# below after the six wave entries, in registry order); the regex-
+# flavor wave adds three more. 66 tier-0 entries overflow a 50-slot
+# window by 16 (all on the mechanical whitespace tail, by the
+# priority-order rule in _catalog_order): every changed query is green
 # in SELFCHECK.json (sf0.01, re-run post-rewrite) and the in-suite
-# sf0.001 full-catalog parity test; the overflow and the r6 cohort
-# (34 queries) cycle through the r12 window next.
+# sf0.001 full-catalog parity test; the overflow and the r6-r8 cohorts
+# (13+10+14 unrewritten queries) cycle through the r12 window next.
 _CHANGED_THIS_ROUND = (
     "exact_median_two_pass",
     "event_value_histogram",

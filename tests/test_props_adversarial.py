@@ -17,9 +17,11 @@ Stripes on event_id % 31 (coprime with the query's own %17 garbage
 stripe, so garbage-prefixed hostile payloads occur too): truncated
 object, empty string, array root, duplicate keys, quoted number,
 1e999, JSON null value, bare null root, whitespace object, INT64+1,
-plus two round-11 whitespace-flavor stripes (VT pseudo-whitespace —
-illegal per the JSON spec, must invalidate on both engines — and a
-legal \\t/\\r/\\n mix that must parse to k=7 on both).
+plus three round-11 flavor stripes: VT pseudo-whitespace (illegal per
+the JSON spec, must invalidate on both engines), a legal \\t/\\r/\\n
+mix (must parse to k=7 on both), and a pretty-printed multi-line
+object (caught the oracle's RE2-'.'-cannot-cross-newline gap in the
+greedy k-extraction prefix).
 
 ROUND-10 FREEZE NOTE: divergences ship fixture-first (strict xfail +
 DIVERGENCES.md queue) unless wrong-answer-on-clean-data — clean props
