@@ -146,6 +146,23 @@ _CHANGED_THIS_ROUND = (
     "vocab_coverage_oov",
     "winnowing_fingerprints",
     "zipf_slope_by_lang",
+    # --- hostile-timestamp sweep (round 11): NULL-ts ordering pinned
+    # (sequences/sessions/dwell exclude unstamped events; first-wins and
+    # moving-average pin NULLS LAST + event_id), as-of gains the NULL-time
+    # rule + simultaneous-purchase collapse, and the tumbling/sliding
+    # family moved from truncate-toward-zero to FLOOR buckets so pre-epoch
+    # windows match Spark's native window() ---
+    "asof_view_purchase",
+    "dwell_time_by_type",
+    "session_windows_batch",
+    "stream_tumbling_counts",
+    "stateful_dedup_events",
+    "moving_avg_user_value",
+    "event_transition_matrix",
+    "top_event_trigrams",
+    "user_behavior_features",
+    "tumbling_event_stats",
+    "sliding_event_counts",
 )
 
 

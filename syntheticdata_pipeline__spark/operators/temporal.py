@@ -39,9 +39,27 @@ def asof_join(
     NULL-key right rows are dropped up front — without this the shared
     window partition would pair NULL-key rows with each other, which
     DuckDB's native ASOF JOIN (the oracle) never does.
+
+    NULL event TIMES follow the same rule (hostile-ts sweep, round 11):
+    a left row with a NULL time matches nothing (``t >= anything`` is
+    UNKNOWN) and a right row with a NULL time is never a candidate.
+    Without this, Spark's NULLS-FIRST window order would carry a
+    NULL-time right value into every subsequent left row — and DuckDB's
+    native ASOF exhibits the opposite quirk (its sort treats a NULL left
+    time as +inf, matching the LATEST right row), so neither engine
+    default is SQL-comparison-consistent; this operator pins the SQL
+    reading on both.
+
+    Determinism: among right rows sharing one (key, time), which value
+    is carried is tie-broken only by input order — pre-collapse the
+    right side to unique (key, time) (as plans/temporal_q.py does) for
+    a deterministic result.
     """
     key_cols = list(on)
-    null_key = F.lit(False)
+    # the mask is resolved against the post-union frame, where the left
+    # time column travels as __t
+    null_key = F.col("__t").isNull()
+    right = right.filter(F.col(right_time).isNotNull())
     for k in key_cols:
         null_key = null_key | F.col(k).isNull()
         right = right.filter(F.col(k).isNotNull())

@@ -38,7 +38,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 _FIN_VALUE = finite_or_null_sql("value")
 
 _TUMBLING_ORACLE = f"""
-SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
+SELECT epoch_us(ts) - ((epoch_us(ts) % {_W_US}) + {_W_US}) % {_W_US} AS window_start_us,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
@@ -48,11 +48,21 @@ FROM events GROUP BY 1
 
 @register("tumbling_event_stats", oracle=_TUMBLING_ORACLE, bench=True, tags=("R7", "R1"))
 def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute buckets by integer µs arithmetic — identical bucketing to
-    Spark's window() and DuckDB's time_bucket, but timezone-proof."""
+    """5-minute buckets, FLOOR-aligned for every timestamp including
+    pre-epoch (hostile-ts sweep, round 11): Spark's native window()
+    floors, so the whole tumbling family pins window_start =
+    floor(ts/width)·width — a `ts - ts % width` twin silently flips to
+    ceiling on negative epochs (Java % keeps the dividend's sign), and
+    DuckDB's `//` truncates toward zero, so BOTH twins previously agreed
+    on the wrong convention for 1969 data. The oracle uses the
+    sign-safe mathematical mod ((x % w) + w) % w. A NULL ts groups as a
+    NULL bucket (SQL GROUP BY semantics; the STREAMING twin instead
+    drops NULL event times — see stream_tumbling_counts)."""
     ev = T(spark, sf_dir, "events")
     return (
-        ev.withColumn("window_start_us", (F.col("ts_us") - F.col("ts_us") % F.lit(_W_US)))
+        ev.withColumn(
+            "window_start_us", F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(_W_US))
+        )
         .groupBy("window_start_us")
         .agg(
             F.count("*").alias("n_events"),
@@ -72,7 +82,7 @@ _SESSION_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 marked AS (
   SELECT user_id, us, event_id,
          CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS is_new
@@ -93,8 +103,17 @@ FROM sessioned GROUP BY user_id, session_no
 def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): lag → new-session marker →
     running sum as session id. Same semantics as session_window(); one
-    shuffle on user_id."""
-    ev = T(spark, sf_dir, "events").select("user_id", F.col("ts_us").alias("us"), "event_id")
+    shuffle on user_id. An event with no timestamp belongs to no session
+    (hostile-ts sweep, round 11: unfiltered, Spark's NULLS-FIRST order
+    made each NULL-ts row a leading one-event session, shifting every
+    real session_no; DuckDB's NULLS-LAST glued them to the last
+    session) — exactly the rows Spark's native session_window() cannot
+    place either."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", F.col("ts_us").alias("us"), "event_id")
+    )
     w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
     w_run = (
         Window.partitionBy("user_id")
@@ -122,8 +141,9 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDE_ORACLE = f"""
 WITH panes AS (
-  SELECT unnest([ (epoch_us(ts) // {_W_US}) * {_W_US},
-                  (epoch_us(ts) // {_W_US}) * {_W_US} - {_W_US} ]) AS window_start_us
+  SELECT unnest([ epoch_us(ts) - ((epoch_us(ts) % {_W_US}) + {_W_US}) % {_W_US},
+                  epoch_us(ts) - ((epoch_us(ts) % {_W_US}) + {_W_US}) % {_W_US} - {_W_US} ])
+           AS window_start_us
   FROM events)
 SELECT window_start_us, COUNT(*) AS n_events
 FROM panes GROUP BY window_start_us
@@ -133,10 +153,12 @@ FROM panes GROUP BY window_start_us
 @register("sliding_event_counts", oracle=_SLIDE_ORACLE, tags=("R7",))
 def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-min windows sliding by 5: pane membership via explode of the two
-    candidate starts (integer µs arithmetic — same panes as window(ts,
-    '10 minutes', '5 minutes'))."""
+    candidate starts — FLOOR-aligned like window(ts, '10 minutes',
+    '5 minutes') for pre-epoch timestamps too (see tumbling_event_stats;
+    the oracle's mathematical mod is the sign-safe floor bucket). A NULL
+    ts contributes two NULL panes on both engines."""
     ev = T(spark, sf_dir, "events")
-    bucket = F.col("ts_us") - F.col("ts_us") % F.lit(_W_US)
+    bucket = F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(_W_US))
     panes = ev.select(
         F.explode(F.array(bucket, bucket - F.lit(_W_US))).alias("window_start_us")
     )
@@ -149,11 +171,11 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _STREAM_ORACLE = f"""
-SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start_us,
+SELECT epoch_us(ts) - ((epoch_us(ts) % {_W_US}) + {_W_US}) % {_W_US} AS window_start_us,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -161,7 +183,14 @@ FROM events GROUP BY 1, 2
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine streaming execution (file source → watermark → windowed agg
     → availableNow trigger → memory sink), then the sink table is returned
-    for the oracle diff. One batch ⇒ no late data ⇒ batch-equivalent."""
+    for the oracle diff. One batch ⇒ no late data ⇒ batch-equivalent.
+
+    Streaming event-time semantics pinned by the hostile-ts sweep
+    (round 11): a NULL event time cannot be windowed — the watermark
+    operator drops the row (the oracle mirrors with WHERE ts IS NOT
+    NULL; the BATCH tumbling twin instead keeps a NULL bucket per GROUP
+    BY semantics) — and window.start is the FLOOR bucket for pre-epoch
+    timestamps, which the oracle's `//` truncation used to get wrong."""
     from ..streaming.windows import read_events_stream, run_to_memory
 
     ev = read_events_stream(spark, sf_dir)
@@ -192,7 +221,7 @@ _DEDUP_ORACLE = """
 SELECT user_id, event_type, us AS first_ts_us FROM (
   SELECT user_id, event_type, epoch_us(ts) AS us,
          row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY epoch_us(ts), event_id) rn
+                            ORDER BY epoch_us(ts) NULLS LAST, event_id) rn
   FROM events) WHERE rn = 1
 """
 
@@ -201,11 +230,17 @@ SELECT user_id, event_type, us AS first_ts_us FROM (
 def stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First event per (user, type) — the persisted seen-set semantics
     (any_scraper.py:58-60) as a window dedup; streaming twin is
-    dropDuplicatesWithinWatermark (tests)."""
+    dropDuplicatesWithinWatermark (tests). An unstamped (NULL-ts) event
+    is only 'first' if the group holds nothing else: NULLS LAST pinned
+    explicitly on both engines (hostile-ts sweep, round 11 — Spark's
+    ASC default is NULLS FIRST, DuckDB's is NULLS LAST, so the default
+    orderings elect different winners)."""
     from ..operators.dedup import first_wins
 
     ev = T(spark, sf_dir, "events")
-    return first_wins(ev, ["user_id", "event_type"], [F.col("ts_us"), F.col("event_id")]).select(
+    return first_wins(
+        ev, ["user_id", "event_type"], [F.col("ts_us").asc_nulls_last(), F.col("event_id")]
+    ).select(
         "user_id", "event_type", F.col("ts_us").alias("first_ts_us")
     )
 
@@ -278,7 +313,7 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
   round(CAST(SUM(CAST({_FIN_VALUE} AS DECIMAL(28,12))) OVER w AS DOUBLE)
         / (COUNT(*) OVER w), 6) AS mov_avg
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
@@ -288,9 +323,17 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-row moving average of event value per user: one shuffle on
     user_id, then a sorted in-partition frame scan — the partition key is
     the user, so skew follows user activity (a hot user is still one
-    partition's sort, not a global one)."""
+    partition's sort, not a global one). Frame order is the pinned total
+    order (ts NULLS LAST, then event_id): the hostile-ts sweep showed a
+    bare ORDER BY ts is nondeterministic under simultaneous events and
+    places NULL-ts rows at opposite ends of the two engines' frames —
+    unstamped events smooth at the tail of the stream, in id order."""
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(-3, 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc_nulls_last(), "event_id")
+        .rowsBetween(-3, 0)
+    )
     mov = F.sum(finite_or_null(F.col("value")).cast("decimal(28,12)")).over(w).cast(
         "double"
     ) / F.count("*").over(w)
@@ -700,7 +743,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS prev_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 pairs AS (
   SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
   FROM seq WHERE prev_type IS NOT NULL
@@ -723,8 +766,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only window is a lag over per-user partitions
     (bounded, the accepted moving-average class); everything after runs
     at |event_type|² size. Ties on ts break by event_id, so the
-    sequence — and thus the matrix — is total-order deterministic."""
-    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    sequence — and thus the matrix — is total-order deterministic; an
+    unstamped (NULL-ts) event holds no sequence position (hostile-ts
+    sweep, round 11: the engines' opposite NULL orderings otherwise
+    splice it into opposite ends of the user's stream)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNotNull()
@@ -1065,7 +1115,7 @@ WITH seq AS (
   SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS next_us
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT event_type,
   COUNT(next_us) AS n_intervals,
   CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
@@ -1089,8 +1139,18 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one lead() over bounded per-user partitions (the
     accepted lag/moving-average class), then a map-side-partial rollup
     keyed by event type. Integer sums are exact and order-free; the only
-    float is the final average division."""
-    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    float is the final average division.
+
+    A dwell interval needs BOTH endpoints stamped: NULL-ts rows leave
+    before the lead() (hostile-ts sweep, round 11 — under Spark's
+    NULLS-FIRST order the last NULL-ts row pairs with the first real
+    row, inflating n_intervals with a NULL-dwell interval that DuckDB's
+    NULLS-LAST order never forms)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
         F.col("next_us").isNotNull()
@@ -1115,7 +1175,7 @@ WITH seq AS (
   SELECT user_id, event_type AS t2,
          lag(event_type, 1) OVER w AS t1,
          lag(event_type, 2) OVER w AS t0
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
 tri AS (
   SELECT t0, t1, t2, COUNT(*) AS n FROM seq
@@ -1142,8 +1202,14 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two lags over bounded per-user partitions, then a
     rollup at |event_type|³ size; the top-10 rank window runs over that
     cube (125 rows here, bounded by the type vocabulary cubed — never
-    the stream), and the share total is a 1-row broadcast."""
-    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    the stream), and the share total is a 1-row broadcast. NULL-ts
+    events hold no sequence position (hostile-ts sweep, round 11 —
+    same rule as event_transition_matrix)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = (
         ev.withColumn("t1", F.lag("event_type", 1).over(w))
@@ -1392,7 +1458,7 @@ WITH bursts AS (
     SELECT user_id,
       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING AND CURRENT ROW) AS b
-    FROM events) GROUP BY user_id),
+    FROM events WHERE ts IS NOT NULL) GROUP BY user_id),
 dwell AS (
   SELECT user_id,
     CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
@@ -1401,7 +1467,7 @@ dwell AS (
     SELECT user_id, epoch_us(ts) AS us,
       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         AS next_us
-    FROM events)
+    FROM events WHERE ts IS NOT NULL)
   WHERE next_us IS NOT NULL GROUP BY user_id),
 tc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
 un AS (SELECT user_id, SUM(c) AS n FROM tc GROUP BY 1),
@@ -1433,17 +1499,25 @@ def user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three feature pipelines — a per-user RANGE window, a
     per-user lead, and a (user, type) rollup — each reduced to one row
     per user BEFORE the 3-way join on the user key; entropy terms
-    accumulate as trunc-scaled BIGINTs (order-free)."""
+    accumulate as trunc-scaled BIGINTs (order-free).
+
+    The two TEMPORAL arms (burst, dwell) read timed events only — a
+    NULL-ts row has no burst window and anchors no dwell interval
+    (hostile-ts sweep, round 11); the entropy arm keeps every event
+    (type mix needs no clock). A user whose events are ALL unstamped
+    drops out of the feature table via the inner joins, identically on
+    both engines."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    timed = ev.filter(F.col("ts_us").isNotNull())
     wb = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_BURST_WINDOW_US, 0)
     bursts = (
-        ev.withColumn("b", F.count("*").over(wb))
+        timed.withColumn("b", F.count("*").over(wb))
         .groupBy("user_id")
         .agg(F.max("b").alias("max_burst"))
     )
     wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     dwell = (
-        ev.withColumn("next_us", F.lead("ts_us").over(wl))
+        timed.withColumn("next_us", F.lead("ts_us").over(wl))
         .filter(F.col("next_us").isNotNull())
         .groupBy("user_id")
         .agg(

@@ -24,10 +24,19 @@ _ASOF_ORACLE = """
 WITH views AS (
   SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
 purchases AS (
-  SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')
+  SELECT user_id, epoch_us(ts) AS t, value FROM (
+    SELECT user_id, epoch_us(ts) AS ts_key, ts, value,
+           row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+  WHERE rn = 1)
 SELECT v.user_id, v.event_id, p.value AS asof_value
-FROM views v ASOF LEFT JOIN purchases p
+FROM (SELECT * FROM views WHERE t IS NOT NULL AND user_id IS NOT NULL) v
+ASOF LEFT JOIN purchases p
   ON v.user_id = p.user_id AND v.t >= p.t
+UNION ALL
+SELECT user_id, event_id, NULL AS asof_value
+FROM views WHERE t IS NULL OR user_id IS NULL
 """
 
 
@@ -35,13 +44,28 @@ FROM views v ASOF LEFT JOIN purchases p
 def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-as-of via tagged union + one window pass (single shuffle on
     user_id — no range explosion); DuckDB's native ASOF JOIN is the
-    independent oracle."""
+    independent oracle (NULL-time rows handled outside the ASOF itself,
+    because DuckDB's native ASOF treats a NULL left time as +inf while
+    the SQL comparison reading — pinned here and in the operator — is
+    that NULL matches nothing).
+
+    Simultaneous purchases (same user, same µs) are collapsed to the
+    max-event_id row BEFORE the as-of, on both engines: a native ASOF
+    tie pick and the union+window carry are each otherwise free to
+    return different members of the tie group."""
+    from pyspark.sql import Window
+
     ev = T(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "event_id", F.col("ts_us").alias("t")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts_us").alias("t"), "value"
+    w_tie = Window.partitionBy("user_id", "t").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts_us").alias("t"), "value", "event_id")
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "t", "value")
     )
     out = asof_join(
         views,
