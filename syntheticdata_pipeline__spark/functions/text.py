@@ -419,15 +419,40 @@ def resolve_url(base: Column, href: Column) -> Column:
 # --- tokenization (shared by text-analysis operators) ---------------------------
 
 
+def fold_case(s: Column) -> Column:
+    """Deterministic cross-engine case fold (round-11 casefold stripe).
+
+    Java/Spark ``lower()`` applies Unicode FULL lowercasing
+    (SpecialCasing.txt): U+0130 'İ' → 'i' + U+0307, and Σ → ς under the
+    Final_Sigma context rule. DuckDB ``lower()`` applies the SIMPLE
+    per-codepoint map ('İ' → 'i', Σ → σ always). Those two entries are
+    the ONLY non-locale lowercase differences in Unicode, so
+    canonicalizing both ends — pre-translate 'İ' → 'i', post-translate
+    ς → σ — makes the fold byte-identical on both engines (and stable
+    across Unicode versions, which a content key must be). Twin:
+    :func:`fold_case_sql`.
+    """
+    return F.translate(F.lower(F.translate(s, "İ", "i")), "ς", "σ")
+
+
+def fold_case_sql(s: str) -> str:
+    return f"translate(lower(translate({s}, 'İ', 'i')), 'ς', 'σ')"
+
+
 def ws_normalize(text: Column) -> Column:
-    """lower → trim → collapse ASCII-whitespace runs (incl. VT, see
+    """fold_case → trim → collapse ASCII-whitespace runs (incl. VT, see
     WS_CLASS) to single spaces — the canonical content-key normalization
-    shared by the exact-dedup family and its oracles."""
-    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
+    shared by the exact-dedup family and its oracles. The fold is the
+    deterministic :func:`fold_case`, NOT bare lower(): with bare
+    lower(), the doc pair {'ΑΣ', 'ας'} shares a content key on Spark
+    (full casing folds both to 'ας') but not on DuckDB (simple casing
+    gives 'ασ' vs 'ας') — a dedup-membership divergence, not just a key
+    spelling."""
+    return F.regexp_replace(F.trim(fold_case(text)), WS_CLASS + "+", " ")
 
 
 def ws_normalize_sql(text: str) -> str:
-    return f"regexp_replace(lower(trim({text})), '{WS_CLASS}+', ' ', 'g')"
+    return f"regexp_replace(trim({fold_case_sql(text)}), '{WS_CLASS}+', ' ', 'g')"
 
 
 def tokens(text: Column) -> Column:

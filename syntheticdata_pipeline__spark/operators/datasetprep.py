@@ -133,10 +133,10 @@ def dsir_log_weights(
     one-shuffle profile as a word count at any corpus size.
     """
     from ..functions.determinism import hash_bucket
-    from ..functions.text import tokens
+    from ..functions.text import fold_case, tokens
 
     toks = docs.select(
-        "doc_id", target_pred.alias("__is_target"), tokens(F.lower(F.col("text"))).alias("__t")
+        "doc_id", target_pred.alias("__is_target"), tokens(fold_case(F.col("text"))).alias("__t")
     )
     grams = toks.select(
         "doc_id",

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.determinism import hash_bucket_sql, unit_rand, unit_rand_sql
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import fold_case, fold_case_sql, tokens, tokens_sql
 from ..operators.datasetprep import (
     deterministic_split,
     mixture_expand,
@@ -786,7 +786,7 @@ _dsir_u = unit_rand_sql("doc_id", "dsir-g")
 _DSIR_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, lang, source, {_dsir_tpred} AS is_t,
-         {tokens_sql('lower(text)')} AS t
+         {tokens_sql(fold_case_sql('text'))} AS t
   FROM documents),
 grams AS (
   SELECT doc_id, is_t,

@@ -9,7 +9,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.determinism import unit_rand_sql
-from ..functions.text import tokens, tokens_sql, ws_normalize, ws_normalize_sql
+from ..functions.text import (
+    fold_case,
+    fold_case_sql,
+    tokens,
+    tokens_sql,
+    ws_normalize,
+    ws_normalize_sql,
+)
 from ..operators.neardup import (
     hamming16_sql,
     jaccard,
@@ -259,7 +266,7 @@ _PPL_KEEP_FRAC = 0.75
 
 _PPL_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+  SELECT doc_id, lang, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents),
 lm AS (
   SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
 tot AS (SELECT lang, SUM(cnt) AS total FROM lm GROUP BY 1),
@@ -306,7 +313,7 @@ def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc cume_dist window form at oracle scale."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "doc_id", "lang", F.explode(tokens(fold_case(F.col("text")))).alias("token")
     )
     # vocabulary-sized LM table, referenced twice (totals + the scoring
     # join): pin it so the token explode underneath runs once for it.
@@ -987,7 +994,7 @@ _TFIDF_K = 3
 
 _TFIDF_ORACLE = f"""
 WITH tf AS (
-  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+  SELECT doc_id, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents),
 tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
 dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -1014,7 +1021,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by token."""
     d = T(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        d.select("doc_id", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
@@ -1066,7 +1073,7 @@ _bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 _BM25_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+  SELECT doc_id, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
 stats AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
@@ -1105,7 +1112,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the surviving ≤k rows. At 100 TB every executor
     contributes a k-row heap; only 10 rows ever see the global window."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    toks = d.select("doc_id", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.groupBy().agg(
         F.count("*").alias("n_docs"),
@@ -1373,7 +1380,7 @@ _BG_LAMBDA = 0.7  # bigram weight; (1-lambda) backs off to the unigram
 
 _BIGRAM_PPL_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+  SELECT doc_id, lang, {tokens_sql(fold_case_sql('text'))} AS t FROM documents),
 uni AS (
   SELECT lang, token, COUNT(*) AS cnt
   FROM (SELECT lang, unnest(t) AS token FROM toks) GROUP BY 1, 2),
@@ -1429,7 +1436,7 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM table FIRST (all the count joins run at vocabulary size), so the
     fat transitions relation is joined exactly once."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t"))
+    toks = d.select("doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t"))
     uni = (
         toks.select("lang", F.explode("t").alias("token"))
         .groupBy("lang", "token")
@@ -1506,7 +1513,7 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIVERSITY_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, source, {tokens_sql('lower(text)')} AS t FROM documents),
+  SELECT doc_id, source, {tokens_sql(fold_case_sql('text'))} AS t FROM documents),
 uni AS (SELECT source, unnest(t) AS g FROM toks),
 bi AS (
   SELECT source,
@@ -1537,7 +1544,7 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) shuffles, which Spark expands to a two-stage exact
     distinct — vocabulary-bounded, not corpus-bounded."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("t"))
+    toks = d.select("doc_id", "source", tokens(fold_case(F.col("text"))).alias("t"))
     uni = toks.select("source", F.explode("t").alias("g"))
     bi = toks.filter(F.size("t") >= 2).select(
         "source",
@@ -1575,7 +1582,7 @@ _ZIPF_TOPK = 500
 _ZIPF_ORACLE = f"""
 WITH freq AS (
   SELECT lang, token, COUNT(*) AS cnt
-  FROM (SELECT lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents)
+  FROM (SELECT lang, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents)
   GROUP BY 1, 2),
 ranked AS (
   SELECT lang, cnt,
@@ -1612,7 +1619,7 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     freq = (
-        d.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        d.select("lang", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -2147,7 +2154,7 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CCNET_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+  SELECT doc_id, lang, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents),
 lm AS (
   SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
 tot AS (SELECT lang, SUM(cnt) AS total FROM lm GROUP BY 1),
@@ -2200,7 +2207,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side CASE. No per-doc ranking window anywhere."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        "doc_id", "lang", F.explode(tokens(fold_case(F.col("text")))).alias("token")
     )
     # vocabulary-sized LM table, referenced twice (totals + the scoring
     # join): pin it so the token explode underneath runs once for it.
@@ -2398,7 +2405,7 @@ _HEAPS_FRACS = (0.2, 0.4, 0.6, 0.8, 1.0)
 
 _HEAPS_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({tokens_sql('lower(text)')}) AS token FROM documents),
+  SELECT doc_id, unnest({tokens_sql(fold_case_sql('text'))}) AS token FROM documents),
 first AS (SELECT token, MIN(doc_id) AS first_seen FROM toks GROUP BY token),
 dl AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
 nd AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -2442,7 +2449,7 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Regression sums are trunc-scaled BIGINTs over 5 points
     (exact, order-free); ln() slop absorbed by round(·,6)."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    toks = d.select("doc_id", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
     first = toks.groupBy("token").agg(F.min("doc_id").alias("first_seen"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     nd = d.agg(F.count("*").alias("n_docs"))
@@ -2515,7 +2522,7 @@ _PMI_EXPR = (
 
 _PMI_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+  SELECT doc_id, lang, {tokens_sql(fold_case_sql('text'))} AS t FROM documents),
 uni AS (
   SELECT lang, token, COUNT(*) AS cnt
   FROM (SELECT lang, unnest(t) AS token FROM toks) GROUP BY 1, 2),
@@ -2559,7 +2566,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import top_k_per_group
 
     d = T(spark, sf_dir, "documents")
-    toks = d.select("lang", tokens(F.lower(F.col("text"))).alias("t"))
+    toks = d.select("lang", tokens(fold_case(F.col("text"))).alias("t"))
     uni = (
         toks.select("lang", F.explode("t").alias("token"))
         .groupBy("lang", "token")
@@ -2632,7 +2639,7 @@ _CONT_M = 3
 
 _CONT_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, {tokens_sql('lower(text)')} AS t FROM documents),
+  SELECT doc_id, lang, {tokens_sql(fold_case_sql('text'))} AS t FROM documents),
 ok AS (SELECT * FROM toks WHERE len(t) >= {_CONT_M}),
 tails AS (
   SELECT doc_id AS id_prev, lang,
@@ -2663,7 +2670,7 @@ def doc_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no quadratic stage, linear in the corpus."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t")
+        "doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t")
     ).filter(F.size("t") >= _CONT_M)
     tails = toks.select(
         F.col("doc_id").alias("id_prev"),

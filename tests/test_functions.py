@@ -115,3 +115,43 @@ def test_bucket_micros_alignment(spark):
     df = spark.createDataFrame([(1704067507000000,)], "us long")
     b = df.select(bucket_micros(F.col("us"), 300).alias("b")).collect()[0].b
     assert b == 1704067500000000
+
+
+def test_fold_case_cross_engine_parity(spark):
+    """fold_case/fold_case_sql must be byte-identical on the case-mapping
+    divergers (round-11 casefold stripe): Java/Spark lower() applies
+    Unicode FULL lowercasing (İ → i+U+0307, Final_Sigma → ς), DuckDB the
+    SIMPLE map — the fold canonicalizes both ends. Includes the dedup-
+    membership case: {'ΑΣ', 'ας', 'ΑΣ '} must share one folded key."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from syntheticdata_pipeline__spark.functions.text import fold_case, fold_case_sql
+
+    probes = [
+        "İstanbul",
+        "ΟΔΟΣ",
+        "ΣΙΣΥΦΟΣ",
+        "ΑΣ",
+        "ας",
+        "σς mixed ςσ",
+        "straße",
+        "ẞAL",
+        "ﬁle ﬂow",
+        "ǅungla",
+        "ıI iI",
+        "ＡＢＣ",
+        "plain ASCII Text",
+        "",
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "s string")
+    got = [r.f for r in sdf.select(fold_case(F.col("s")).alias("f")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {fold_case_sql('?')}", [p]).fetchone()[0] for p in probes
+    ]
+    con.close()
+    assert got == want, list(zip(probes, got, want))
+    # membership: the Greek pair folds to ONE key on both engines
+    assert got[probes.index("ΑΣ")] == got[probes.index("ας")] == "ασ"

@@ -96,6 +96,14 @@ _STRIPES = [
     #     EMPTY token identically (round-11 follow-up to the WS_CLASS
     #     fix: pins the trim/split interaction, not just the class)
     "\t\u000bleading ws edges trailing\u000b\t",
+    # 11: case-mapping divergers (round 11) — Java/Spark lower() applies
+    #     Unicode FULL lowercase (SpecialCasing: U+0130 'İ' → 'i'+U+0307,
+    #     Final_Sigma Σ → ς) while DuckDB lower() applies the SIMPLE
+    #     per-codepoint map ('İ' → 'i', Σ → σ always); upper() diverges
+    #     wider (ß → SS vs ẞ, ligature ﬁ → FI vs ﬁ). Any query that
+    #     case-folds document text must fold through a twinned
+    #     deterministic fold, not bare lower().
+    "İstanbul ΟΔΟΣ ΣΙΣΥΦΟΣ straße ẞAL ﬁle ﬂow İİ ΑΣ σς İstanbul ΟΔΟΣ",
 ]
 
 
