@@ -163,6 +163,13 @@ _CHANGED_THIS_ROUND = (
     "user_behavior_features",
     "tumbling_event_stats",
     "sliding_event_counts",
+    # --- floor-bucket convention completion (round 11): week/day bucket
+    # keys move from DIV truncation to floor_bucket_start, so pre-epoch
+    # buckets stop straddling the epoch (retention's cohort key is now
+    # the week START in µs and renamed accordingly) ---
+    "weekly_retention_cohorts",
+    "conversion_deadline_attribution",
+    "multi_resolution_rollup_q",
 )
 
 

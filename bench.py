@@ -87,6 +87,17 @@ STRESS_QUERIES = (
     "cluster_aware_split_leakage",
     "ngram_jaccard_pruned",
     "lsh_param_chooser",
+    # r11: first stress coverage for the EVENTS family — the replication
+    # keeps user_id (copies share users), so every per-user window/sort
+    # partition grows by the factor and every copied timestamp becomes a
+    # duplicate-instant tie: the hot-user axis, the hard one (more-users
+    # growth is embarrassingly parallel by construction). Growth must be
+    # ~linear: these are one-shuffle-per-user-key plans (sessionize,
+    # as-of union+carry, lag matrix, 3-arm feature join).
+    "asof_view_purchase",
+    "session_windows_batch",
+    "event_transition_matrix",
+    "user_behavior_features",
 )
 STRESS_FACTOR = 10
 # second, deeper replication point for the paths whose state/postings
@@ -95,6 +106,10 @@ STRESS_FACTOR = 10
 # max-span) get a 30x sample too (keys land in scale_stress as
 # "<name>@30x", with growth_vs_10x locking the curve shape).
 STRESS_QUERIES_DEEP = (
+    # r11: the as-of is the events query most exposed to the duplicate-
+    # instant blowup (its (user, t) tie collapse must keep the carried
+    # state linear) — give it the deep point too.
+    "asof_view_purchase",
     "incremental_dedup_survivors",
     "jaccard_prefix_filter_join",
     "substring_max_span",
@@ -143,28 +158,35 @@ def _load_baseline_sf() -> str:
 
 
 def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
-    """Materialize <tmp>/documents.parquet and <tmp>/embeddings.parquet as
-    `factor` copies of the source tables (ids offset per copy so dedup /
-    ANN keys stay realistic: exact-duplicate groups and cell occupancy
-    scale by `factor`), other tables symlinked. The `_v2` suffix versions
-    the layout (v1 symlinked embeddings)."""
+    """Materialize <tmp>/documents.parquet, <tmp>/embeddings.parquet and
+    <tmp>/events.parquet as `factor` copies of the source tables (ids
+    offset per copy so dedup / ANN keys stay realistic: exact-duplicate
+    groups and cell occupancy scale by `factor`; events keep user_id so
+    per-user partitions grow by `factor` and copied timestamps become
+    duplicate-instant ties — the hot-user axis), other tables symlinked.
+    The `_v3` suffix versions the layout (v1 symlinked embeddings, v2
+    symlinked events)."""
     import pyspark.sql.functions as F
 
     base = f"/tmp/spark_graft_stress_{os.path.basename(sf_dir.rstrip('/'))}_{factor}x"
-    stress = f"{base}_v2"
+    stress = f"{base}_v3"
     marker = os.path.join(stress, "_READY")
-    # Reclaim any superseded v1 layout (symlinked embeddings) so stale
-    # replicated parquet doesn't accumulate under /tmp — unconditionally,
-    # not only when v2 still needs building: on a machine where v2 is
-    # already READY the v1 dirs would otherwise never be removed
-    # (r7 + r8 ADVICE).
-    if os.path.isdir(base):
-        import shutil
+    # Reclaim superseded layouts (v1 symlinked embeddings, v2 symlinked
+    # events) so stale replicated parquet doesn't accumulate under /tmp —
+    # unconditionally, not only when the current layout still needs
+    # building (r7 + r8 ADVICE; tests/test_bench_reclaim.py).
+    import shutil
 
-        shutil.rmtree(base, ignore_errors=True)
+    for old in (base, f"{base}_v2"):
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
     if not os.path.exists(marker):
         os.makedirs(stress, exist_ok=True)
-        for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        for table, id_col in (
+            ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+            ("events", "event_id"),
+        ):
             src_df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
             n = src_df.count()
             copies = src_df
@@ -175,7 +197,7 @@ def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
             copies.repartition(32).write.mode("overwrite").parquet(
                 os.path.join(stress, f"{table}.parquet")
             )
-        for t in "region nation customer supplier part orders lineitem events".split():
+        for t in "region nation customer supplier part orders lineitem".split():
             link = os.path.join(stress, f"{t}.parquet")
             src = os.path.join(sf_dir, f"{t}.parquet")
             if not os.path.exists(link) and os.path.exists(src):

@@ -119,6 +119,25 @@ def clamped_floor_sql(pos_sql: str, lo: float, hi: float) -> str:
     )
 
 
+def floor_bucket_start(us: Column, width_us: int) -> Column:
+    """FLOOR-aligned bucket start for integer-µs timestamps: the largest
+    multiple of ``width_us`` that is ≤ ``us`` — for EVERY timestamp,
+    including pre-epoch (hostile-ts sweep, round 11). ``us - us % w``
+    flips to ceiling for negative µs (Java % keeps the dividend's sign)
+    and splits the epoch-straddling bucket in two, so 1969-12-31 23:59
+    and 1970-01-01 00:00 land in one double-width "bucket 0"; pmod is
+    the sign-safe remainder. Matches Spark's native window().start.
+    Twin: :func:`floor_bucket_start_sql`."""
+    return us - F.pmod(us, F.lit(width_us))
+
+
+def floor_bucket_start_sql(us_sql: str, width_us: int) -> str:
+    """DuckDB twin of :func:`floor_bucket_start` (DuckDB's ``//`` and
+    ``%`` truncate toward zero, so the mathematical mod is spelled
+    out)."""
+    return f"({us_sql} - (({us_sql} % {width_us}) + {width_us}) % {width_us})"
+
+
 def dsum(col: Column, scale: int = 2, precision: int = 38) -> Column:
     """Order-independent SUM of a double column with ``scale`` true decimals.
 

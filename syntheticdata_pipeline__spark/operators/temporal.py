@@ -187,13 +187,18 @@ def multi_resolution_rollup(
     total instead of one scan+shuffle per resolution.
 
     ``resolutions``: (label, width_us) pairs; output carries
-    ``resolution`` and ``bucket_start_us``.
+    ``resolution`` and ``bucket_start_us``. Buckets are FLOOR-aligned
+    for every timestamp including pre-epoch (hostile-ts convention,
+    round 11: ``t - t % w`` flips to ceiling for negative µs), matching
+    Spark's native window().start.
     """
     pairs = F.array(
         *[
             F.struct(
                 F.lit(label).alias("resolution"),
-                (time_us - time_us % F.lit(width)).cast("bigint").alias("bucket_start_us"),
+                (time_us - F.pmod(time_us, F.lit(width)))
+                .cast("bigint")
+                .alias("bucket_start_us"),
             )
             for label, width in resolutions
         ]

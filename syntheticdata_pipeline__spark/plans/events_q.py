@@ -20,6 +20,8 @@ from ..functions.determinism import (
     dstddev_sql,
     finite_or_null,
     finite_or_null_sql,
+    floor_bucket_start,
+    floor_bucket_start_sql,
     unit_rand_sql,
 )
 from . import register
@@ -389,11 +391,12 @@ _WEEK_US = 7 * 86_400 * 1_000_000
 
 _RETENTION_ORACLE = f"""
 WITH uw AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events),
+  SELECT DISTINCT user_id,
+         {floor_bucket_start_sql('epoch_us(ts)', _WEEK_US)} AS week FROM events),
 cohort AS (
   SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY user_id)
-SELECT CAST(c.w0 AS BIGINT) AS cohort_week,
-       CAST(u.week - c.w0 AS BIGINT) AS week_offset,
+SELECT CAST(c.w0 AS BIGINT) AS cohort_week_start_us,
+       CAST((u.week - c.w0) // {_WEEK_US} AS BIGINT) AS week_offset,
        COUNT(*) AS n_active
 FROM uw u JOIN cohort c ON u.user_id = c.user_id
 GROUP BY c.w0, u.week - c.w0
@@ -404,17 +407,23 @@ GROUP BY c.w0, u.week - c.w0
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: distinct (user, week) → per-user first week →
     join back + offset rollup. Both aggregates and the join share the
-    user_id shuffle key (one exchange reused); weeks are integer µs
-    division, no calendar/timezone arithmetic."""
+    user_id shuffle key (one exchange reused); weeks are FLOOR-aligned
+    µs buckets (hostile-ts convention, round 11 — `ts_us DIV week`
+    truncates toward zero, so the epoch-straddling "week 0" spanned TWO
+    weeks for pre-epoch data). The cohort key is the week's start in µs;
+    week_offset stays an ordinal (the difference is an exact small
+    multiple of the width)."""
     ev = T(spark, sf_dir, "events")
     uw = ev.select(
-        "user_id", F.expr(f"ts_us DIV {_WEEK_US}").alias("week")
+        "user_id", floor_bucket_start(F.col("ts_us"), _WEEK_US).alias("week")
     ).distinct()
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("w0"))
     j = uw.join(cohort, "user_id")
     return j.groupBy(
-        F.col("w0").cast("bigint").alias("cohort_week"),
-        (F.col("week") - F.col("w0")).cast("bigint").alias("week_offset"),
+        F.col("w0").cast("bigint").alias("cohort_week_start_us"),
+        ((F.col("week") - F.col("w0")) / F.lit(_WEEK_US)).cast("bigint").alias(
+            "week_offset"
+        ),
     ).agg(F.count("*").alias("n_active"))
 
 
@@ -1250,7 +1259,7 @@ WITH seq AS (
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
   FROM events),
 views AS (
-  SELECT (us // {_DAY_US_ATTR}) * {_DAY_US_ATTR} AS view_day_us,
+  SELECT {floor_bucket_start_sql('us', _DAY_US_ATTR)} AS view_day_us,
     (next_purchase_us IS NOT NULL
      AND next_purchase_us - us <= {_CONV_DEADLINE_US}) AS converted
   FROM seq WHERE event_type = 'view')
@@ -1286,7 +1295,9 @@ def conversion_deadline_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).over(w),
     )
     views = seq.filter(F.col("event_type") == "view").select(
-        F.expr(f"(ts_us DIV {_DAY_US_ATTR}) * {_DAY_US_ATTR}").alias("view_day_us"),
+        # FLOOR-aligned day bucket (hostile-ts convention, round 11):
+        # DIV truncates toward zero, splitting the epoch-straddling day
+        floor_bucket_start(F.col("ts_us"), _DAY_US_ATTR).alias("view_day_us"),
         (
             F.col("next_purchase_us").isNotNull()
             & (F.col("next_purchase_us") - F.col("ts_us") <= _CONV_DEADLINE_US)

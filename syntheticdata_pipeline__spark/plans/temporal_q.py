@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import finite_or_null, finite_or_null_sql
+from ..functions.determinism import (
+    finite_or_null,
+    finite_or_null_sql,
+    floor_bucket_start_sql,
+)
 from ..operators.temporal import asof_join, multi_resolution_rollup, range_join_buckets
 from . import register
 from .common import T
@@ -126,7 +130,8 @@ def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RES = [("5m", 5 * 60 * 1_000_000), ("1h", 3600 * 1_000_000), ("1d", 86400 * 1_000_000)]
 
 _res_union = " UNION ALL ".join(
-    f"SELECT '{label}' AS resolution, (epoch_us(ts) // {width}) * {width} AS bucket_start_us, "
+    f"SELECT '{label}' AS resolution, "
+    f"{floor_bucket_start_sql('epoch_us(ts)', width)} AS bucket_start_us, "
     f"event_type, value FROM events"
     for label, width in _RES
 )

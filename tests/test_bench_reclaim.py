@@ -10,31 +10,35 @@ import os
 import shutil
 
 
-def test_v1_stress_dir_reclaimed_even_when_v2_ready(tmp_path):
+def test_superseded_stress_dirs_reclaimed_even_when_current_ready(tmp_path):
     import bench
 
     sf_dir = str(tmp_path / "sfreclaimtest")
     os.makedirs(sf_dir)
     base = f"/tmp/spark_graft_stress_{os.path.basename(sf_dir)}_10x"
     v2 = f"{base}_v2"
+    v3 = f"{base}_v3"
     try:
-        # plant a fake superseded v1 dir beside a READY v2
-        os.makedirs(base, exist_ok=True)
-        with open(os.path.join(base, "stale.parquet"), "w") as f:
-            f.write("stale")
-        os.makedirs(v2, exist_ok=True)
-        with open(os.path.join(v2, "_READY"), "w") as f:
+        # plant fake superseded v1 AND v2 dirs beside a READY v3
+        for old_dir in (base, v2):
+            os.makedirs(old_dir, exist_ok=True)
+            with open(os.path.join(old_dir, "stale.parquet"), "w") as f:
+                f.write("stale")
+        os.makedirs(v3, exist_ok=True)
+        with open(os.path.join(v3, "_READY"), "w") as f:
             f.write("ok")
 
         # spark=None: with a READY marker the build path is never taken
         out = bench._build_stress_dir(None, sf_dir, 10)
 
-        assert out == v2
-        assert os.path.exists(os.path.join(v2, "_READY"))
+        assert out == v3
+        assert os.path.exists(os.path.join(v3, "_READY"))
         assert not os.path.exists(base), "superseded v1 layout must be reclaimed"
+        assert not os.path.exists(v2), "superseded v2 layout must be reclaimed"
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(v2, ignore_errors=True)
+        shutil.rmtree(v3, ignore_errors=True)
 
 
 class _FakeClock:
