@@ -170,6 +170,34 @@ _CHANGED_THIS_ROUND = (
     "weekly_retention_cohorts",
     "conversion_deadline_attribution",
     "multi_resolution_rollup_q",
+    # --- degenerate-vector sweep (round 11): the valid-vector rule gains
+    # the corpus-dim check (ragged/empty vectors nullified at load) and
+    # cosine gains the zero-norm guard. Clean-fixture outputs are
+    # IDENTICAL (the clean corpus is uniformly dim-64 with no zero
+    # norms) — listed per the rewritten-build discipline, ordered last
+    # as the lowest-risk tier-0 tail (cosine_pair_histogram is already
+    # listed in the head block) ---
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_recall_at_k",
+    "ann_dim_truncation_recall",
+    "array_error_metrics",
+    "cosine_neardup_lsh",
+    "cosine_neardup_lsh_probed",
+    "embedding_cosine_neardup",
+    "embedding_covariance",
+    "embedding_int8_quantize",
+    "embedding_moments",
+    "embedding_norms",
+    "embedding_top_pc_power",
+    "inception_score_splits",
+    "kmeans_embedding_clusters",
+    "semantic_decontaminate",
+    "semantic_dedup_stats",
+    "similarity_pagerank",
+    "split_mean_labels",
 )
 
 

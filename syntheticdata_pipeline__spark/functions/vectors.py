@@ -47,11 +47,20 @@ def l2_norm_sql(a: str) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either side is the zero vector (degenerate-vector sweep,
+    round 11): a zero norm makes the ratio 0/0 — Spark's ANSI division
+    raises outright and DuckDB's IEEE division yields NaN, which ranks
+    FIRST under DESC, so without the guard one all-zeros embedding (a
+    failed encoder's natural output) crashes or tops every similarity
+    list. An angle with the zero vector is undefined; NULL is the pinned
+    twinned answer."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != F.lit(0.0), dot(a, b) / den)
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+    den = f"({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+    return f"(CASE WHEN {den} <> 0.0 THEN {dot_sql(a, b)} / {den} END)"
 
 
 def mae(a: Column, b: Column) -> Column:

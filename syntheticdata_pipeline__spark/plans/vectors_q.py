@@ -54,12 +54,17 @@ def _nonnull_vec_oracle(sql: str) -> str:
 
 
 # Valid-vector rule (round-9 non-finite sweep; NULL-component case
-# pinned round 10): an embedding with ANY non-finite OR NULL component
-# is not a valid vector — NaN/±Inf carry no geometry (a NaN dot product
-# ranks FIRST under DESC in both engines, so one corrupt vector would
-# top every ANN result list; kernels with scaled-integer accumulation
-# crash outright), and a NULL component makes every dot product /
-# norm NULL. Such vectors are nullified AT LOAD on both sides, so the
+# pinned round 10; DIMENSION case pinned by the round-11 degenerate-
+# vector sweep): an embedding with ANY non-finite OR NULL component,
+# OR whose length differs from the corpus dimension (_DIM — an
+# embedding dim is a dataset schema property; ragged vectors are
+# schema drift, and an empty [] folds to 0.0 where NULL folds to
+# NULL), is not a valid vector — NaN/±Inf carry no geometry (a NaN dot
+# product ranks FIRST under DESC in both engines, so one corrupt
+# vector would top every ANN result list; kernels with scaled-integer
+# accumulation crash outright; a 32-wide vector zip_withs against a
+# 64-wide one with NULL padding while a position-indexed join just
+# drops rows). Such vectors are nullified AT LOAD on both sides, so the
 # NULL-embedding semantics each query already pins (r9 NULL-embeddings
 # sweep) take over: searchable/pairable queries drop them via their
 # isNotNull filters, survivor counters keep the row with no vector.
@@ -71,8 +76,11 @@ def _nonnull_vec_oracle(sql: str) -> str:
 # asymmetry this contract exists to forbid (r9 ADVICE item #1; fixture:
 # the null-component stripe in tests/test_embeddings_adversarial.py).
 
+_DIM = 64  # corpus embedding dimension (TESTDATA.md schema contract)
+
 _FINITE_VEC_CTE = (
     "embf AS (SELECT * REPLACE (CASE WHEN embedding IS NOT NULL AND "
+    f"len(embedding) = {_DIM} AND "
     "coalesce(list_aggregate(list_transform(embedding,"
     " x -> x IS NOT NULL AND isfinite(x)), 'bool_and'), TRUE)"
     " THEN embedding END AS embedding) FROM embeddings)"
@@ -111,7 +119,12 @@ def _E(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ef.withColumn(
         "embedding",
-        F.when(F.col("embedding").isNotNull() & all_finite, F.col("embedding")),
+        F.when(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == F.lit(_DIM))
+            & all_finite,
+            F.col("embedding"),
+        ),
     )
 
 
@@ -159,7 +172,6 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _N_PLANES = 4
-_DIM = 64
 _planes = hyperplanes(_N_PLANES, _DIM)
 
 _probe_list = "[b.bucket, " + ", ".join(
