@@ -312,9 +312,15 @@ def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep flag. tests/test_quantile_deskew.py proves this equal to the
     per-doc cume_dist window form at oracle scale."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokens(fold_case(F.col("text")))).alias("token")
-    )
+    # The token ARRAYS feed two consumers (LM training + the scoring
+    # join): pin the pre-explode form once — the fold+regex tokenize is
+    # the expensive codegen stage since the WS_CLASS/fold_case
+    # contracts, the array form is ~text-sized, and replaying the
+    # explode is cheap (r11 hoist; same call as pmi_collocations).
+    arrs = d.select(
+        "doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    toks = arrs.select("doc_id", "lang", F.explode("t").alias("token"))
     # vocabulary-sized LM table, referenced twice (totals + the scoring
     # join): pin it so the token explode underneath runs once for it.
     lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt")).localCheckpoint(
@@ -1434,9 +1440,13 @@ def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus being scored, so every observed transition has count ≥ 1.
     The per-transition log-probability is folded into the (lang, w1, w2)
     LM table FIRST (all the count joins run at vocabulary size), so the
-    fat transitions relation is joined exactly once."""
+    fat transitions relation is joined exactly once. The token arrays
+    feed three consumers (unigrams, transitions twice) — pinned once
+    via localCheckpoint (r11 hoist; see pmi_collocations)."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t"))
+    toks = d.select(
+        "doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     uni = (
         toks.select("lang", F.explode("t").alias("token"))
         .groupBy("lang", "token")
@@ -1544,7 +1554,11 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) shuffles, which Spark expands to a two-stage exact
     distinct — vocabulary-bounded, not corpus-bounded."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", tokens(fold_case(F.col("text"))).alias("t"))
+    # token arrays pinned once for the uni + bi consumers (r11 hoist;
+    # see pmi_collocations)
+    toks = d.select(
+        "doc_id", "source", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     uni = toks.select("source", F.explode("t").alias("g"))
     bi = toks.filter(F.size("t") >= 2).select(
         "source",
@@ -2206,9 +2220,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent); the two threshold rows per language broadcast into a
     map-side CASE. No per-doc ranking window anywhere."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokens(fold_case(F.col("text")))).alias("token")
-    )
+    # The token ARRAYS feed two consumers (LM training + the scoring
+    # join): pin the pre-explode form once — the fold+regex tokenize is
+    # the expensive codegen stage since the WS_CLASS/fold_case
+    # contracts, the array form is ~text-sized, and replaying the
+    # explode is cheap (r11 hoist; same call as pmi_collocations).
+    arrs = d.select(
+        "doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    toks = arrs.select("doc_id", "lang", F.explode("t").alias("token"))
     # vocabulary-sized LM table, referenced twice (totals + the scoring
     # join): pin it so the token explode underneath runs once for it.
     lm = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt")).localCheckpoint(
@@ -2449,7 +2469,13 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Regression sums are trunc-scaled BIGINTs over 5 points
     (exact, order-free); ln() slop absorbed by round(·,6)."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
+    # token arrays pinned once for the two partial aggs (r11 hoist; see
+    # pmi_collocations — the docstring's 'one scan' promise was only
+    # true before the fold/WS contracts made re-tokenizing expensive)
+    arrs = d.select(
+        "doc_id", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    toks = arrs.select("doc_id", F.explode("t").alias("token"))
     first = toks.groupBy("token").agg(F.min("doc_id").alias("first_seen"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     nd = d.agg(F.count("*").alias("n_docs"))
@@ -2566,7 +2592,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import top_k_per_group
 
     d = T(spark, sf_dir, "documents")
-    toks = d.select("lang", tokens(fold_case(F.col("text"))).alias("t"))
+    # toks feeds BOTH the unigram and the bigram pass: pin it once
+    # (localCheckpoint) or the fold+regex tokenize — the expensive
+    # codegen stage since the WS_CLASS/fold_case contracts — runs twice
+    # over the corpus (measured 2.5x at sf0.1, r11). Same materialize-
+    # vs-recompute call as `bi` below; the token arrays are ~text-sized,
+    # the honest cost of a two-consumer tokenize at any scale.
+    toks = d.select("lang", tokens(fold_case(F.col("text"))).alias("t")).localCheckpoint(
+        eager=False
+    )
     uni = (
         toks.select("lang", F.explode("t").alias("token"))
         .groupBy("lang", "token")

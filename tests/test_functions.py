@@ -155,3 +155,50 @@ def test_fold_case_cross_engine_parity(spark):
     assert got == want, list(zip(probes, got, want))
     # membership: the Greek pair folds to ONE key on both engines
     assert got[probes.index("ΑΣ")] == got[probes.index("ας")] == "ασ"
+
+
+def test_floor_bucket_start_cross_engine_parity(spark):
+    """floor_bucket_start/floor_bucket_start_sql must agree on pre-epoch,
+    epoch-adjacent, positive, and NULL µs values — and genuinely FLOOR
+    (window_start <= ts, one width wide) where `x - x % w` (Spark) and
+    `(x // w) * w` (DuckDB) both flip to ceiling for negatives."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from syntheticdata_pipeline__spark.functions.determinism import (
+        floor_bucket_start,
+        floor_bucket_start_sql,
+    )
+
+    w = 300_000_000  # 5 minutes in µs
+    probes = [
+        -15_133_450_000_000,  # the hostile-ts battery's 1969 diverger
+        -1,
+        -w,
+        -w - 1,
+        0,
+        1,
+        w - 1,
+        w,
+        1_705_320_000_000_000,
+        None,
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "us long")
+    got = [
+        r.b for r in sdf.select(floor_bucket_start(F.col("us"), w).alias("b")).collect()
+    ]
+    con = duckdb.connect()
+    # the twin expands its argument twice, hence two bind params
+    want = [
+        con.execute(f"SELECT {floor_bucket_start_sql('?::BIGINT', w)}", [p, p]).fetchone()[0]
+        for p in probes
+    ]
+    con.close()
+    assert got == want, list(zip(probes, got, want))
+    for p, b in zip(probes, got):
+        if p is None:
+            assert b is None
+        else:
+            assert b <= p < b + w, (p, b)
+            assert b % w == 0
