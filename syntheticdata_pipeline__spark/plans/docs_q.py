@@ -1118,7 +1118,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the surviving ≤k rows. At 100 TB every executor
     contributes a k-row heap; only 10 rows ever see the global window."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(fold_case(F.col("text")))).alias("token"))
+    # token arrays pinned once for the doc-length and postings consumers
+    # (r11 hoist; see pmi_collocations)
+    arrs = d.select(
+        "doc_id", tokens(fold_case(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
+    toks = arrs.select("doc_id", F.explode("t").alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.groupBy().agg(
         F.count("*").alias("n_docs"),
@@ -2703,9 +2708,13 @@ def doc_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary width for natural text); no
     window, no quadratic stage, linear in the corpus."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t")
-    ).filter(F.size("t") >= _CONT_M)
+    # token arrays pinned once for the tails + heads consumers (r11
+    # hoist; see pmi_collocations)
+    toks = (
+        d.select("doc_id", "lang", tokens(fold_case(F.col("text"))).alias("t"))
+        .filter(F.size("t") >= _CONT_M)
+        .localCheckpoint(eager=False)
+    )
     tails = toks.select(
         F.col("doc_id").alias("id_prev"),
         "lang",
