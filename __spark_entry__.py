@@ -43,93 +43,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver round has re-checked them post-rewrite. Add entries here ONLY
 # for queries rewritten this round.
 #
-# Round 11: the r10 window drained the entire r9 rewrite tail
-# (CORRECTNESS_r10.json: all 27 tier-0 entries green) and the r5
-# cohort, so the freeze lifted and the three queued fix waves landed
-# (DIVERGENCES.md "Queued fixes", r10 → r11). The six entries below are
-# the queries those waves rewrote:
-#   - exact_median_two_pass: NULLs leave the selection machinery
-#     (n/k/buckets count measurements only) + clamped bucket indexes;
-#   - event_value_histogram / cosine_pair_histogram: bucket/bin indexes
-#     clamp into the BIGINT envelope on both engines (clamped_floor);
-#   - weighted_sample_no_replacement / tpch_q2_min_cost_supplier:
-#     ANSI-divide → try_divide/NULLIF, zero-denominator rows fall out
-#     identically;
-#   - parse_props_json: tolerant-parse contract keyed on
-#     object-parseability (not the test stripe's marker prefix), strict
-#     int32 LAST_WIN extraction, regex-twinned oracle.
-# Mid-round addition: the hostile-text battery (tests/
-# test_text_adversarial.py) found a real cross-engine tokenizer
-# divergence — Java's \s includes \x0B (vertical tab), RE2's does not —
-# so every '\s' in a twinned kernel (tokens/tokens_sql, slugify,
-# strip_html, the exact-dedup content-key normalize, BPE_ISH_PATTERN)
-# was replaced by the explicit WS_CLASS set, and the
-# html_selector_extract oracle gained the get_text(strip=True) twin.
-# That rewrites the oracle text of 57 token-family queries (listed
-# below after the six wave entries, in registry order); the regex-
-# flavor wave adds three more. 66 tier-0 entries overflow a 50-slot
-# window by 16 (all on the mechanical whitespace tail, by the
-# priority-order rule in _catalog_order): every changed query is green
-# in SELFCHECK.json (sf0.01, re-run post-rewrite) and the in-suite
-# sf0.001 full-catalog parity test; the overflow and the r6-r8 cohorts
-# (13+10+14 unrewritten queries) cycle through the r12 window next.
+# Round 12 — HARD FREEZE (r11 verdict "Next round" #1): no semantics
+# changed this round; the list below is exactly the 51 round-11 rewrites
+# that the 50-slot r11 window could not reach (CORRECTNESS_r11.json
+# drained the other 50). Every entry was independently re-verified by
+# the r11 judge at sf0.01 (51/51) and is green in SELFCHECK.json and the
+# in-suite sf0.001 full-catalog parity test; this round exists to put
+# the DRIVER's evidence back in front of the code. Any new adversarial
+# finding this round is committed as a fixture + DIVERGENCES "Queued
+# fixes" entry and lands in r13 — unless it is wrong-answer-on-CLEAN-
+# data. Tier-0 size / window / overflow are COMPUTED by
+# tools/staleness.py (pinned in tests/test_staleness_report.py) — do
+# not hand-write those numbers here (r11 verdict "What's wrong" #2).
+#
+# List order is r11's priority order preserved: whitespace-class (VT)
+# tokenizer tail first, then the hostile-timestamp events wave, the
+# floor-bucket trio, and the degenerate-vector ANN/embeddings wave —
+# the lowest-risk tail (clean-fixture outputs identical) sits last so
+# any 1-entry overflow falls on it.
 _CHANGED_THIS_ROUND = (
-    "exact_median_two_pass",
-    "event_value_histogram",
-    "cosine_pair_histogram",
-    "weighted_sample_no_replacement",
-    "tpch_q2_min_cost_supplier",
-    "parse_props_json",
-    # --- regex-flavor ('.' vs \r/U+2028, greedy-prefix) wave, round 11:
-    # _P_LAST_SEG's tail and the props-oracle k-extraction prefix moved
-    # from '.' to [\s\S] so Java and RE2 read them identically ---
-    "extract_ids_from_urls",
-    "pipeline_end_to_end",
-    # resolve_url gained the CPython WHATWG unsafe-byte removal (same
-    # flavor sweep; clean-fixture outputs identical, build rewritten):
-    "resolve_relative_urls",
-    # --- whitespace-class (VT) rewrite wave, round 11 ---
-    "bigram_perplexity_gate",
-    "bloom_decontaminate",
-    "bm25_topk_docs",
-    "ccnet_perplexity_buckets",
-    "chunk_documents",
-    "chunk_level_dedup_stats",
-    "cluster_aware_split_leakage",
-    "cluster_best_survivors",
-    "cluster_dedup_stats",
-    "corpus_dedup_pipeline",
-    "cross_source_overlap",
-    "curation_pipeline_end_to_end",
-    "decontaminate_train",
-    "doc_continuation_pairs",
-    "doc_quality_scores",
-    "doc_token_stats",
-    "domain_quota_topquality",
-    "dsir_importance_resample",
-    "dup_rate_estimate",
-    "exact_dedup_docs",
-    "gopher_quality_flags",
-    "heaps_vocab_growth",
-    "html_selector_extract",
-    "html_title_extract",
-    "incremental_dedup_survivors",
-    "intradoc_repeated_span",
-    "jaccard_prefix_filter_join",
-    "lang_id_confusion",
-    "lsh_band_sweep",
-    "lsh_param_chooser",
-    "minhash_lsh_candidates",
-    "neardup_clusters",
-    "ngram_containment_pairs",
-    "ngram_diversity_by_source",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pruned",
-    "pack_token_bins",
-    "pmi_collocations",
-    "quality_duplication_lift",
-    "rank_normalized_quality",
-    "repetition_dup_ngrams",
+    # --- whitespace-class (VT) rewrite tail, round 11 ---
     "repetition_top_bigram",
     "simhash_hamming_pairs_q",
     "simhash_signatures",
@@ -249,11 +182,11 @@ def _catalog_order(names: list[str]) -> list[str]:
     def key(name: str) -> tuple[int, int, int]:
         idx_n = idx[name]
         if name in _CHANGED_THIS_ROUND:
-            # within tier 0, list order is priority order: when the tier
-            # overflows the driver window (63 entries vs 50 slots, r11),
-            # the cut must fall on the LIST's tail — the mechanical
-            # whitespace wave — never on the semantic fix waves at its
-            # head, whatever their registry positions are
+            # within tier 0, list order is priority order: if the tier
+            # overflows the driver window (tools/staleness.py computes
+            # and prints the overflow), the cut must fall on the LIST's
+            # tail — the lowest-risk wave — never on the semantic fix
+            # waves at its head, whatever their registry positions are
             return (0, _CHANGED_THIS_ROUND.index(name), idx_n)
         if name not in last_round:
             return (1, 0, idx_n)

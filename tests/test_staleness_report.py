@@ -1,0 +1,100 @@
+"""Pin the tier-0 bookkeeping: tools/staleness.py COMPUTES the
+size/window/overflow numbers, and __spark_entry__.py's comment must not
+hand-write them (r11 verdict "What's wrong" #2 — the r11 comment said
+"overflow ... by 16" when the real overflow was 51).
+
+No SparkSession needed — this exercises only the ordering metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+import __spark_entry__ as entry  # noqa: E402
+import staleness  # noqa: E402
+
+from syntheticdata_pipeline__spark.plans import load_all  # noqa: E402
+
+
+def _ordered_names() -> list[str]:
+    return entry._catalog_order(list(load_all()))
+
+
+def test_changed_list_names_exist_in_registry():
+    registry = set(load_all())
+    unknown = [n for n in entry._CHANGED_THIS_ROUND if n not in registry]
+    assert unknown == [], f"typo'd _CHANGED_THIS_ROUND entries: {unknown}"
+
+
+def test_changed_list_has_no_duplicates():
+    names = entry._CHANGED_THIS_ROUND
+    assert len(names) == len(set(names))
+
+
+def test_overflow_is_computed_not_hand_written():
+    """The overflow must equal max(0, tier0 - WINDOW): tier-0 entries
+    sort strictly first in _catalog_order, so exactly the list tail
+    beyond WINDOW misses the window."""
+    ordered = _ordered_names()
+    changed = set(entry._CHANGED_THIS_ROUND)
+    overflow = staleness.tier0_overflow(ordered, changed)
+    expected_n = max(0, len(changed) - staleness.WINDOW)
+    assert len(overflow) == expected_n
+    # and the overflow is exactly the priority-list tail, in order
+    assert overflow == list(entry._CHANGED_THIS_ROUND)[staleness.WINDOW :]
+
+
+def test_summary_line_matches_computation():
+    ordered = _ordered_names()
+    changed = set(entry._CHANGED_THIS_ROUND)
+    line = staleness.summary_line(ordered, changed)
+    m = re.fullmatch(
+        r"tier0: (\d+) rewritten-unchecked; window: (\d+); overflow: (\d+)", line
+    )
+    assert m, line
+    assert int(m.group(1)) == len(changed)
+    assert int(m.group(2)) == staleness.WINDOW
+    assert int(m.group(3)) == len(staleness.tier0_overflow(ordered, changed))
+
+
+def test_entry_comment_contains_no_hand_written_overflow():
+    """The tier-0 comment block must defer to tools/staleness.py instead
+    of asserting numeric size/window/overflow claims like r11's stale
+    'overflow a 50-slot window by 16'."""
+    src = open(os.path.join(ROOT, "__spark_entry__.py")).read()
+    block = src[: src.index("_CHANGED_THIS_ROUND = (")]
+    assert "tools/staleness.py" in block
+    assert not re.search(r"overflow[s]? a \d+-slot window by \d+", block)
+
+
+def test_tier0_entries_precede_all_other_tiers():
+    ordered = _ordered_names()
+    changed = set(entry._CHANGED_THIS_ROUND)
+    n = len(changed)
+    assert set(ordered[:n]) == changed
+
+
+def test_tier0_entries_were_not_driver_checked_since_rewrite():
+    """Round-12 freeze pin: every tier-0 entry is a round-11 rewrite the
+    r11 window missed — none may appear in CORRECTNESS_r11.json (entries
+    the r11 driver re-checked post-rewrite must leave the list).
+
+    Pinned to the correctness file that was CURRENT when this round's
+    list was written (not "latest": the driver writes CORRECTNESS_r12
+    at round end, after the list is frozen). Each round's list
+    maintenance bumps this pin alongside the list itself.
+    """
+    pin = "CORRECTNESS_r11.json"
+    checked = set(json.load(open(os.path.join(ROOT, pin))))
+    stale_greens = [n for n in entry._CHANGED_THIS_ROUND if n in checked]
+    assert stale_greens == [], (
+        f"{pin} already re-checked these post-rewrite; they must leave "
+        f"_CHANGED_THIS_ROUND: {stale_greens}"
+    )

@@ -22,6 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 
 
+def tier0_overflow(ordered: list[str], changed: set[str]) -> list[str]:
+    """The rewritten-since-last-check queries the next WINDOW-slot driver
+    pass will NOT reach — always computed, never hand-written."""
+    return [n for n in ordered[WINDOW:] if n in changed]
+
+
+def summary_line(ordered: list[str], changed: set[str]) -> str:
+    """One-line tier-0 bookkeeping: size / window / overflow."""
+    return (
+        f"tier0: {len(changed)} rewritten-unchecked; window: {WINDOW}; "
+        f"overflow: {len(tier0_overflow(ordered, changed))}"
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -62,6 +76,12 @@ def main() -> None:
             key = f"green r{last_round[name]}"
         hist[key] = hist.get(key, 0) + 1
 
+    # The canonical bookkeeping line — __spark_entry__.py's tier-0
+    # comment must NOT hand-write these numbers (r11 verdict #2); this
+    # computed line is the source of truth, pinned by
+    # tests/test_staleness_report.py.
+    print(summary_line(ordered, changed))
+
     print(f"catalog: {len(ordered)} queries; driver window: {WINDOW}")
     for key in sorted(hist):
         print(f"  {hist[key]:4d}  {key}")
@@ -72,7 +92,7 @@ def main() -> None:
         f"next window: {in_win_changed} rewritten-this-round + "
         f"{WINDOW - in_win_changed} cohort-refresh slots"
     )
-    overflow = [n for n in ordered[WINDOW:] if n in changed]
+    overflow = tier0_overflow(ordered, changed)
     if overflow:
         print(f"tier-0 OVERFLOW ({len(overflow)} rewritten queries miss the window):")
         for n in overflow:
