@@ -110,6 +110,12 @@ STRESS_QUERIES_DEEP = (
     # instant blowup (its (user, t) tie collapse must keep the carried
     # state linear) — give it the deep point too.
     "asof_view_purchase",
+    # r12 (r11 verdict #5): the two events-family queries with the
+    # highest 10x growth and no deeper point — behavior features 3.25x,
+    # transition matrix 2.23x. Both are one-shuffle-per-user-key plans,
+    # so the 10x->30x segment should flatten; measure, don't assert.
+    "user_behavior_features",
+    "event_transition_matrix",
     "incremental_dedup_survivors",
     "jaccard_prefix_filter_join",
     "substring_max_span",

@@ -134,7 +134,15 @@ def floor_bucket_start(us: Column, width_us: int) -> Column:
 def floor_bucket_start_sql(us_sql: str, width_us: int) -> str:
     """DuckDB twin of :func:`floor_bucket_start` (DuckDB's ``//`` and
     ``%`` truncate toward zero, so the mathematical mod is spelled
-    out)."""
+    out).
+
+    NOTE: ``us_sql`` is expanded THREE times in the emitted text (r11
+    ADVICE #2). Fine for a plain column reference; for a non-trivial
+    expression (e.g. ``epoch_us(ts)``, as composed in events_q's
+    ``_res_union``) prefer aliasing it in a CTE first so the oracle
+    evaluates it once, the SQL stays readable, and parity probes bind
+    one param per probe. Oracle-only concern: the Spark twin binds a
+    Column once."""
     return f"({us_sql} - (({us_sql} % {width_us}) + {width_us}) % {width_us})"
 
 

@@ -421,9 +421,13 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = uw.join(cohort, "user_id")
     return j.groupBy(
         F.col("w0").cast("bigint").alias("cohort_week_start_us"),
-        ((F.col("week") - F.col("w0")) / F.lit(_WEEK_US)).cast("bigint").alias(
-            "week_offset"
-        ),
+        # integer DIV, not '/': long '/' is DOUBLE division in Spark,
+        # exact only while the span stays below ~2^54 us (~570 years),
+        # and the truncating cast turns a one-ulp-low quotient into n-1
+        # where the oracle's integer '//' is exact at any span. The
+        # difference is a non-negative exact multiple of the width, so
+        # DIV == floor here (r11 ADVICE #1).
+        F.expr(f"(week - w0) DIV {_WEEK_US}").alias("week_offset"),
     ).agg(F.count("*").alias("n_active"))
 
 

@@ -67,7 +67,14 @@ def test_length_quartiles_equal_per_doc_window_form(spark):
     via a per-doc window (count of strictly-smaller same-lang lengths via
     a RANGE frame) and rolling up."""
     from syntheticdata_pipeline__spark.plans.quality_q import doc_length_quartiles
+    from syntheticdata_pipeline__spark.session import ensure_runtime_confs
 
+    # pin the session confs BEFORE building either side: the prod side
+    # applies them inside T() but the hand-built reference side would
+    # otherwise run under whatever a prior suite left set — the one
+    # suspected leak channel for the open r11 flake (DIVERGENCES.md
+    # "Open flake: quantile-deskew window form", r11 ADVICE #3)
+    ensure_runtime_confs(spark)
     prod = doc_length_quartiles(spark, SF_SMOKE)
 
     d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
