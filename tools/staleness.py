@@ -98,6 +98,42 @@ def main() -> None:
         for n in overflow:
             print(f"  - {n}")
 
+    # Forward rotation plan (r11 verdict "Next round" #3): project the
+    # round AFTER next under the standing freeze — assume the next
+    # driver window drains the first WINDOW entries (tier-0 head) and
+    # nothing new enters tier-0; the following window then takes the
+    # stalest cohorts first. The projection shows when every query's
+    # evidence returns to <=2 rounds old.
+    drained = set(ordered[:WINDOW])
+    nxt = max(last_round.values(), default=0) + 1
+    proj_round: dict[str, int] = dict(last_round)
+    for n in drained:
+        proj_round[n] = nxt
+    remaining = [n for n in ordered if n not in drained]
+    # stalest-first among the rest (CHANGED leftovers outrank cohorts)
+    remaining.sort(
+        key=lambda n: (
+            0 if n in changed else 1,
+            proj_round.get(n, -1),
+        )
+    )
+    window2 = remaining[:WINDOW]
+    hist2: dict[str, int] = {}
+    for n in window2:
+        k = "tier-0 leftover" if n in changed else f"cohort r{proj_round.get(n, 0)}"
+        hist2[k] = hist2.get(k, 0) + 1
+    print(f"projected window r{nxt + 1} (stalest-first after r{nxt} drains tier-0):")
+    for k in sorted(hist2):
+        print(f"  {hist2[k]:4d}  {k}")
+    after = sorted(
+        proj_round.get(n, 0) for n in ordered if n not in drained and n not in set(window2)
+    )
+    oldest_left = after[0] if after else nxt
+    print(
+        f"after r{nxt + 1}: oldest remaining evidence r{oldest_left} "
+        f"({nxt + 1 - oldest_left} rounds stale)"
+    )
+
     if "--full" in sys.argv:
         print()
         for name in ordered:
