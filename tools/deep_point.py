@@ -94,7 +94,11 @@ def main() -> None:
         "files": nfiles,
     }
 
-    # ---- chunked ingestion + compaction ------------------------------------
+    # ---- chunked ingestion + compaction (n_chunks=0 skips: the deepest
+    # factors measure the one-shot curve + state footprint only) -------------
+    if n_chunks <= 0:
+        print(json.dumps(out))
+        return
     shutil.rmtree(state_path, ignore_errors=True)
     bounds = docs.select(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
