@@ -1,0 +1,78 @@
+"""Round-12 hostile-filename battery for the S3-analog binary listing
+scan (S3, operators/multimodal.py::read_binary_dir — Spark's
+``binaryFile`` source). The reference lists with os.listdir / S3
+ListObjects (image_utils.py:50-73, s3_uploader.py:40-79), which see
+EVERY object; the Spark source has two visibility gaps a scraping
+pipeline must know about:
+
+1. **Zero-byte files are silently invisible** (pinned, fix QUEUED
+   r12 → r13, DIVERGENCES.md "Queued fix: zero-byte files invisible to
+   the binary listing"): Spark's FilePartition planner drops 0-length
+   files before tasks exist, so a truncated/failed download can never
+   be counted, flagged invalid by the F-family validity predicates, or
+   seen by a listing-based resume — the reference's listing sees it.
+2. **The path glob is case-sensitive** (pinned as the documented Spark
+   contract): the default ``*.jpg`` excludes ``B.JPG``; callers
+   scanning scraped dirs must pass an explicit case set.
+
+Everything else round-trips: newlines, spaces, unicode, and percent
+sequences in filenames; an empty directory lists zero rows; a MISSING
+directory fails loudly (PATH_NOT_FOUND) rather than listing empty —
+resume logic can distinguish "nothing there" from "wrong path".
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from syntheticdata_pipeline__spark.operators.multimodal import read_binary_dir
+
+
+def _touch(d, name: str, payload: bytes = b"x") -> None:
+    with open(os.path.join(d, name), "wb") as f:
+        f.write(payload)
+
+
+def test_hostile_filenames_round_trip(spark, tmp_path):
+    d = str(tmp_path)
+    names = ["normal.jpg", "café 中文.jpg", "a b.jpg", "new\nline.jpg", "pct%2F.jpg"]
+    for n in names:
+        _touch(d, n, b"payload-" + n.encode())
+    rows = read_binary_dir(spark, d).collect()
+    # paths come back VERBATIM (no URL encoding) — a literal '%2F' in a
+    # filename must stay '%2F', never decode to '/'
+    got = {os.path.basename(r.path) for r in rows}
+    assert got == set(names)
+    assert all(r.n_bytes > 0 and r.content is not None for r in rows)
+
+
+def test_zero_byte_file_invisible_pinned_queued_fix(spark, tmp_path):
+    """QUEUED FIX: the 0-byte file exists on disk but Spark plans no
+    read for it — the listing pretends it isn't there. A truncated
+    download must surface as an INVALID asset, not an unseen one."""
+    d = str(tmp_path)
+    _touch(d, "empty.jpg", b"")
+    _touch(d, "one.jpg", b"x")
+    listed = {os.path.basename(r.path) for r in read_binary_dir(spark, d).collect()}
+    assert listed == {"one.jpg"}  # r13: empty.jpg must appear (n_bytes=0)
+
+
+def test_glob_is_case_sensitive_pinned(spark, tmp_path):
+    d = str(tmp_path)
+    for n in ("a.jpg", "B.JPG", "c.jpeg", "d.png"):
+        _touch(d, n)
+    listed = {os.path.basename(r.path) for r in read_binary_dir(spark, d).collect()}
+    assert listed == {"a.jpg"}  # documented contract: pass explicit case sets
+
+
+def test_empty_dir_lists_zero_rows(spark, tmp_path):
+    assert read_binary_dir(spark, str(tmp_path)).count() == 0
+
+
+def test_missing_dir_fails_loudly(spark, tmp_path):
+    """Resume logic must be able to distinguish 'nothing scraped yet'
+    (empty dir → 0 rows) from 'wrong path' (loud failure)."""
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_binary_dir(spark, str(tmp_path / "nope")).count()
