@@ -43,10 +43,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver round has re-checked them post-rewrite. Add entries here ONLY
 # for queries rewritten this round.
 #
-# Round 12 — HARD FREEZE (r11 verdict "Next round" #1): no semantics
-# changed this round; the list below is exactly the 51 round-11 rewrites
-# that the 50-slot r11 window could not reach (CORRECTNESS_r11.json
-# drained the other 50). Every entry was independently re-verified by
+# Round 12 — HARD FREEZE (r11 verdict "Next round" #1): with ONE
+# documented exception, no semantics changed this round; the list below
+# is the 51 round-11 rewrites that the 50-slot r11 window could not
+# reach (CORRECTNESS_r11.json drained the other 50). The exception is
+# rank_normalized_quality, listed FIRST: the r12 sf0.1 full-catalog
+# oracle sweep found it wrong-on-CLEAN-data (three docs carry quality
+# exactly 0.72125, a decimal halfway at the 4-dp grid where Spark's
+# HALF_UP and DuckDB's half-even disagree) — the freeze's explicit
+# exemption; fixed in-round with an IEEE floor-grid key on both engines
+# (DIVERGENCES.md "sf0.1 sweep"). Every entry was independently re-verified by
 # the r11 judge at sf0.01 (51/51) and is green in SELFCHECK.json and the
 # in-suite sf0.001 full-catalog parity test; this round exists to put
 # the DRIVER's evidence back in front of the code. Any new adversarial
@@ -62,6 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the lowest-risk tail (clean-fixture outputs identical) sits last so
 # any 1-entry overflow falls on it.
 _CHANGED_THIS_ROUND = (
+    # --- r12 clean-data fix (the freeze exemption; see block comment):
+    # rank_normalized_quality's qv grid moved from round(·,4) to the
+    # engine-identical IEEE floor grid ---
+    "rank_normalized_quality",
     # --- whitespace-class (VT) rewrite tail, round 11 ---
     "repetition_top_bigram",
     "simhash_hamming_pairs_q",

@@ -1071,13 +1071,20 @@ from ..operators.textops import LANG_STOPWORDS as _RB_STOPS  # noqa: E402
 _RANKBLEND_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, n_chars,
-         round(
+         -- IEEE floor-grid, NOT round(·,4): three sf0.1 docs carry
+         -- quality exactly 0.72125 (a true decimal halfway at the
+         -- 4-dp grid), where Spark's BigDecimal HALF_UP gives .7213
+         -- and DuckDB's binary half-even gives .7212 — the r12 sf0.1
+         -- full-catalog sweep's one mismatch. floor(q*1e4 + 0.5) is
+         -- pure double arithmetic, bit-identical on both engines; the
+         -- grid key never reaches the output.
+         CAST(floor((
            (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
                  WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
            + least(CAST(len(list_intersect(toks, {list(_RB_STOPS['en'])!r})) AS DOUBLE) / 4.0, 1.0) * 0.3
            + coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-                        / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3,
-         4) AS qv
+                        / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3
+         ) * 10000.0 + 0.5) AS BIGINT) AS qv
   FROM (SELECT doc_id, n_chars, text, {tokens_sql('text')} AS toks
         FROM documents WHERE n_chars IS NOT NULL)),
 n AS (SELECT COUNT(*) AS n_docs FROM t),
@@ -1126,7 +1133,19 @@ def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = quality_score(
         T(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
-    ).select("doc_id", "n_chars", F.round("quality", 4).alias("qv"))
+    ).select(
+        "doc_id",
+        "n_chars",
+        # IEEE floor-grid, NOT F.round(·,4): quality can land exactly on
+        # a 4-dp halfway (three sf0.1 docs at 0.72125), where Spark's
+        # HALF_UP and DuckDB's binary half-even disagree and shift one
+        # whole histogram cell. floor(q*1e4 + 0.5) is deterministic
+        # double arithmetic on both engines, and the key is internal —
+        # only the percentiles computed FROM the histogram are output.
+        F.floor(F.col("quality") * F.lit(10000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
     n = d.agg(F.count("*").alias("n_docs"))
     wq = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     qc = (

@@ -92,8 +92,17 @@ def test_tier0_entries_were_not_driver_checked_since_rewrite():
     maintenance bumps this pin alongside the list itself.
     """
     pin = "CORRECTNESS_r11.json"
+    # Queries legitimately REWRITTEN AGAIN after the pinned round's
+    # check — each needs a DIVERGENCES.md entry justifying the in-freeze
+    # rewrite (r12: the sf0.1 sweep's wrong-on-clean-data floor-grid
+    # fix, the freeze's explicit exemption).
+    rewritten_after_pin = {"rank_normalized_quality"}
     checked = set(json.load(open(os.path.join(ROOT, pin))))
-    stale_greens = [n for n in entry._CHANGED_THIS_ROUND if n in checked]
+    stale_greens = [
+        n
+        for n in entry._CHANGED_THIS_ROUND
+        if n in checked and n not in rewritten_after_pin
+    ]
     assert stale_greens == [], (
         f"{pin} already re-checked these post-rewrite; they must leave "
         f"_CHANGED_THIS_ROUND: {stale_greens}"
