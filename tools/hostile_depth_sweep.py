@@ -1,0 +1,131 @@
+"""Hostile-stripe sweeps at DEPTH: the committed adversarial batteries
+stripe NULLs over sf0.001; this tool re-runs the same three stripe
+layouts (NULL-laced documents metadata, NULL-laced lineitem+orders,
+NULL-laced events) over a LARGER scale factor and oracle-compares every
+sweep member — the same depth axis that found the sf0.1 decimal-halfway
+split in the clean catalog (DIVERGENCES "sf0.1 sweep", r12).
+
+One-off evidence runner (results recorded in DIVERGENCES/README, not a
+committed test — sf0.01+ adversarial sweeps would triple suite time).
+Usage::
+
+    python tools/hostile_depth_sweep.py [sf_dir]    # default sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tests.sweep_membership import sweep_members  # noqa: E402
+from tools.check_oracle import compare_one, duck_connect  # noqa: E402
+
+ALL_TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
+
+
+def _stripe(src: str, tmp: str, rewrites: dict[str, str]) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for table, replace_sql in rewrites.items():
+        con.execute(
+            f"COPY (SELECT * REPLACE ({replace_sql}) "
+            f"FROM read_parquet('{src}/{table}.parquet')) "
+            f"TO '{tmp}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    for t in ALL_TABLES.split():
+        if t in rewrites:
+            continue
+        s = os.path.join(src, f"{t}.parquet")
+        if os.path.exists(s):
+            os.symlink(s, os.path.join(tmp, f"{t}.parquet"))
+
+
+# the EXACT stripe layouts of the committed sf0.001 batteries
+STRIPES = {
+    "nullmeta(documents)": (
+        ("documents",),
+        {
+            "documents": (
+                "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, "
+                "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, "
+                "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars"
+            )
+        },
+    ),
+    "nullfacts(lineitem+orders)": (
+        ("lineitem", "orders"),
+        {
+            "lineitem": (
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 13 = 0 THEN NULL ELSE l_quantity END AS l_quantity, "
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 17 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice, "
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 19 = 0 THEN NULL ELSE l_discount END AS l_discount, "
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 23 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag, "
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 29 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate, "
+                "CASE WHEN (l_orderkey*10 + l_linenumber) % 31 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey"
+            ),
+            "orders": (
+                "CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS o_custkey, "
+                "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, "
+                "CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus, "
+                "CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate, "
+                "CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority"
+            ),
+        },
+    ),
+    "nullevents(events)": (
+        ("events",),
+        {
+            "events": (
+                "CASE WHEN event_id % 17 = 0 THEN NULL ELSE user_id END AS user_id, "
+                "CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value, "
+                "CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS event_type, "
+                "CASE WHEN event_id % 23 = 0 THEN NULL ELSE props END AS props"
+            )
+        },
+    ),
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from syntheticdata_pipeline__spark.plans import load_all
+    from syntheticdata_pipeline__spark.session import get_spark
+
+    spark = get_spark("hostile-depth", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    total_pass = total_fail = 0
+    for label, (tables, rewrites) in STRIPES.items():
+        tmp = tempfile.mkdtemp(prefix="hostile_depth_")
+        try:
+            _stripe(src, tmp, rewrites)
+            members = sweep_members(tables)
+            con = duck_connect(tmp)
+            npass = 0
+            for name in members:
+                spec = registry[name]
+                qs = {name: spec.build}
+                oracles = {name: spec.oracle} if spec.oracle else {}
+                ok = compare_one(spark, con, name, qs, oracles, tmp)
+                if ok is False:
+                    total_fail += 1
+                else:
+                    npass += 1
+            con.close()
+            total_pass += npass
+            print(f"== {label}: {npass}/{len(members)} pass over {src}", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(f"TOTAL: {total_pass} pass, {total_fail} fail")
+    sys.exit(1 if total_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
