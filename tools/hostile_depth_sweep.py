@@ -1,15 +1,17 @@
 """Hostile-stripe sweeps at DEPTH: the committed adversarial batteries
-stripe NULLs over sf0.001; this tool re-runs the same three stripe
-layouts (NULL-laced documents metadata, NULL-laced lineitem+orders,
-NULL-laced events) over a LARGER scale factor and oracle-compares every
-sweep member — the same depth axis that found the sf0.1 decimal-halfway
+stripe NULLs / non-finite doubles over sf0.001; this tool re-runs the
+same six stripe layouts (NULL-laced documents metadata / lineitem+orders
+/ events; non-finite events.value / fact measures / embedding
+components) over a LARGER scale factor and oracle-compares every sweep
+member — the same depth axis that found the sf0.1 decimal-halfway
 split in the clean catalog (DIVERGENCES "sf0.1 sweep", r12).
 
 One-off evidence runner (results recorded in DIVERGENCES/README, not a
 committed test — sf0.01+ adversarial sweeps would triple suite time).
 Usage::
 
-    python tools/hostile_depth_sweep.py [sf_dir]    # default sf0.01
+    python tools/hostile_depth_sweep.py [sf_dir] [stripe-label ...]
+    # default sf0.01, all six stripes
 """
 
 from __future__ import annotations
@@ -92,6 +94,44 @@ STRIPES = {
     ),
 }
 
+_NF = (
+    "CASE WHEN {k} % 23 = 7 THEN 'nan'::DOUBLE"
+    " WHEN {k} % 23 = 8 THEN 'inf'::DOUBLE"
+    " WHEN {k} % 23 = 9 THEN '-inf'::DOUBLE"
+    " ELSE {c} END AS {c}"
+)
+
+STRIPES["nonfinite(events.value)"] = (
+    ("events",),
+    {"events": _NF.format(k="event_id", c="value")},
+)
+STRIPES["nonfinite(lineitem+orders measures)"] = (
+    ("lineitem", "orders"),
+    {
+        "lineitem": ", ".join(
+            _NF.format(k=k, c=c)
+            for c, k in [
+                ("l_quantity", "(l_orderkey*10+l_linenumber)"),
+                ("l_extendedprice", "(l_orderkey*10+l_linenumber+3)"),
+                ("l_discount", "(l_orderkey*10+l_linenumber+11)"),
+                ("l_tax", "(l_orderkey*10+l_linenumber+17)"),
+            ]
+        ),
+        "orders": _NF.format(k="o_orderkey", c="o_totalprice"),
+    },
+)
+STRIPES["nonfinite(embedding components)"] = (
+    ("embeddings",),
+    {
+        "embeddings": (
+            "CASE WHEN vec_id % 23 = 7 THEN list_concat(['nan'::FLOAT], embedding[2:]) "
+            "WHEN vec_id % 23 = 8 THEN list_concat(['inf'::FLOAT], embedding[2:]) "
+            "WHEN vec_id % 23 = 9 THEN list_concat(['-inf'::FLOAT], embedding[2:]) "
+            "ELSE embedding END AS embedding"
+        )
+    },
+)
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -102,11 +142,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     total_pass = total_fail = 0
+    only = set(sys.argv[2:])  # optional stripe-label filter
     for label, (tables, rewrites) in STRIPES.items():
+        if only and label not in only:
+            continue
         tmp = tempfile.mkdtemp(prefix="hostile_depth_")
         try:
             _stripe(src, tmp, rewrites)
-            members = sweep_members(tables)
+            markers = ("_E(spark",) if "embeddings" in tables else ()
+            members = sweep_members(tables, extra_src_markers=markers)
             con = duck_connect(tmp)
             npass = 0
             for name in members:
