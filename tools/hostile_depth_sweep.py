@@ -101,6 +101,38 @@ _NF = (
     " ELSE {c} END AS {c}"
 )
 
+STRIPES["nulldims(customer+supplier+part+nation+region)"] = (
+    ("customer", "supplier", "part", "nation", "region"),
+    {
+        "customer": (
+            "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey, "
+            "CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal, "
+            "CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment, "
+            "CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_name END AS c_name, "
+            "CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS c_custkey"
+        ),
+        "supplier": (
+            "CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey, "
+            "CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal, "
+            "CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_name END AS s_name"
+        ),
+        "part": (
+            "CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS p_brand, "
+            "CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_type END AS p_type, "
+            "CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_size END AS p_size, "
+            "CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice, "
+            "CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_name END AS p_name"
+        ),
+        "nation": (
+            "CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey, "
+            "CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_name END AS n_name"
+        ),
+        "region": (
+            "CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE r_regionkey END AS r_regionkey, "
+            "CASE WHEN r_regionkey % 3 = 0 THEN NULL ELSE r_name END AS r_name"
+        ),
+    },
+)
 STRIPES["nonfinite(events.value)"] = (
     ("events",),
     {"events": _NF.format(k="event_id", c="value")},
