@@ -39,9 +39,17 @@ def kmv_distinct(
     (windowed rank — Spark's group-limit pushes k into the sort); the
     k-th smallest value h_k gives est = (k−1)/h_k. If a group has < k
     distinct keys the exact count is returned (standard KMV fallback).
+
+    NULL keys are dropped at build (r13, "no key ⇒ no participation"):
+    a NULL key hashes to a NULL __h, which Spark ranks NULLS FIRST and
+    DuckDB NULLS LAST — the r12 kernel battery measured the estimates
+    splitting on identical input (12.11 vs 6.05), and the sf0.01 depth
+    sweep proved the split reachable from ``kmv_distinct_users``. The
+    twin SQL drops NULLs in lockstep.
     """
     hashed = (
         df.select(*group_cols, key.alias("__k"))
+        .where(F.col("__k").isNotNull())
         .dropDuplicates([*group_cols, "__k"])
         .withColumn("__h", unit_rand(F.col("__k"), salt))
     )
@@ -61,11 +69,12 @@ def kmv_distinct(
 def kmv_distinct_sql(
     table: str, group_col: str, key_sql: str, k: int = 64, salt: str = "kmv"
 ) -> str:
-    """DuckDB twin of :func:`kmv_distinct`."""
+    """DuckDB twin of :func:`kmv_distinct` (same NULL-key drop)."""
     h = unit_rand_sql("__k", salt)
     return f"""
 WITH dedup AS (
-  SELECT DISTINCT {group_col}, {key_sql} AS __k FROM {table}),
+  SELECT DISTINCT {group_col}, {key_sql} AS __k FROM {table}
+  WHERE {key_sql} IS NOT NULL),
 hashed AS (SELECT {group_col}, {h} AS __h FROM dedup),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY __h) AS __r
@@ -87,8 +96,14 @@ def countmin_tables(
 ) -> DataFrame:
     """Count-Min sketch tables: one row per (d, bucket) with the bucket
     count — the mergeable distributed representation (partial sums
-    map-side, one small shuffle)."""
-    rows = df.select(key.alias("__k"))
+    map-side, one small shuffle).
+
+    NULL keys are dropped at build (r13): they otherwise land in NULL
+    buckets that the probe's equi-join can never match, so a NULL key
+    estimates 0 below its true count — the one guarantee CM makes
+    (est ≥ true) broken exactly and only for NULL (r12 kernel battery).
+    """
+    rows = df.select(key.alias("__k")).where(F.col("__k").isNotNull())
     per_d = [
         rows.select(
             F.lit(d).alias("d"),
@@ -118,8 +133,10 @@ def countmin_estimate(
     salt: str = "cm",
 ) -> DataFrame:
     """Point-estimate frequencies for ``keys`` from the sketch tables:
-    est(key) = min over d of bucket count (classic CM upper bound)."""
-    probes = keys.select(F.col(key_col))
+    est(key) = min over d of bucket count (classic CM upper bound).
+    NULL probe keys are dropped (r13) — a NULL key was never counted
+    into the sketch, so it has no estimate, not an under-count of 0."""
+    probes = keys.select(F.col(key_col)).where(F.col(key_col).isNotNull())
     per_d = [
         probes.select(
             F.col(key_col),
@@ -198,8 +215,12 @@ def hll_partials(
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("__reg")
     h48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
     rho = F.when(h48 == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(h48)))
+    # NULL keys are dropped (r13, "no key ⇒ no participation"): a NULL
+    # key hashes to a NULL register on both engines — consistent, but a
+    # phantom register that inflates __present and skews the estimate.
     return (
-        df.select(*group_cols, reg, rho.alias("__rho"))
+        df.where(key.isNotNull())
+        .select(*group_cols, reg, rho.alias("__rho"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__rho"))
     )
@@ -238,7 +259,7 @@ def hll_distinct_sql(
 WITH hashed AS (
   SELECT {group_col},
          md5('{salt}|' || CAST({key_sql} AS VARCHAR)) AS __h
-  FROM {table}),
+  FROM {table} WHERE {key_sql} IS NOT NULL),
 rr AS (
   SELECT {group_col},
          CAST('0x' || substr(__h, 1, 2) AS INTEGER) % {m} AS __reg,

@@ -48,8 +48,12 @@ _cm_hash = lambda d: (  # noqa: E731 - shared by the oracle string below
     f"CAST(CAST('0x' || substr(md5('cm{d}|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CM_WIDTH} AS INTEGER)"
 )
 
+# NULL user_ids never enter the sketch (r13 kernel contract — see
+# operators/sketches.py::countmin_tables); the oracle drops them in
+# lockstep so both engines sketch the same key population.
 _cm_union = " UNION ALL ".join(
-    f"SELECT {d} AS d, {_cm_hash(d)} AS bucket FROM events" for d in range(_CM_DEPTH)
+    f"SELECT {d} AS d, {_cm_hash(d)} AS bucket FROM events WHERE user_id IS NOT NULL"
+    for d in range(_CM_DEPTH)
 )
 _cm_probe_union = " UNION ALL ".join(
     f"SELECT user_id, {d} AS d, {_cm_hash(d)} AS bucket FROM probe_keys" for d in range(_CM_DEPTH)
@@ -175,8 +179,11 @@ _js_hash = (
     lambda d, rel: f"CAST(CAST('0x' || substr(md5('cm{d}|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_JS_WIDTH} AS INTEGER)"  # noqa: E731
 )
 
+# The r13 kernel contract drops NULL keys at sketch build; the halves
+# below inherit it via the WHERE in each union arm.
 _js_union = lambda rel: " UNION ALL ".join(  # noqa: E731
-    f"SELECT {d} AS d, {_js_hash(d, rel)} AS bucket FROM {rel}" for d in range(_JS_DEPTH)
+    f"SELECT {d} AS d, {_js_hash(d, rel)} AS bucket FROM {rel} WHERE user_id IS NOT NULL"
+    for d in range(_JS_DEPTH)
 )
 
 _JS_ORACLE = f"""

@@ -932,6 +932,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q16-shape: parts/supplier relationship ----------------------------------
 
+# The exclusion is NOT EXISTS, not NOT IN (r13, queued fix #12): under a
+# NULL l_suppkey the engine's left-anti KEEPS the row (NULL == x is
+# unknown → no match) while NOT IN would DROP it (NULL NOT IN set =
+# NULL) — the r9 "unknown ≠ seen" NULL-dims convention, found reachable
+# here by the r12 sf0.01 depth sweep (tests/test_hostile_depth_pins.py).
 _Q16_ORACLE = """
 WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0),
 rel AS (
@@ -940,7 +945,7 @@ rel AS (
   JOIN part p ON l.l_partkey = p.p_partkey
   WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
     AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+    AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.s_suppkey = l.l_suppkey))
 SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
 FROM rel
 GROUP BY p_brand, p_type, p_size
@@ -952,7 +957,9 @@ def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
     for qualifying parts, excluding 'complaint' suppliers (adapted: the
     fixture has no s_comment, negative account balance stands in). The
-    NOT IN is a broadcast left-anti join; the count-distinct is a
+    NOT EXISTS is a broadcast left-anti join (a NULL l_suppkey survives
+    the exclusion on both engines — "unknown ≠ seen", the r9 NULL-dims
+    convention); the count-distinct is a
     two-level aggregate (distinct shuffle keyed by the group+supplier,
     then a count) — both map-side-partial at 100 TB."""
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")

@@ -2,8 +2,9 @@
 (tools/hostile_depth_sweep.py: the committed sf0.001 NULL-stripe
 batteries re-run over sf0.01 — more rows make more stripe collisions
 reachable). Results: nullmeta 67/67, nullfacts 44/45, nullevents 36/37;
-the two fails are pinned here red-to-flip, fixes QUEUED (r12 → r13,
-DIVERGENCES.md "Queued fix: depth-sweep pair"):
+the two fails were pinned here red-to-flip in r12 and FLIPPED in r13
+when the queued fixes landed (DIVERGENCES.md "Queued fix: depth-sweep
+pair") — both stripes now hash-match cross-engine:
 
 1. tpch_q16_supplier_relationship — the engine's left-anti KEEPS a
    NULL-l_suppkey row (NULL == x is unknown, no match) and counts a
@@ -70,9 +71,11 @@ def _compare(spark, sf_dir: str, name: str):
         con.close()
 
 
-def test_q16_null_suppkey_diverges_pinned_queued_fix(spark, tmp_path):
-    """QUEUED FIX: r13 moves the Q16 oracle from NOT IN to NOT EXISTS
-    (the r9 'unknown ≠ seen' convention) — this pin flips to True."""
+def test_q16_null_suppkey_agrees_after_not_exists_fix(spark, tmp_path):
+    """FLIPPED r13 (queued fix #12): the Q16 oracle moved from NOT IN to
+    NOT EXISTS (the r9 'unknown ≠ seen' convention), so a NULL
+    l_suppkey survives the exclusion on both engines and the sf0.01
+    NULL stripe that split them in r12 now hash-matches."""
     d = _striped_dir(
         tmp_path,
         {
@@ -82,13 +85,14 @@ def test_q16_null_suppkey_diverges_pinned_queued_fix(spark, tmp_path):
             )
         },
     )
-    assert _compare(spark, d, "tpch_q16_supplier_relationship") is False
+    assert _compare(spark, d, "tpch_q16_supplier_relationship") is True
 
 
-def test_kmv_users_null_keys_diverge_pinned_queued_fix(spark, tmp_path):
-    """QUEUED FIX: r13 drops NULL keys inside the KMV kernel on both
-    engines (DIVERGENCES 'sketch kernels must drop NULL keys') — this
-    pin flips to True."""
+def test_kmv_users_null_keys_agree_after_drop_fix(spark, tmp_path):
+    """FLIPPED r13 (queued fix #7): the KMV kernel drops NULL keys at
+    build on both engines (DIVERGENCES 'sketch kernels must drop NULL
+    keys'), so the NULLS-FIRST/NULLS-LAST rank split the r12 depth
+    sweep found is gone — the striped fixture now hash-matches."""
     d = _striped_dir(
         tmp_path,
         {
@@ -97,4 +101,4 @@ def test_kmv_users_null_keys_diverge_pinned_queued_fix(spark, tmp_path):
             )
         },
     )
-    assert _compare(spark, d, "kmv_distinct_users") is False
+    assert _compare(spark, d, "kmv_distinct_users") is True

@@ -1,25 +1,25 @@
 """Round-12 hostile-key battery for the sketch kernels (KMV, Count-Min;
-operators/sketches.py). The catalog's sketch queries run NULL-guarded
-inputs (r9 sweeps green), but the KERNELS had never been driven with
-NULL keys directly — and NULL keys find two real gaps, both pinned with
-the fix QUEUED (r12 → r13, DIVERGENCES.md "Queued fix: sketch kernels
-must drop NULL keys"):
+operators/sketches.py), FLIPPED in r13 when the queued NULL-key fix
+landed (DIVERGENCES.md "Queued fix: sketch kernels must drop NULL
+keys"). The two gaps the battery found in r12:
 
-1. **KMV cross-engine divergence**: a NULL key hashes to a NULL __h;
-   Spark's ascending sort puts NULLS FIRST (the NULL takes rank 1 and
-   shifts every real hash down one rank), DuckDB's puts NULLS LAST —
-   the k-th smallest hash differs, so the estimates diverge on
+1. **KMV cross-engine divergence**: a NULL key hashed to a NULL __h;
+   Spark's ascending sort puts NULLS FIRST (the NULL took rank 1 and
+   shifted every real hash down one rank), DuckDB's puts NULLS LAST —
+   the k-th smallest hash differed, so the estimates diverged on
    IDENTICAL input (measured: 12.11 vs 6.05 on the fixture below).
-2. **Count-Min upper-bound violation**: NULL keys hash into NULL
-   buckets (isolated — real-key estimates are unaffected), but the
+2. **Count-Min upper-bound violation**: NULL keys hashed into NULL
+   buckets (isolated — real-key estimates were unaffected), but the
    probe's equi-join can't match a NULL bucket, so a NULL key that
-   occurred N times estimates 0 — below the true count, violating the
+   occurred N times estimated 0 — below the true count, violating the
    one guarantee CM makes (est >= true).
 
 The r13 fix is the engine's standing NULL contract ("no key ⇒ no
-participation", r9): drop NULL keys at sketch build AND probe on both
-engines. Under-k KMV counting NULL as one distinct (both engines agree)
-and hostile-byte keys hashing fine are contrast-pinned.
+participation", r9): NULL keys are dropped at sketch build AND probe on
+both engines (KMV, Count-Min, and HLL — the HLL NULL row was a phantom
+register, engine-consistent but contract-violating). These tests now
+assert the fixed behavior; hostile-byte keys hashing fine stays
+contrast-pinned.
 """
 
 from __future__ import annotations
@@ -47,23 +47,25 @@ def _duck_kmv(k: int) -> float:
     return con.execute(kmv_distinct_sql("t", "grp", "__kk", k=k)).fetchall()[0][1]
 
 
-def test_kmv_null_keys_diverge_cross_engine_pinned_queued_fix(spark):
-    """QUEUED FIX: identical NULL-laced input, different estimates —
-    Spark ranks the NULL hash first (NULLS FIRST), DuckDB last. Both
-    deterministic (md5 hashing), so the exact values are pinned."""
+def test_kmv_null_keys_agree_cross_engine_after_drop_fix(spark):
+    """FLIPPED r13: both kernels drop NULL keys at build, so the
+    NULL-laced input estimates identically on both engines — and equals
+    the estimate on the same input with the NULLs never present."""
     df = spark.createDataFrame(_KMV_ROWS, "grp string, key string")
     spark_est = kmv_distinct(df, ["grp"], F.col("key"), k=4).collect()[0].distinct_est
     duck_est = _duck_kmv(4)
-    assert spark_est == pytest.approx(12.112267843952596)
-    assert duck_est == pytest.approx(6.045940082759138)
-    assert spark_est != pytest.approx(duck_est)  # r13: both must drop NULLs
+    assert spark_est == pytest.approx(duck_est)
+    clean = spark.createDataFrame(
+        [r for r in _KMV_ROWS if r[1] is not None], "grp string, key string"
+    )
+    clean_est = kmv_distinct(clean, ["grp"], F.col("key"), k=4).collect()[0].distinct_est
+    assert spark_est == pytest.approx(clean_est)
 
 
-def test_kmv_under_k_fallback_counts_null_as_one_distinct(spark):
-    """Contrast pin: below k the exact-count fallback fires and BOTH
-    engines count the NULL as one distinct key (dropDuplicates and
-    SELECT DISTINCT both keep a single NULL) — they agree, so only the
-    k-th-hash path diverges."""
+def test_kmv_under_k_fallback_excludes_null_from_distinct(spark):
+    """FLIPPED r13: below k the exact-count fallback fires and the NULL
+    key no longer counts as a distinct member on either engine — 'no
+    key ⇒ no participation' holds on the fallback path too."""
     df = spark.createDataFrame(
         [("g", "a"), ("g", "b"), ("g", None)], "grp string, key string"
     )
@@ -73,7 +75,7 @@ def test_kmv_under_k_fallback_counts_null_as_one_distinct(spark):
         "CREATE TABLE t AS SELECT * FROM (VALUES ('g','a'),('g','b'),('g',NULL)) v(grp, __kk)"
     )
     duck = con.execute(kmv_distinct_sql("t", "grp", "__kk", k=8)).fetchall()[0][1]
-    assert est == 3.0 and duck == 3.0
+    assert est == 2.0 and duck == 2.0
 
 
 def test_kmv_empty_input_yields_no_groups(spark):
@@ -81,21 +83,41 @@ def test_kmv_empty_input_yields_no_groups(spark):
     assert kmv_distinct(empty, ["grp"], F.col("key"), k=4).collect() == []
 
 
-def test_countmin_null_keys_isolated_but_estimate_underruns_pinned(spark):
-    """QUEUED FIX: NULL keys land in per-depth NULL buckets — real-key
-    estimates stay correct — but probing the NULL key estimates 0 while
-    its true count is 1: the CM upper-bound guarantee (est >= true)
-    breaks exactly and only for NULL."""
+def test_countmin_null_keys_dropped_at_build_and_probe(spark):
+    """FLIPPED r13: NULL keys never enter the sketch (no NULL buckets)
+    and a NULL probe key produces no estimate row — the CM upper-bound
+    guarantee (est >= true) holds for every key that HAS an estimate."""
     df = spark.createDataFrame([("a",), ("a",), (None,)], "k string")
     sketch = countmin_tables(df, F.col("k"))
     rows = [(r.d, r.bucket, r.n) for r in sketch.collect()]
-    null_rows = [(d, b, n) for d, b, n in rows if b is None]
-    assert len(null_rows) == 3 and all(n == 1 for _d, _b, n in null_rows)
+    assert all(b is not None for _d, b, _n in rows)  # no NULL buckets
     probes = spark.createDataFrame([("a",), ("x",), (None,)], "k string")
     est = {r.k: r.freq_est for r in countmin_estimate(sketch, probes, "k").collect()}
-    assert est["a"] == 2  # real keys unaffected by the NULL pollution
+    assert est["a"] == 2  # real keys unaffected
     assert est["x"] == 0  # absent key, no collisions at this scale
-    assert est[None] == 0  # r13: NULL must be dropped, not under-counted
+    assert None not in est  # no key ⇒ no participation, not an under-count
+
+
+def test_hll_null_keys_dropped_no_phantom_register(spark):
+    """r13: a NULL key used to create a (group, NULL-register, NULL-rho)
+    row on BOTH engines — consistent, but a phantom register that
+    inflated __present. The kernel now drops NULL keys, so the sketch
+    (and estimate) over NULL-laced input equals the clean input's."""
+    from syntheticdata_pipeline__spark.operators.sketches import (
+        hll_distinct,
+        hll_partials,
+    )
+
+    laced = spark.createDataFrame(
+        [("g", str(i)) for i in range(30)] + [("g", None)] * 3,
+        "grp string, key string",
+    )
+    clean = laced.filter(F.col("key").isNotNull())
+    regs = hll_partials(laced, ["grp"], F.col("key"))
+    assert all(r[0] is not None for r in regs.select(F.col("__reg")).collect())
+    est_laced = hll_distinct(laced, ["grp"], F.col("key")).collect()[0].distinct_est
+    est_clean = hll_distinct(clean, ["grp"], F.col("key")).collect()[0].distinct_est
+    assert est_laced == pytest.approx(est_clean)
 
 
 def test_countmin_hostile_byte_keys_hash_fine(spark):
