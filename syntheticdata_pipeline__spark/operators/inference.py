@@ -75,12 +75,41 @@ def parse_model_json(
 ) -> list[Column]:
     """T10: rescue the first {...} block from free-form model output,
     parse against ``schema``, fall back to raw text (the PERMISSIVE
-    corrupt-record idiom). Returns [parsed_struct, raw_fallback]."""
+    corrupt-record idiom). Returns [parsed_struct, raw_fallback].
+
+    Conservation contract (r13, queued fix #6): a malformed block used
+    to come back as an ALL-NULL struct — not NULL — so the raw fallback
+    never fired and the response text was LOST. The corrupt-record
+    column is now threaded through ``from_json`` so the fallback keys on
+    parse-failure EVIDENCE, not struct nullity: a corrupt block that
+    salvaged NOTHING yields (parsed=NULL, raw=the full response),
+    exactly like the no-block cases. A corrupt block that salvaged SOME
+    field keeps the partial struct with raw=NULL — the half-parsed pin
+    (PERMISSIVE also flags field-level coercion failures as corrupt, so
+    corrupt evidence alone must not discard a usable partial parse).
+    Reference contract: qwen_vl_processor.py:184-187 catches
+    JSONDecodeError and keeps the raw text.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt"
+    while corrupt in schema.fieldNames():
+        corrupt = "_" + corrupt
+    aug = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
     block = F.regexp_extract(response, r"(\{[\s\S]*\})", 1)
-    parsed = F.from_json(F.nullif(block, F.lit("")), schema)
+    parsed_all = F.from_json(
+        F.nullif(block, F.lit("")),
+        aug,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+    )
+    nothing_salvaged = F.lit(True)
+    for f in schema.fields:
+        nothing_salvaged = nothing_salvaged & parsed_all[f.name].isNull()
+    bad = parsed_all.isNull() | (parsed_all[corrupt].isNotNull() & nothing_salvaged)
+    clean = F.struct(*[parsed_all[f.name].alias(f.name) for f in schema.fields])
     return [
-        parsed.alias(parsed_col),
-        F.when(parsed.isNull(), response).otherwise(F.lit(None).cast("string")).alias(raw_col),
+        F.when(~bad, clean).alias(parsed_col),
+        F.when(bad, response).otherwise(F.lit(None).cast("string")).alias(raw_col),
     ]
 
 

@@ -52,8 +52,16 @@ IMAGE_META = StructType(
 
 def read_binary_dir(spark, path: str, glob: str = "*.jpg") -> DataFrame:
     """S3-analog file-listing scan: ``binaryFile`` source with glob
-    pushdown (image_utils.py:50-73 → dataset index)."""
-    return (
+    pushdown (image_utils.py:50-73 → dataset index).
+
+    Zero-byte visibility (r13, queued fix #8): the binaryFile source
+    plans NO read for a 0-byte file, so a truncated download was simply
+    absent from the listing — invisible instead of invalid. A Hadoop-FS
+    glob twin (the same metadata walk Spark's own file index performs,
+    same glob semantics, case-sensitivity included) now unions those
+    entries back with content=NULL / n_bytes=0, so downstream validators
+    see them and mark them corrupt rather than never seeing them."""
+    listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
@@ -64,6 +72,28 @@ def read_binary_dir(spark, path: str, glob: str = "*.jpg") -> DataFrame:
             F.col("modificationTime").alias("modified_at"),
         )
     )
+    import datetime
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + glob)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    empties = [
+        (
+            st.getPath().toString(),
+            0,
+            None,
+            datetime.datetime.fromtimestamp(st.getModificationTime() / 1000.0),
+        )
+        for st in (statuses or [])
+        if st.isFile() and st.getLen() == 0
+    ]
+    if not empties:
+        return listed
+    zero = spark.createDataFrame(
+        empties, "path string, n_bytes long, content binary, modified_at timestamp"
+    )
+    return listed.unionByName(zero)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:

@@ -27,7 +27,25 @@ def cumulative_weights(items: Sequence[tuple[str, float]]) -> list[tuple[str, fl
 
     The running-sum scan the reference does per call
     (keyword_sampler.py:5-14) happens once at plan build.
+
+    Build-time validation (r13, queued fix #5): empty items used to
+    surface as an IndexError one call away at ladder build; one negative
+    weight silently redistributed mass (non-monotone bounds made an item
+    unreachable); one NaN weight poisoned every bound and — under
+    Spark's NaN-above-everything SQL ordering — turned the sampler into
+    a constant. All three are config mistakes knowable here, rejected
+    loudly. Zero TOTAL keeps its Python-parity ZeroDivisionError
+    (random.choices raises on zero total too).
     """
+    import math
+
+    if not items:
+        raise ValueError("cumulative_weights: items must be non-empty")
+    for name, w in items:
+        if not math.isfinite(w):
+            raise ValueError(f"cumulative_weights: non-finite weight {w!r} for {name!r}")
+        if w < 0:
+            raise ValueError(f"cumulative_weights: negative weight {w!r} for {name!r}")
     total = float(sum(w for _, w in items))
     out: list[tuple[str, float, float]] = []
     acc = 0.0

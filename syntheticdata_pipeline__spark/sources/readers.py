@@ -69,21 +69,48 @@ def read_json_docs(spark: SparkSession, path_glob: str, schema: StructType) -> D
 
 
 def read_pairs_txt(spark: SparkSession, path: str) -> DataFrame:
-    """S10: 'person cloth' per line (experiments/standard_vton/dataloader.py:184-192)."""
+    """S10: 'person cloth' per line (experiments/standard_vton/dataloader.py:189-192).
+
+    Read as TEXT and split on a whitespace-class RUN (r13, queued fix
+    #2) — the reference's ``line.split()`` semantics. The earlier CSV
+    reader diverged on two inputs the reference handles fine: a double
+    space made an empty middle field ('p1  c1' → ('p1', NULL), 'c1'
+    silently dropped), and CSV quoting ate literal double quotes
+    ('"p1 x" c1' → ('p1 x','c1') instead of the literal tokens).
+    Leading/trailing whitespace (incl. the CRLF \\r) trims away; blank
+    lines drop; a 1-token line NULL-pads; extra tokens beyond two are
+    ignored — the S1 PERMISSIVE idiom, pinned in
+    tests/test_sources_adversarial.py."""
+    from ..functions.text import WS_CLASS
+
+    toks = F.split(F.regexp_replace(F.col("value"), f"^{WS_CLASS}+|{WS_CLASS}+$", ""), f"{WS_CLASS}+")
     return (
-        spark.read.option("sep", " ")
-        .schema("person string, cloth string")
-        .csv(path)
+        spark.read.text(path)
+        .select(toks.alias("__t"))
+        .filter(F.get("__t", 0) != "")
+        .select(
+            F.get("__t", 0).alias("person"),
+            # get() tolerates the 1-token line (NULL, not the ANSI
+            # INVALID_ARRAY_INDEX error a plain [1] raises)
+            F.nullif(F.get("__t", 1), F.lit("")).alias("cloth"),
+        )
     )
 
 
 def scan_listing_ids(files_df: DataFrame, pattern: str = r"prompt_(\d+)") -> DataFrame:
     """S7: resume scan — extract processed ids from a file listing
-    (s3_uploader.py:40-79), as anti-join input."""
+    (s3_uploader.py:40-79), as anti-join input.
+
+    The id cast is ``try_cast`` (r13, queued fix #3): an extracted id
+    wider than BIGINT used to abort the whole resume scan under Spark
+    4's ANSI cast (CAST_INVALID_INPUT) — one pathological filename in a
+    bucket listing must not kill resume. Overflow → NULL → filtered
+    with the existing non-match rows."""
     return (
         files_df.select(F.regexp_extract(F.col("path"), pattern, 1).alias("id"))
         .filter(F.col("id") != "")
-        .select(F.col("id").cast("long").alias("prompt_number"))
+        .select(F.col("id").try_cast("long").alias("prompt_number"))
+        .filter(F.col("prompt_number").isNotNull())
         .dropDuplicates(["prompt_number"])
     )
 
@@ -130,18 +157,25 @@ def write_keyed_json(df: DataFrame, path: str, partition_cols: list[str] | None 
     dynamic writer otherwise opens one output file per in-memory value —
     three distinct values escaping to the SAME directory collide inside
     any task that holds two of them (FileAlreadyExistsException), a
-    data-dependent job crash the hostile-key battery reproduces. Every
-    other value — separators, '=', unicode, whitespace, '..' — is
-    escaped by Spark and round-trips identically."""
+    data-dependent job crash the hostile-key battery reproduces. NUL
+    bytes are STRIPPED from partition values first (r13, queued fix #1):
+    Spark's escapePathName escapes '/', '=', '%', \\n … but not \\x00,
+    and a POSIX path component cannot contain it — the write died with
+    TASK_WRITE_FAILED. A NUL-bearing value is the third documented
+    non-round-trippable class ('a\\x00b' reads back 'ab'; a value that
+    strips to '' follows the empty-string rule). Every other value —
+    separators, '=', unicode, whitespace, '..' — is escaped by Spark
+    and round-trips identically."""
     if partition_cols:
         for c in partition_cols:
             if dict(df.dtypes).get(c) == "string":
+                stripped = F.regexp_replace(F.col(c), "\\x00", "")
                 df = df.withColumn(
                     c,
                     F.when(
-                        (F.col(c) == "") | (F.col(c) == _HIVE_DEFAULT_PART),
+                        (stripped == "") | (stripped == _HIVE_DEFAULT_PART),
                         F.lit(None).cast("string"),
-                    ).otherwise(F.col(c)),
+                    ).otherwise(stripped),
                 )
     w = df.write.mode("overwrite")
     if partition_cols:

@@ -15,6 +15,7 @@ right).
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
@@ -30,6 +31,23 @@ class ThrottleConfig:
     # tests shrink time by injecting a fake clock/sleep
     clock: Callable[[], float] = time.monotonic
     sleep: Callable[[float], None] = time.sleep
+
+    def __post_init__(self) -> None:
+        # Construction-time rejection (r13, queued fix #4): rpm=0 used
+        # to ZeroDivisionError on the second acquire, a negative rpm
+        # span forever on the sleep floor, and a negative backoff flow
+        # straight into time.sleep (ValueError mid-retry) — all
+        # mid-JOB failures from a config mistake that is knowable here.
+        if not math.isfinite(self.requests_per_minute) or self.requests_per_minute <= 0:
+            raise ValueError(
+                f"requests_per_minute must be a positive finite number, got {self.requests_per_minute!r}"
+            )
+        if self.max_retries < 0:
+            raise ValueError(f"max_retries must be >= 0, got {self.max_retries!r}")
+        for fname in ("backoff_base_s", "backoff_factor", "cooldown_s"):
+            v = getattr(self, fname)
+            if not math.isfinite(v) or v < 0:
+                raise ValueError(f"{fname} must be a non-negative finite number, got {v!r}")
 
 
 class TokenBucket:

@@ -53,21 +53,17 @@ def test_no_block_falls_back_whole(spark, resp):
 @pytest.mark.parametrize(
     "resp", ["{not json at all}", '{"score": bad}', "{,}", '{"a"}']
 )
-def test_garbage_in_braces_loses_raw_pinned_queued_fix(spark, resp):
-    """QUEUED FIX (r12 → r13, DIVERGENCES.md "Queued fix: JSON-rescue
-    conservation"): when the regex DOES extract a block but the block is
-    malformed, from_json in PERMISSIVE mode returns an ALL-NULL STRUCT
-    (not NULL), so `parsed.isNull()` is false and the raw fallback never
-    fires — the response text is LOST, violating the conservation
-    property the no-block cases uphold (and the same class the r11 S2
-    fix closed). Reference contrast: qwen_vl_processor.py:177-187
-    catches JSONDecodeError and keeps the raw text. Pinned; the r13 fix
-    threads from_json's columnNameOfCorruptRecord through so fallback
-    keys on corrupt-record evidence, not struct nullity."""
+def test_garbage_in_braces_keeps_raw_after_conservation_fix(spark, resp):
+    """FLIPPED r13 (queued fix #6): a malformed-but-extracted block used
+    to parse to an ALL-NULL struct (not NULL), so the raw fallback never
+    fired and the response text was LOST. The fix threads from_json's
+    columnNameOfCorruptRecord through, so fallback keys on parse-failure
+    EVIDENCE: corrupt block → parsed NULL, raw = the full response —
+    exactly the no-block contract (reference: qwen_vl_processor.py:
+    184-187 catches JSONDecodeError and keeps the raw text)."""
     r = _parse(spark, resp)
-    assert r.parsed is not None  # all-null struct, NOT null
-    assert (r.parsed.score, r.parsed.label) == (None, None)
-    assert r.raw_response is None  # r13: must become `resp`
+    assert r.parsed is None
+    assert r.raw_response == resp  # conservation: nothing silently lost
 
 
 @pytest.mark.parametrize(

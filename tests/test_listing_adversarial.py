@@ -48,15 +48,20 @@ def test_hostile_filenames_round_trip(spark, tmp_path):
     assert all(r.n_bytes > 0 and r.content is not None for r in rows)
 
 
-def test_zero_byte_file_invisible_pinned_queued_fix(spark, tmp_path):
-    """QUEUED FIX: the 0-byte file exists on disk but Spark plans no
-    read for it — the listing pretends it isn't there. A truncated
-    download must surface as an INVALID asset, not an unseen one."""
+def test_zero_byte_file_listed_after_fix(spark, tmp_path):
+    """FLIPPED r13 (queued fix #8): the binaryFile source plans no read
+    for a 0-byte file, so a truncated download used to be absent from
+    the listing. The Hadoop-FS glob twin now unions it back with
+    content=NULL / n_bytes=0 — visible as an INVALID asset, not unseen."""
     d = str(tmp_path)
     _touch(d, "empty.jpg", b"")
     _touch(d, "one.jpg", b"x")
-    listed = {os.path.basename(r.path) for r in read_binary_dir(spark, d).collect()}
-    assert listed == {"one.jpg"}  # r13: empty.jpg must appear (n_bytes=0)
+    rows = read_binary_dir(spark, d).collect()
+    byname = {os.path.basename(r.path): r for r in rows}
+    assert set(byname) == {"one.jpg", "empty.jpg"}
+    assert byname["empty.jpg"].n_bytes == 0
+    assert byname["empty.jpg"].content is None
+    assert byname["one.jpg"].n_bytes == 1
 
 
 def test_glob_is_case_sensitive_pinned(spark, tmp_path):

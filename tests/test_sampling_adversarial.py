@@ -41,44 +41,41 @@ def test_all_zero_weights_crash_loudly_at_build():
         cumulative_weights([("a", 0.0), ("b", 0.0)])
 
 
-def test_negative_weight_bounds_non_monotone_pinned():
-    """QUEUED FIX: negative mass yields bounds (0,0.5),(0.5,-0.5),
-    (-0.5,1.0) — 'b' is unreachable and its mass redistributes silently.
-    r13: reject w < 0 at build with a clear message."""
-    bounds = cumulative_weights([("a", 1.0), ("b", -2.0), ("c", 3.0)])
-    his = [hi for _n, _lo, hi in bounds]
-    assert his == [0.5, -0.5, 1.0]  # non-monotone, pinned as-is
+def test_negative_weight_rejected_at_build():
+    """FLIPPED r13 (queued fix #5): negative mass used to yield
+    non-monotone bounds — 'b' unreachable, its mass silently
+    redistributed. Now a build-time ValueError naming the item."""
+    with pytest.raises(ValueError, match="negative weight.*'b'"):
+        cumulative_weights([("a", 1.0), ("b", -2.0), ("c", 3.0)])
 
 
-def test_nan_weight_poisons_all_bounds_pinned(spark):
-    """QUEUED FIX: one NaN weight makes every bound NaN, and Spark's SQL
-    ordering puts NaN ABOVE every double (not IEEE-incomparable), so
-    `r < NaN` is TRUE in the first WHEN and EVERY draw silently lands on
-    the FIRST item — a constant sampler. (The IEEE-semantics engine
-    would constant-pick the LAST item instead; either way one bad weight
-    kills the distribution without an error.) r13: reject non-finite
-    weights at build."""
-    bounds = cumulative_weights([("a", float("nan")), ("b", 1.0)])
-    assert all(math.isnan(lo) and math.isnan(hi) for _n, lo, hi in bounds)
+def test_nan_weight_rejected_at_build(spark):
+    """FLIPPED r13 (queued fix #5): one NaN weight used to poison every
+    bound, and under Spark's NaN-above-everything SQL ordering every
+    draw silently landed on the FIRST item — a constant sampler with no
+    error. Non-finite weights are now rejected at build, before any
+    plan is constructed."""
+    with pytest.raises(ValueError, match="non-finite weight"):
+        cumulative_weights([("a", float("nan")), ("b", 1.0)])
     from pyspark.sql import functions as F
 
     df = spark.range(50)
-    out = weighted_choice(
-        df, F.col("id").cast("string"), [("a", float("nan")), ("b", 1.0)], "pick", "s"
-    )
-    picks = {r.pick for r in out.collect()}
-    assert picks == {"a"}  # Spark NaN-max ordering: first WHEN always true
+    with pytest.raises(ValueError, match="non-finite weight"):
+        weighted_choice(
+            df, F.col("id").cast("string"), [("a", float("inf")), ("b", 1.0)], "pick", "s"
+        )
 
 
-def test_empty_items_fail_far_from_cause_pinned():
-    """QUEUED FIX: empty items build empty bounds; the failure surfaces
-    only at ladder build (IndexError on bounds[-1]), one call away from
-    the mistake. r13: reject empty items at build."""
-    assert cumulative_weights([]) == []
+def test_empty_items_rejected_at_build():
+    """FLIPPED r13 (queued fix #5): empty items used to build empty
+    bounds and only fail one call away (IndexError at ladder build).
+    Now rejected at the cause."""
+    with pytest.raises(ValueError, match="non-empty"):
+        cumulative_weights([])
     from syntheticdata_pipeline__spark.operators.sampling import weighted_choice_sql
 
-    with pytest.raises(IndexError):
-        weighted_choice_sql("k", [], "s")  # fails at ladder build, not at cause
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_choice_sql("k", [], "s")
 
 
 def test_tiny_and_huge_weights_stay_normalized():

@@ -127,24 +127,21 @@ def test_keyed_overwrite_rerun_over_crashed_attempt_debris(spark, tmp_path):
     assert _read_kv(spark, path) == dict(pairs)
 
 
-def test_keyed_json_nul_partition_value_crashes_pinned(spark, tmp_path):
-    """QUEUED FIX (r12 → r13, DIVERGENCES.md): a NUL byte in a partition
-    VALUE kills the write — Spark's escapePathName escapes '/', '=',
+def test_keyed_json_nul_partition_value_stripped(spark, tmp_path):
+    """FLIPPED r13 (queued fix #1): a NUL byte in a partition VALUE used
+    to kill the write — Spark's escapePathName escapes '/', '=',
     unicode, '%', control chars like \\n … but NOT \\x00, and POSIX
-    path components cannot contain it (TASK_WRITE_FAILED from the
-    filesystem). Pinned so the r13 normalization (fold NUL-bearing
-    values into the explicit pre-write normalization that already
-    handles '' and the Hive sentinel) has a red test to turn green —
-    under the round-12 hard freeze the behavior change itself waits.
-
-    Hostile data reaching this sink today must route NUL keys through
-    the F8 null/blank-skip normalizers first (same contract as the two
-    non-round-trippable Hive values)."""
+    path components cannot contain it (TASK_WRITE_FAILED). The pre-write
+    normalization now strips NUL, making it the third documented
+    non-round-trippable class: 'a\\x00b' reads back as 'ab', and a value
+    that strips to '' follows the empty-string → NULL rule."""
     df = spark.createDataFrame(
-        [(1, "a\x00b", "p1")], "id int, k string, payload string"
+        [(1, "a\x00b", "p1"), (2, "\x00", "p2")], "id int, k string, payload string"
     ).repartition(1)
-    with pytest.raises(Exception, match="TASK_WRITE_FAILED|Py4JJavaError|\\x00|NUL"):
-        write_keyed_json(df, str(tmp_path / "nul_part"), partition_cols=["k"])
+    path = str(tmp_path / "nul_part")
+    write_keyed_json(df, path, partition_cols=["k"])
+    back = {r.id: r.k for r in spark.read.json(path).collect()}
+    assert back == {1: "ab", 2: None}
 
 
 def test_keyed_json_newline_partition_value_round_trips(spark, tmp_path):

@@ -76,23 +76,22 @@ def test_pairs_extra_tokens_dropped(spark, tmp_path):
     assert got == [("p1", "c1")]
 
 
-def test_pairs_double_space_pinned_queued_fix(spark, tmp_path):
-    """QUEUED FIX (r12 → r13): the reference's whitespace-run split
-    parses 'p1  c1' as ('p1','c1'); the CSV reader sees an empty middle
-    field → ('p1', NULL) and silently drops 'c1'. Wrong vs reference on
-    an input the reference handles fine — pinned so the r13 rewrite
-    (read as text + WS_CLASS-run split) has a red test to flip."""
+def test_pairs_double_space_splits_like_reference(spark, tmp_path):
+    """FLIPPED r13 (queued fix #2): the reader moved from CSV (which saw
+    an empty middle field in 'p1  c1' and silently dropped 'c1') to
+    text + whitespace-class-run split — the reference's line.split()
+    semantics (dataloader.py:189-192)."""
     got = _pairs(spark, tmp_path, b"p1  c1\n")
-    assert got == [("p1", None)]  # r13: must become [("p1", "c1")]
+    assert got == [("p1", "c1")]
 
 
-def test_pairs_csv_quote_pinned_queued_fix(spark, tmp_path):
-    """QUEUED FIX (r12 → r13): a double quote is an ordinary character
-    in a whitespace-split format, but the CSV reader applies quoting —
-    '"p1 x" c1' currently parses as ('p1 x','c1'). The r13 text-split
-    rewrite makes the quote literal: ('"p1', 'x"')."""
+def test_pairs_csv_quote_is_literal(spark, tmp_path):
+    """FLIPPED r13 (queued fix #2): a double quote is an ordinary
+    character in a whitespace-split format — the CSV reader used to
+    apply quoting ('"p1 x" c1' → ('p1 x','c1')); the text-split reader
+    keeps it literal, exactly as the reference's split() would."""
     got = _pairs(spark, tmp_path, b'"p1 x" c1\n')
-    assert got == [("p1 x", "c1")]  # r13: must become [('"p1', 'x"')]
+    assert got == [('"p1', 'x"')]
 
 
 # --- S7 listing resume scan ---------------------------------------------
@@ -132,15 +131,14 @@ def test_listing_fullwidth_digits_do_not_match(spark):
     assert got == [9]
 
 
-def test_listing_bigint_overflow_crashes_pinned(spark):
-    """QUEUED FIX (r12 → r13, DIVERGENCES.md): an extracted id wider than
-    BIGINT kills the resume scan under Spark 4's ANSI cast
-    (CAST_INVALID_INPUT) — one pathological filename in a bucket listing
-    must not abort resume. Pinned; the r13 fix is try_cast → NULL →
-    filtered with the existing non-match rows."""
+def test_listing_bigint_overflow_filtered_not_fatal(spark):
+    """FLIPPED r13 (queued fix #3): an extracted id wider than BIGINT
+    used to kill the whole resume scan under Spark 4's ANSI cast
+    (CAST_INVALID_INPUT). The cast is now try_cast: the pathological
+    filename filters out with the non-match rows and resume proceeds."""
     files = spark.createDataFrame(
         [("/x/prompt_99999999999999999999999.json",), ("/x/prompt_5.json",)],
         "path string",
     )
-    with pytest.raises(Exception, match="CAST_INVALID_INPUT|NumberFormat"):
-        scan_listing_ids(files).collect()
+    got = sorted(r.prompt_number for r in scan_listing_ids(files).collect())
+    assert got == [5]

@@ -44,50 +44,44 @@ class BoundedClock:
         self.t += max(s, 0.0)
 
 
-def test_zero_rpm_crashes_pinned():
-    """QUEUED FIX: rpm=0 ('paused') makes refill rate 0; the first
-    acquire spends the single seeded token and the second divides the
-    deficit by the zero rate — ZeroDivisionError mid-job instead of a
-    construction-time rejection."""
+def test_zero_rpm_rejected_at_construction():
+    """FLIPPED r13 (queued fix #4): rpm=0 used to ZeroDivisionError on
+    the SECOND acquire (refill rate 0, deficit / 0) — a mid-job crash
+    from a config mistake knowable at construction. Now rejected."""
     c = BoundedClock()
-    bucket = TokenBucket(
+    with pytest.raises(ValueError, match="requests_per_minute"):
         ThrottleConfig(requests_per_minute=0.0, clock=c.now, sleep=c.sleep)
-    )
-    bucket.acquire()  # spends the seeded token fine
-    with pytest.raises(ZeroDivisionError):
-        bucket.acquire()
 
 
-def test_negative_rpm_hangs_pinned():
-    """QUEUED FIX: a negative rate DRAINS tokens over time, so the wait
-    can never be satisfied — the acquire loop spins on the 0.01 s floor
-    forever. Pinned via the bounded clock's loud abort."""
+def test_negative_rpm_rejected_at_construction():
+    """FLIPPED r13 (queued fix #4): a negative rate DRAINED tokens over
+    time so the acquire loop spun forever on the 0.01 s sleep floor —
+    an unbounded hang, now a construction-time ValueError."""
     c = BoundedClock()
-    bucket = TokenBucket(
+    with pytest.raises(ValueError, match="requests_per_minute"):
         ThrottleConfig(requests_per_minute=-5.0, clock=c.now, sleep=c.sleep)
-    )
-    bucket.acquire()
-    with pytest.raises(RuntimeError, match="HANG"):
-        bucket.acquire()
 
 
-def test_negative_backoff_sleeps_negative_pinned():
-    """QUEUED FIX: a negative backoff base flows straight into
-    cfg.sleep — with the real time.sleep that ValueError would escape
-    the retry harness mid-retry, turning a retryable call failure into
-    a job crash. Pinned with the injected fake, which records the
-    negative durations the harness emits."""
+def test_negative_backoff_rejected_at_construction():
+    """FLIPPED r13 (queued fix #4): a negative backoff base used to flow
+    straight into cfg.sleep — with the real time.sleep, a ValueError
+    mid-retry turning a retryable call failure into a job crash. Now a
+    loud config error before any work starts."""
     c = BoundedClock()
-    cfg = ThrottleConfig(
-        max_retries=2, backoff_base_s=-5.0, clock=c.now, sleep=c.sleep
-    )
+    with pytest.raises(ValueError, match="backoff_base_s"):
+        ThrottleConfig(max_retries=2, backoff_base_s=-5.0, clock=c.now, sleep=c.sleep)
 
-    def always_fails(_item):
-        raise ValueError("boom")
 
-    ok, err, attempts = call_with_retry(always_fails, 1, cfg)
-    assert (ok, attempts) == (False, 3)
-    assert c.sleeps == [-5.0, -10.0]  # r13: must become a loud config error
+def test_nan_rpm_and_negative_retries_rejected():
+    """Companion: NaN/inf rates and negative retry budgets are the same
+    class — knowable-at-construction poison, rejected with the field
+    name in the message."""
+    with pytest.raises(ValueError, match="requests_per_minute"):
+        ThrottleConfig(requests_per_minute=float("nan"))
+    with pytest.raises(ValueError, match="requests_per_minute"):
+        ThrottleConfig(requests_per_minute=float("inf"))
+    with pytest.raises(ValueError, match="max_retries"):
+        ThrottleConfig(max_retries=-1)
 
 
 def test_fractional_rpm_waits_exact_refill_time():
