@@ -576,11 +576,42 @@ def incremental_minhash_dedup(
     (e.g. via operators.state.StateTable / parquet append). State is one
     signature row per seen doc; band rows are derived, so the stored
     footprint is num_hashes hashes per document.
+
+    Identical-signature collapse (r13, queued fix #10): docs with
+    byte-identical SIGNATURES share every LSH band, so the band join
+    was quadratic in replica-group size — the diagnosed cause of the
+    ≈n^1.7 30×→60× stress segment (the stress layout replicates docs
+    byte-identically). Since identical signatures estimate Jaccard
+    exactly 1.0 ≥ any valid threshold, every non-minimum member of an
+    identical-signature group is a duplicate BY CONSTRUCTION; only the
+    group-minimum representative enters the band join, on both the
+    batch and the prior-state side. Output-identical: "∃ earlier doc of
+    signature S matching X" ⟺ "min-id doc of S is earlier and matches
+    X" (band sets and Jaccard estimates depend only on the signature),
+    so the survivor set — and the associativity guarantee — are
+    unchanged (tests/test_incremental_dedup.py +
+    tests/test_collapse_equivalence.py).
     """
+    if not (0.0 < est_threshold <= 1.0):
+        raise ValueError(
+            f"est_threshold must be in (0, 1] (a MinHash Jaccard estimate "
+            f"cannot exceed 1), got {est_threshold!r}"
+        )
+    from pyspark.sql import Window
+
     sigs = minhash_signatures(
         batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
     )
-    new_bands = _sig_band_rows(sigs, num_hashes, bands).repartition("band", "bh")
+    # signature entries are fixed-width md5 hex, so '|'-joined is an
+    # unambiguous group key
+    sig_key = F.md5(F.concat_ws("|", "sig"))
+    wmin = Window.partitionBy("__sk")
+    keyed = sigs.withColumn("__sk", sig_key).withColumn(
+        "__gmin", F.min("id").over(wmin)
+    )
+    collapse_dups = keyed.filter(F.col("id") > F.col("__gmin")).select("id")
+    reps = keyed.filter(F.col("id") == F.col("__gmin")).select("id", "sig")
+    new_bands = _sig_band_rows(reps, num_hashes, bands).repartition("band", "bh")
 
     # within-batch: earlier batch doc wins
     l = new_bands.select(
@@ -596,9 +627,17 @@ def incremental_minhash_dedup(
         .distinct()
     )
     if state_sigs is not None:
-        prior_bands = _sig_band_rows(
-            state_sigs.select(F.col("id"), F.col("sig")), num_hashes, bands
-        ).repartition("band", "bh")
+        # prior side collapses the same way: "∃ prior doc of signature S
+        # with lower id" ⟺ "the min-id prior doc of S has lower id"
+        prior_keyed = (
+            state_sigs.select(F.col("id"), F.col("sig"))
+            .withColumn("__sk", sig_key)
+            .withColumn("__gmin", F.min("id").over(wmin))
+        )
+        prior_reps = prior_keyed.filter(F.col("id") == F.col("__gmin")).select(
+            "id", "sig"
+        )
+        prior_bands = _sig_band_rows(prior_reps, num_hashes, bands).repartition("band", "bh")
         p = prior_bands.select(
             F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
         )
@@ -620,6 +659,7 @@ def incremental_minhash_dedup(
     dup_ids = (
         cand.filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= est_threshold)
         .select(F.col("id_b").alias("id"))
+        .unionByName(collapse_dups)
         .distinct()
     )
     survivors = batch.join(

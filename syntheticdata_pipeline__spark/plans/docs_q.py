@@ -3025,13 +3025,21 @@ def lsh_param_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the interaction table that justifies (or kills) quality-first dedup.
 # --------------------------------------------------------------------------
 
-_LIFT_QUALITY_EXPR = """round(
+# IEEE floor-grid, NOT round(·,4) (r13 grid-key tie sweep, queued #11):
+# this is the SAME 4-dp quality grid whose 0.72125 halfway split
+# rank_normalized_quality at sf0.1 — Spark's BigDecimal HALF_UP vs
+# DuckDB's binary half-even. Here the tie was LATENT (the one-cell
+# histogram shift didn't happen to move a doc across a quartile
+# boundary at sf0.1), but any data drift could surface it. floor(q*1e4
+# + 0.5) is pure double arithmetic, bit-identical on both engines; the
+# grid key never reaches the output.
+_LIFT_QUALITY_EXPR = """CAST(floor((
   (CASE WHEN len(toks) >= 20 AND len(toks) <= 10000 THEN 1.0
         WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
   + least(CAST(len(list_intersect(toks, {stops})) AS DOUBLE) / 4.0, 1.0) * 0.3
   + coalesce(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-               / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3,
-4)"""
+               / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 0.3
+) * 10000.0 + 0.5) AS BIGINT)"""
 
 
 def _lift_oracle() -> str:
@@ -3072,8 +3080,9 @@ FROM labeled GROUP BY tile
 @register("quality_duplication_lift", oracle=_lift_oracle(), bench=True, tags=("quality", "dedup-minhash", "tuning"))
 def quality_duplication_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup membership rate per quality quartile: docs bucket into
-    value-based quartiles of the 4-dp quality grid (histogram-CDF tiles,
-    the de-skewed pattern), and a doc counts as a near-dup member if it
+    value-based quartiles of the 4-dp quality grid (IEEE floor-grid
+    keyed — see _LIFT_QUALITY_EXPR — histogram-CDF tiles, the de-skewed
+    pattern), and a doc counts as a near-dup member if it
     appears in any verified LSH pair at the cluster threshold — the
     interaction table behind quality-first dedup policies (if low
     quality correlates with duplication, dedup order matters).
@@ -3099,7 +3108,11 @@ def quality_duplication_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     q = quality_score(T(spark, sf_dir, "documents")).select(
-        "doc_id", F.round("quality", 4).alias("qv")
+        "doc_id",
+        # IEEE floor-grid, NOT F.round(·,4) — see _LIFT_QUALITY_EXPR
+        F.floor(F.col("quality") * F.lit(10000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
     )
     hist = q.groupBy("qv").agg(F.count("*").alias("c"))
     wc = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)

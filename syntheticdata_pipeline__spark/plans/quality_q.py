@@ -77,10 +77,18 @@ FROM f GROUP BY lang
 @register("gopher_quality_flags", oracle=_GOPHER_ORACLE, bench=True, tags=("quality", "F1"))
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style rule battery rolled up per lang. One scan, all
-    rules evaluated JVM-side in a single projection, partial-agg shuffle
-    on ~languages keys — a pure map-side pass at any scale."""
+    rules evaluated JVM-side, partial-agg shuffle on ~languages keys —
+    a pure map-side pass at any scale. The token array is pinned ONCE
+    via the shared localCheckpoint token base (r13 hoist, queued fix
+    #9): the five rule expressions used to re-inline the fold+regex
+    tokenizer under projection collapse, running it 5× per row."""
     d = T(spark, sf_dir, "documents")
-    f = gopher_flags(d).select("lang", "flag_short", "flag_wordlen", "flag_lowstop")
+    arrs = d.select("lang", tokens(F.col("text")).alias("__toks")).localCheckpoint(
+        eager=False
+    )
+    f = gopher_flags(arrs, toks_col="__toks").select(
+        "lang", "flag_short", "flag_wordlen", "flag_lowstop"
+    )
 
     def _n(c: F.Column) -> F.Column:
         return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")

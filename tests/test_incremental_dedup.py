@@ -46,6 +46,35 @@ def test_incremental_equals_oneshot(spark):
     assert 0 < len(want) < n_docs
 
 
+def test_identical_signature_collapse_is_output_identical(spark):
+    """r13 (queued fix #10): byte-identical replicas share every LSH
+    band, so pre-collapse the band join was quadratic in replica-group
+    size. The collapse must not change the ANSWER: survivors of a
+    replica-laced corpus are exactly the survivors of the distinct
+    corpus (replicas of id-minimal docs all die; the distinct docs'
+    fate is decided by the same rep-vs-rep comparisons)."""
+    base = T(spark, SF_SMOKE, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 120
+    )
+    # 4 byte-identical replicas per doc, ids stacked ABOVE the originals
+    laced = base
+    n = 1_000_000
+    for k in range(1, 4):
+        laced = laced.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(k * n))
+        )
+    surv_laced, _ = incremental_minhash_dedup(laced, None)
+    surv_base, _ = incremental_minhash_dedup(base, None)
+    assert _ids(surv_laced) == _ids(surv_base)  # every replica died, no original's fate changed
+
+
+def test_est_threshold_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="est_threshold"):
+        incremental_minhash_dedup(None, None, est_threshold=1.5)
+
+
 def test_incremental_drops_replica_batch(spark):
     """A second batch that replays earlier docs (ids shifted up) is wiped
     out entirely by the state comparison."""

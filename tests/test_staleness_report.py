@@ -66,12 +66,21 @@ def test_summary_line_matches_computation():
 
 def test_entry_comment_contains_no_hand_written_overflow():
     """The tier-0 comment block must defer to tools/staleness.py instead
-    of asserting numeric size/window/overflow claims like r11's stale
-    'overflow a 50-slot window by 16'."""
+    of asserting numeric size/window/overflow claims — r11's stale
+    'overflow a 50-slot window by 16', and r12's equally stale 'any
+    1-entry overflow' (the real overflow was 2; r12 ADVICE #1 flagged
+    that the original regex missed this phrasing). Any numeric
+    quantifier attached to 'overflow' in the block is a hand-written
+    claim that staleness.py should own."""
     src = open(os.path.join(ROOT, "__spark_entry__.py")).read()
     block = src[: src.index("_CHANGED_THIS_ROUND = (")]
     assert "tools/staleness.py" in block
     assert not re.search(r"overflow[s]? a \d+-slot window by \d+", block)
+    # numeric overflow claims in ANY phrasing: "1-entry overflow",
+    # "overflow of 2", "overflow is 3", "2 entries overflow", ...
+    assert not re.search(r"\b\d+[- ]entr(y|ies)?\s+overflow", block)
+    assert not re.search(r"overflow\s+(of|is|=)\s*\d+", block)
+    assert not re.search(r"\b\d+\s+entr(y|ies)\s+(will\s+)?overflow", block)
 
 
 def test_tier0_entries_precede_all_other_tiers():
@@ -82,21 +91,21 @@ def test_tier0_entries_precede_all_other_tiers():
 
 
 def test_tier0_entries_were_not_driver_checked_since_rewrite():
-    """Round-12 freeze pin: every tier-0 entry is a round-11 rewrite the
-    r11 window missed — none may appear in CORRECTNESS_r11.json (entries
-    the r11 driver re-checked post-rewrite must leave the list).
+    """Round-13 pin: every tier-0 entry is either an r13 queued-fix
+    rewrite or an r11-rewrite leftover the r12 window missed — none may
+    appear in CORRECTNESS_r12.json (entries the r12 driver re-checked
+    post-rewrite must leave the list).
 
     Pinned to the correctness file that was CURRENT when this round's
-    list was written (not "latest": the driver writes CORRECTNESS_r12
+    list was written (not "latest": the driver writes CORRECTNESS_r13
     at round end, after the list is frozen). Each round's list
     maintenance bumps this pin alongside the list itself.
     """
-    pin = "CORRECTNESS_r11.json"
+    pin = "CORRECTNESS_r12.json"
     # Queries legitimately REWRITTEN AGAIN after the pinned round's
-    # check — each needs a DIVERGENCES.md entry justifying the in-freeze
-    # rewrite (r12: the sf0.1 sweep's wrong-on-clean-data floor-grid
-    # fix, the freeze's explicit exemption).
-    rewritten_after_pin = {"rank_normalized_quality"}
+    # check — each needs a DIVERGENCES.md entry justifying the rewrite.
+    # r13: none — no r13 rewrite was in the r12 window.
+    rewritten_after_pin: set[str] = set()
     checked = set(json.load(open(os.path.join(ROOT, pin))))
     stale_greens = [
         n

@@ -99,6 +99,13 @@ def main() -> None:
     if n_chunks <= 0:
         print(json.dumps(out))
         return
+    if n_docs == 0:
+        # empty documents table: bounds.lo/hi are NULL and the step
+        # arithmetic below would TypeError (r12 ADVICE #4) — record the
+        # vacuous result explicitly instead of crashing the evidence run
+        out["chunked"] = {"n_chunks": 0, "survivors_total": 0, "associativity_ok": True}
+        print(json.dumps(out))
+        return
     shutil.rmtree(state_path, ignore_errors=True)
     bounds = docs.select(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -133,10 +140,17 @@ def main() -> None:
             "files": [pre_files, post_files],
         },
     }
-    # associativity at depth: chunked survivor total == one-shot total
+    # associativity at depth: chunked survivor total == one-shot total.
+    # The flag is CHECKED and recorded, not just printed (r12 ADVICE #4)
+    # — a silent mismatch must self-report in the evidence JSON and in
+    # the exit code.
     oneshot_surv, _ = incremental_minhash_dedup(docs, None, id_col="doc_id", text_col="text")
-    out["chunked"]["oneshot_survivors"] = oneshot_surv.count()
+    oneshot_n = oneshot_surv.count()
+    out["chunked"]["oneshot_survivors"] = oneshot_n
+    out["chunked"]["associativity_ok"] = survivors_total == oneshot_n
     print(json.dumps(out))
+    if not out["chunked"]["associativity_ok"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

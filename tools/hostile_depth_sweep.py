@@ -173,7 +173,7 @@ def main() -> None:
     spark = get_spark("hostile-depth", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    total_pass = total_fail = 0
+    total_pass = total_skip = total_fail = 0
     only = set(sys.argv[2:])  # optional stripe-label filter
     for label, (tables, rewrites) in STRIPES.items():
         if only and label not in only:
@@ -184,22 +184,34 @@ def main() -> None:
             markers = ("_E(spark",) if "embeddings" in tables else ()
             members = sweep_members(tables, extra_src_markers=markers)
             con = duck_connect(tmp)
-            npass = 0
+            # Count True/None/False SEPARATELY (r12 ADVICE #2): a member
+            # without an oracle returns None (rows-only), and folding
+            # that into npass would overstate oracle-verified coverage
+            # in the recorded evidence lines.
+            npass = nskip = nfail = 0
             for name in members:
                 spec = registry[name]
                 qs = {name: spec.build}
                 oracles = {name: spec.oracle} if spec.oracle else {}
                 ok = compare_one(spark, con, name, qs, oracles, tmp)
                 if ok is False:
-                    total_fail += 1
+                    nfail += 1
+                elif ok is None:
+                    nskip += 1
                 else:
                     npass += 1
             con.close()
             total_pass += npass
-            print(f"== {label}: {npass}/{len(members)} pass over {src}", flush=True)
+            total_skip += nskip
+            total_fail += nfail
+            print(
+                f"== {label}: {npass} pass, {nskip} rows-only, {nfail} fail "
+                f"(of {len(members)}) over {src}",
+                flush=True,
+            )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    print(f"TOTAL: {total_pass} pass, {total_fail} fail")
+    print(f"TOTAL: {total_pass} pass, {total_skip} rows-only, {total_fail} fail")
     sys.exit(1 if total_fail else 0)
 
 
