@@ -80,11 +80,16 @@ _CHANGED_THIS_ROUND = (
     # tools/grid_tie_sweep.py ---
     "quality_duplication_lift",
     # --- perf rewrites, outputs proven identical on clean fixtures
-    # (queued #10 + #9): identical-signature collapse before the band
-    # join (associativity re-proven at 60×, PERF.md r13 section);
-    # shared localCheckpoint token base for the gopher rule battery ---
+    # (queued #10 + #9 + the r12 verdict #5 context-sensitivity pair):
+    # identical-signature collapse before the band join (associativity
+    # re-proven at 60×, PERF.md r13 section); shared localCheckpoint
+    # token base for the gopher rule battery; pinned single-scan bases
+    # for the two driver-context-inflation queries (value-identity
+    # A/B'd at sf0.1 before the rewrite landed) ---
     "incremental_dedup_survivors",
     "gopher_quality_flags",
+    "dataset_version_diff",
+    "cross_source_overlap",
     # --- r11 rewrite leftovers the r12 window could not reach, both
     # J-verified at sf0.01 (r12 VERDICT) — lowest risk, listed last ---
     "similarity_pagerank",

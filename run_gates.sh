@@ -39,6 +39,23 @@ if [ "$MODE" = "full" ]; then
     echo "GATE FAIL: driver simulation" >&2
     fail=1
   fi
+
+  # Standing depth gates (r12 verdict "Next round" #7): each of these
+  # found a unique real divergence in r12 that the pinned-scale
+  # batteries provably could not see — scale is itself an adversarial
+  # axis, so they run every round-end, not as one-offs.
+  echo "== gate 2c: full-catalog oracle sweep at sf0.1 =="
+  if ! SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=16 \
+       python tools/check_oracle.py --json /tmp/SELFCHECK_sf01.json; then
+    echo "GATE FAIL: sf0.1 catalog sweep" >&2
+    fail=1
+  fi
+
+  echo "== gate 2d: seven-stripe hostile depth sweep at sf0.01 =="
+  if ! python tools/hostile_depth_sweep.py /root/testdata/sf0.01; then
+    echo "GATE FAIL: hostile depth sweep" >&2
+    fail=1
+  fi
 fi
 
 echo "== gate 3: bench JSON line =="

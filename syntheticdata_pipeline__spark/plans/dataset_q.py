@@ -1027,21 +1027,33 @@ def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE full-outer shuffle join keyed by doc id, comparing
     fixed-width md5 content keys instead of text bodies, then a
     4-row rollup — the dataset-versioning primitive that runs between
-    corpus releases without ever comparing payloads."""
+    corpus releases without ever comparing payloads. The text scan +
+    md5 battery is pinned ONCE (r13): v1/survivors/added used to each
+    re-scan the table, tripling the expensive stage and making the
+    query the bench's most context-sensitive reading (in-context 3.5×
+    its solo time under driver adjacency, twice forgiven — the r12
+    repeat offender); the pinned base is ~fixed-width rows, so the
+    three derivations are cheap column picks."""
     d = T(spark, sf_dir, "documents")
-    v1 = d.select("doc_id", F.md5("text").alias("ck"))
-    survivors = d.filter(unit_rand(F.col("doc_id"), "v2drop") >= _VDIFF_DROP).select(
+    base = d.select(
         "doc_id",
-        F.when(
-            unit_rand(F.col("doc_id"), "v2mod") < _VDIFF_MOD,
-            F.md5(F.concat(F.col("text"), F.lit("|v2"))),
-        )
-        .otherwise(F.md5("text"))
+        F.md5("text").alias("ck"),
+        F.md5(F.concat(F.col("text"), F.lit("|v2"))).alias("ck_mod"),
+        F.md5(F.concat(F.col("text"), F.lit("|new"))).alias("ck_new"),
+        unit_rand(F.col("doc_id"), "v2drop").alias("r_drop"),
+        unit_rand(F.col("doc_id"), "v2mod").alias("r_mod"),
+        unit_rand(F.col("doc_id"), "v2add").alias("r_add"),
+    ).localCheckpoint(eager=False)
+    v1 = base.select("doc_id", "ck")
+    survivors = base.filter(F.col("r_drop") >= _VDIFF_DROP).select(
+        "doc_id",
+        F.when(F.col("r_mod") < _VDIFF_MOD, F.col("ck_mod"))
+        .otherwise(F.col("ck"))
         .alias("ck"),
     )
-    added = d.filter(unit_rand(F.col("doc_id"), "v2add") < _VDIFF_ADD).select(
+    added = base.filter(F.col("r_add") < _VDIFF_ADD).select(
         (F.col("doc_id") + _VDIFF_OFFSET).alias("doc_id"),
-        F.md5(F.concat(F.col("text"), F.lit("|new"))).alias("ck"),
+        F.col("ck_new").alias("ck"),
     )
     v2 = survivors.unionByName(added)
     j = v1.withColumnRenamed("ck", "ck1").join(

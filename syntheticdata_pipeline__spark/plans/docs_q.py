@@ -1906,11 +1906,20 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared per gram, never by corpus size. A df-cap on gram postings
     (as in ngram_jaccard_pruned) drops ubiquitous boilerplate grams
     before the join at 100 TB; per-source gram totals broadcast onto
-    the pair rows."""
+    the pair rows. The posting table is pinned ONCE (r13): it feeds
+    three consumers (per-source totals + both join sides), and while
+    ReusedExchange usually covers the a/b pair, the totals branch
+    re-ran the scan+explode+distinct — the diagnosed contributor to
+    this query's 1.93× driver-context reading (r12's closest shave to
+    the 2× gate)."""
     d = T(spark, sf_dir, "documents")
-    g = d.select(
-        "source", F.explode(word_shingles(F.col("text"), _XSRC_N)).alias("gram")
-    ).distinct()
+    g = (
+        d.select(
+            "source", F.explode(word_shingles(F.col("text"), _XSRC_N)).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     src = g.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = g.select(F.col("source").alias("source_a"), "gram")
     b = g.select(F.col("source").alias("source_b"), "gram")
