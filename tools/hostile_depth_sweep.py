@@ -164,6 +164,58 @@ STRIPES["nonfinite(embedding components)"] = (
     },
 )
 
+# Combined stripes (r13): the four NULL stripes touch DISJOINT table
+# sets (documents / lineitem+orders / events / the five dims), so their
+# union is a world where EVERY table is NULL-laced SIMULTANEOUSLY —
+# interaction coverage the per-axis stripes cannot give (a query that
+# joins a NULL-striped fact to a NULL-striped dim exercises both
+# conventions in one plan). Same construction for the three non-finite
+# stripes (events / facts / embeddings, also disjoint).
+_COMBO_NULL_TABLES = tuple(
+    t
+    for label in (
+        "nullmeta(documents)",
+        "nullfacts(lineitem+orders)",
+        "nullevents(events)",
+        "nulldims(customer+supplier+part+nation+region)",
+    )
+    for t in STRIPES[label][0]
+)
+STRIPES["combo-null(all nine tables at once)"] = (
+    _COMBO_NULL_TABLES,
+    {
+        t: rw
+        for label in (
+            "nullmeta(documents)",
+            "nullfacts(lineitem+orders)",
+            "nullevents(events)",
+            "nulldims(customer+supplier+part+nation+region)",
+        )
+        for t, rw in STRIPES[label][1].items()
+    },
+)
+_COMBO_NF_TABLES = tuple(
+    t
+    for label in (
+        "nonfinite(events.value)",
+        "nonfinite(lineitem+orders measures)",
+        "nonfinite(embedding components)",
+    )
+    for t in STRIPES[label][0]
+)
+STRIPES["combo-nonfinite(events+facts+embeddings at once)"] = (
+    _COMBO_NF_TABLES,
+    {
+        t: rw
+        for label in (
+            "nonfinite(events.value)",
+            "nonfinite(lineitem+orders measures)",
+            "nonfinite(embedding components)",
+        )
+        for t, rw in STRIPES[label][1].items()
+    },
+)
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
