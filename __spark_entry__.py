@@ -90,6 +90,13 @@ _CHANGED_THIS_ROUND = (
     "gopher_quality_flags",
     "dataset_version_diff",
     "cross_source_overlap",
+    # --- distinct-signature collapse for the banded SimHash join (r13):
+    # a 16-bit signature has ≤65,536 values, so the quadratic band stage
+    # is now bounded by that constant regardless of corpus size (4-bit
+    # band values give only 16 buckets — without the collapse every
+    # bucket grows O(n)). Output proven identical by the collapse-on ==
+    # collapse-off equivalence test; 13.1 s → 6.5 s at sf0.1 ---
+    "simhash_hamming_pairs_q",
     # --- r11 rewrite leftovers the r12 window could not reach, both
     # J-verified at sf0.01 (r12 VERDICT) — lowest risk, listed last ---
     "similarity_pagerank",

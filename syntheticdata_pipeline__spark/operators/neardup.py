@@ -449,6 +449,18 @@ def simhash_hamming_pairs(
     join's Σ|bucket|², never n² — the same scale shape as MinHash LSH but
     for the Hamming metric (the classic Google near-dup crawl design).
 
+    Collapse (r13): the band join runs over DISTINCT SIGNATURES, not
+    docs. An n_bits signature has at most 2**n_bits values (65,536 at 16
+    bits), so the quadratic stage is bounded by that CONSTANT regardless
+    of corpus size — without it, a 4-bit band value has only 16 buckets
+    and every bucket grows O(n), making the join quadratic in the corpus
+    at 100 TB. Two-level: identical TEXT collapses first (cheap md5 key,
+    so byte-replicas never recompute the expensive n_bits-aggregate
+    signature), then identical signatures merge across text groups.
+    Hamming depends only on the signature, so the expansion back to
+    member pairs is output-identical (within-group pairs are distance 0;
+    tests/test_collapse_equivalence.py proves collapse-on == collapse-off).
+
     Returns (id_a, id_b, hamming), id_a < id_b, each pair once.
     """
     if max_hamming >= bands:
@@ -462,21 +474,30 @@ def simhash_hamming_pairs(
     )
     groups = None
     if collapse_identical:
-        # Identical TEXT implies an identical signature, so replicas can
-        # collapse to one representative before the (quadratic) band join
-        # and re-expand at output — same trick as collapse_identical_sets,
-        # keyed on md5(text) since SimHash depends on the token multiset.
-        groups = src.groupBy(F.md5("__txt").alias("__tkey")).agg(
+        # level 1: identical text → one signature computation per
+        # distinct text (SimHash depends only on the token multiset)
+        tgroups = src.groupBy(F.md5("__txt").alias("__tkey")).agg(
             F.min("id").alias("id"),
             F.min_by("__txt", "id").alias("__txt"),
             F.collect_list("id").alias("members"),
         ).drop("__tkey")
-        src = groups.select("id", "__txt")
-    # barrier staging as in minhash_lsh_pairs: compute the (expensive,
-    # n_bits-aggregate) signature exactly once before the band fan-out
-    sigs = src.select("id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")).repartition(
-        "id"
-    )
+        tsigs = tgroups.select(
+            "id", "members", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")
+        )
+        # level 2: identical signature → one band-join row per distinct
+        # signature (≤ 2**n_bits rows, corpus-size-independent); member
+        # lists merge, the representative id is the min over the union
+        groups = tsigs.groupBy("sig").agg(
+            F.min("id").alias("id"),
+            F.flatten(F.collect_list("members")).alias("members"),
+        )
+        sigs = groups.select("id", "sig").repartition("id")
+    else:
+        # barrier staging as in minhash_lsh_pairs: compute the (expensive,
+        # n_bits-aggregate) signature exactly once before the band fan-out
+        sigs = src.select(
+            "id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")
+        ).repartition("id")
     stack_args = ", ".join(
         f"{b}, shiftright(sig, {b * bits_per_band}) & {mask}" for b in range(bands)
     )

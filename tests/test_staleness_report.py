@@ -104,8 +104,12 @@ def test_tier0_entries_were_not_driver_checked_since_rewrite():
     pin = "CORRECTNESS_r12.json"
     # Queries legitimately REWRITTEN AGAIN after the pinned round's
     # check — each needs a DIVERGENCES.md entry justifying the rewrite.
-    # r13: none — no r13 rewrite was in the r12 window.
-    rewritten_after_pin: set[str] = set()
+    # r13: simhash_hamming_pairs_q was r12-checked (r11 WS tail) and
+    # then rewritten in r13 with the distinct-signature collapse
+    # (output-identical, equivalence-tested; DIVERGENCES "Round-13
+    # queued-fix index" addenda) — it re-enters tier-0 for r13 driver
+    # evidence on the new plan.
+    rewritten_after_pin: set[str] = {"simhash_hamming_pairs_q"}
     checked = set(json.load(open(os.path.join(ROOT, pin))))
     stale_greens = [
         n
