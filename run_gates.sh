@@ -51,9 +51,15 @@ if [ "$MODE" = "full" ]; then
     fail=1
   fi
 
-  echo "== gate 2d: seven-stripe hostile depth sweep at sf0.01 =="
+  echo "== gate 2d: nine-stripe hostile depth sweep at sf0.01 =="
   if ! python tools/hostile_depth_sweep.py /root/testdata/sf0.01; then
     echo "GATE FAIL: hostile depth sweep" >&2
+    fail=1
+  fi
+
+  echo "== gate 2e: round()-keyed grid audit (sub-second, DuckDB-only) =="
+  if ! python tools/grid_tie_sweep.py /root/testdata/sf0.01 /root/testdata/sf0.1; then
+    echo "GATE FAIL: a round()-keyed grid site remains (convert to the floor grid)" >&2
     fail=1
   fi
 fi
