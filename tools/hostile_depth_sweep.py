@@ -164,6 +164,36 @@ STRIPES["nonfinite(embedding components)"] = (
     },
 )
 
+# Unicode-hazard stripe (r13): the codepoint battery
+# (tests/test_text_adversarial.py) probes the WS_CLASS / fold_case /
+# regex-flavor contracts on tiny purpose-built docs; this stripe plants
+# the same hazard classes INSIDE real corpus text at depth, so the
+# tokenize → shingle → hash → band/grid machinery sees them colliding
+# with real data (every 13th doc gets one hazard class appended or
+# injected; both engines read the same rewritten parquet, so this is a
+# pure parity probe of the twinned text kernels).
+STRIPES["unicode(documents.text)"] = (
+    ("documents",),
+    {
+        "documents": (
+            "CASE doc_id % 13"
+            " WHEN 0 THEN text || ' nbsp' || chr(160) || 'joined'"
+            " WHEN 1 THEN text || ' e' || chr(769) || ' combining'"
+            " WHEN 2 THEN text || ' 中文文本去重'"
+            " WHEN 3 THEN text || ' \U0001f642\U0001f680 emoji'"
+            " WHEN 4 THEN chr(11) || chr(11) || text"
+            " WHEN 5 THEN 'zero' || chr(8203) || 'width ' || text"
+            " WHEN 6 THEN chr(8207) || text"
+            " WHEN 7 THEN text || ' сопу'"
+            " WHEN 8 THEN 'cafe' || chr(769) || ' ' || text"
+            " WHEN 9 THEN text || chr(1) || 'ctrl'"
+            " WHEN 10 THEN text || ' ' || chr(304) || 'stanbul'"
+            " WHEN 11 THEN text || ' \U0001d7cf\U0001d7d0'"
+            " ELSE text END AS text"
+        )
+    },
+)
+
 # Combined stripes (r13): the four NULL stripes touch DISJOINT table
 # sets (documents / lineitem+orders / events / the five dims), so their
 # union is a world where EVERY table is NULL-laced SIMULTANEOUSLY —
