@@ -63,44 +63,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # not hand-write those numbers here; the tail rule stands in prose: the
 # list ends with the lowest-risk entries so any overflow falls on them.
 _CHANGED_THIS_ROUND = (
-    # --- wrong-answer fixes (r12 depth-sweep finds, queued #12 + #7):
-    # Q16 oracle exclusion NOT IN → NOT EXISTS ("unknown ≠ seen");
-    # KMV/Count-Min/HLL kernels drop NULL keys at build + probe on both
-    # engines (pins flipped in tests/test_hostile_depth_pins.py +
-    # tests/test_sketches_adversarial.py) ---
-    "tpch_q16_supplier_relationship",
-    "kmv_distinct_users",
-    "countmin_user_freq",
-    "join_size_estimate_cm",
-    "hll_distinct_users",
-    "hll_window_merge",
-    # --- grid-key tie conversion (queued #11): the 4-dp quality grid
-    # key moves from round(·,4) to the IEEE floor grid — the same class
-    # as rank_normalized_quality's r12 fix, found latent here by
-    # tools/grid_tie_sweep.py ---
-    "quality_duplication_lift",
-    # --- perf rewrites, outputs proven identical on clean fixtures
-    # (queued #10 + #9 + the r12 verdict #5 context-sensitivity pair):
-    # identical-signature collapse before the band join (associativity
-    # re-proven at 60×, PERF.md r13 section); shared localCheckpoint
-    # token base for the gopher rule battery; pinned single-scan bases
-    # for the two driver-context-inflation queries (value-identity
-    # A/B'd at sf0.1 before the rewrite landed) ---
+    # --- r14 wrong-answer fixes (r13 ADVICE medium + same-class audit),
+    # landed in-round with pinned tests (tests/test_incremental_dedup.py
+    # ::test_null_text_survives_and_associative + the three new rows in
+    # tests/test_nulltext_guard.py):
+    # (a) incremental_minhash_dedup's identical-signature collapse keyed
+    #     all-NULL signatures (NULL text) under md5('') and dropped the
+    #     non-minimum ids within a batch, while cross-batch NULL band
+    #     hashes never matched -- survivor sets depended on batch
+    #     boundaries, breaking the documented associativity guarantee.
+    #     All-NULL signatures are now exempt from the collapse on both
+    #     the batch and prior-state sides (operators/neardup.py);
+    # (b) jaccard_pairs_inverted's collapse path fingerprinted NULL
+    #     shingle sets into the empty-encoding group and emitted phantom
+    #     within-group jac=1.0 pairs the collapse-off plan (and the
+    #     oracle's NULL jaccard) never produce -- NULL sets are now
+    #     dropped before the collapse, restoring collapse-on ==
+    #     collapse-off ---
     "incremental_dedup_survivors",
-    "gopher_quality_flags",
-    "dataset_version_diff",
-    "cross_source_overlap",
-    # --- distinct-signature collapse for the banded SimHash join (r13):
-    # a 16-bit signature has ≤65,536 values, so the quadratic band stage
-    # is now bounded by that constant regardless of corpus size (4-bit
-    # band values give only 16 buckets — without the collapse every
-    # bucket grows O(n)). Output proven identical by the collapse-on ==
-    # collapse-off equivalence test; 13.1 s → 6.5 s at sf0.1 ---
-    "simhash_hamming_pairs_q",
-    # --- r11 rewrite leftovers the r12 window could not reach, both
-    # J-verified at sf0.01 (r12 VERDICT) — lowest risk, listed last ---
-    "similarity_pagerank",
-    "split_mean_labels",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pruned",
 )
 
 

@@ -277,7 +277,16 @@ def jaccard_pairs_inverted(
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         F.col(text_col).alias("__txt"),
     ).repartition("id")
-    sh = src.select("blk", "id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
+    # NULL text yields a NULL shingle set. In the base (collapse-off)
+    # plan such a doc has no postings and can never pair; in the collapse
+    # path it would fingerprint into the empty-encoding group (concat_ws
+    # skips NULLs) and emit phantom within-group jac=1.0 pairs. Drop the
+    # rows up front so both paths stay output-identical (size(NULL) = -1,
+    # so > 0 excludes exactly the NULL sets; whitespace-only docs keep
+    # their [''] singleton and legitimately pair at jac=1.0).
+    sh = src.select(
+        "blk", "id", word_shingles(F.col("__txt"), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
 
     groups = None
     if collapse_identical:
@@ -624,14 +633,28 @@ def incremental_minhash_dedup(
         batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes
     )
     # signature entries are fixed-width md5 hex, so '|'-joined is an
-    # unambiguous group key
+    # unambiguous group key — for NON-NULL signatures. NULL text yields an
+    # all-NULL signature (shingles are NULL, so every array_min is NULL;
+    # non-NULL text always yields all-non-NULL entries, so sig[0] is a
+    # complete discriminator). Those rows are EXEMPT from the collapse:
+    # concat_ws skips NULLs, so they would all share md5('') and the
+    # non-minimum ids would be flagged as dups — yet their band hashes
+    # are NULL and can never equi-join, so the band rule keeps every one
+    # of them. Collapsing them would (a) contradict the band rule the
+    # collapse claims to be output-identical to, and (b) make survivor
+    # sets depend on batch boundaries (a NULL-text doc in a later batch
+    # survives, one in the same batch would not), breaking the
+    # associativity guarantee (tests/test_incremental_dedup.py::
+    # test_null_text_survives_and_associative). They skip the band join
+    # entirely — a NULL bh matches nothing on either engine.
+    sig_ok = F.col("sig")[0].isNotNull()
     sig_key = F.md5(F.concat_ws("|", "sig"))
     wmin = Window.partitionBy("__sk")
     keyed = sigs.withColumn("__sk", sig_key).withColumn(
         "__gmin", F.min("id").over(wmin)
     )
-    collapse_dups = keyed.filter(F.col("id") > F.col("__gmin")).select("id")
-    reps = keyed.filter(F.col("id") == F.col("__gmin")).select("id", "sig")
+    collapse_dups = keyed.filter(sig_ok & (F.col("id") > F.col("__gmin"))).select("id")
+    reps = keyed.filter(sig_ok & (F.col("id") == F.col("__gmin"))).select("id", "sig")
     new_bands = _sig_band_rows(reps, num_hashes, bands).repartition("band", "bh")
 
     # within-batch: earlier batch doc wins
@@ -655,7 +678,11 @@ def incremental_minhash_dedup(
             .withColumn("__sk", sig_key)
             .withColumn("__gmin", F.min("id").over(wmin))
         )
-        prior_reps = prior_keyed.filter(F.col("id") == F.col("__gmin")).select(
+        # same all-NULL-signature exemption as the batch side: a NULL-sig
+        # prior doc's bands are NULL and match nothing, so it never
+        # represents anyone — dropping it here keeps the collapse
+        # output-identical to the uncollapsed band rule.
+        prior_reps = prior_keyed.filter(sig_ok & (F.col("id") == F.col("__gmin"))).select(
             "id", "sig"
         )
         prior_bands = _sig_band_rows(prior_reps, num_hashes, bands).repartition("band", "bh")

@@ -46,6 +46,36 @@ def test_incremental_equals_oneshot(spark):
     assert 0 < len(want) < n_docs
 
 
+def test_null_text_survives_and_associative(spark):
+    """r14 (ADVICE medium): NULL text yields an all-NULL MinHash
+    signature, whose band hashes are NULL and can never equi-join — so
+    the band rule keeps EVERY NULL-text doc, in any batching. The r13
+    identical-signature collapse keyed them all under md5('') (concat_ws
+    skips NULLs) and dropped the non-minimum ids WITHIN a batch while
+    cross-batch NULL bands still never matched: survivor sets depended
+    on batch boundaries. The collapse now exempts all-NULL signatures;
+    one-shot == chunked == everything-survives for the NULL-text rows."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, None),
+        (4, "completely different text about spark engines here"),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    oneshot, _ = incremental_minhash_dedup(d, None)
+    assert _ids(oneshot) == {1, 2, 3, 4, 5}
+
+    # chunked with a NULL-text doc in each batch AND NULL-sig rows in
+    # the persisted state (exercises the prior-side exemption too)
+    b1 = d.filter(F.col("doc_id") <= 2)
+    b2 = d.filter(F.col("doc_id") > 2)
+    sv1, st = incremental_minhash_dedup(b1, None)
+    sv2, _ = incremental_minhash_dedup(b2, st)
+    assert _ids(sv1) | _ids(sv2) == {1, 2, 3, 4, 5}
+
+
 def test_identical_signature_collapse_is_output_identical(spark):
     """r13 (queued fix #10): byte-identical replicas share every LSH
     band, so pre-collapse the band join was quadratic in replica-group

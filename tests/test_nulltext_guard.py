@@ -33,6 +33,17 @@ _QUERIES = (
     "lsh_band_sweep",
     "doc_fingerprints",
     "dup_rate_estimate",
+    # r14 (ADVICE medium + same-class audit): the inverted-index jaccard
+    # pair queries route through operators.neardup.jaccard_pairs_inverted,
+    # whose collapse path emitted phantom within-group jac=1.0 pairs for
+    # NULL-text docs (NULL shingle set → empty-encoding fingerprint);
+    # incremental_dedup_survivors collapsed all-NULL signatures into one
+    # group, silently dropping NULL-text docs the band rule keeps. Both
+    # kernels now exempt NULL sets/signatures; these rows pin the fix
+    # against the oracle on the NULL-text fixture.
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pruned",
+    "incremental_dedup_survivors",
 )
 
 
