@@ -57,10 +57,17 @@ def read_binary_dir(spark, path: str, glob: str = "*.jpg") -> DataFrame:
     Zero-byte visibility (r13, queued fix #8): the binaryFile source
     plans NO read for a 0-byte file, so a truncated download was simply
     absent from the listing — invisible instead of invalid. A Hadoop-FS
-    glob twin (the same metadata walk Spark's own file index performs,
-    same glob semantics, case-sensitivity included) now unions those
-    entries back with content=NULL / n_bytes=0, so downstream validators
-    see them and mark them corrupt rather than never seeing them."""
+    glob twin now unions those entries back with content=NULL /
+    n_bytes=0, so downstream validators see them and mark them corrupt
+    rather than never seeing them. Two alignments keep the twin faithful
+    to Spark's own file index (r14, ADVICE): raw globStatus does NOT
+    apply Spark's hidden-file rule, so basenames starting with '_' or
+    '.' are skipped here exactly as InMemoryFileIndex would skip them at
+    any size; and modified_at is built from the epoch millis via a Spark
+    cast (an absolute instant, rendered in the session timezone like
+    binaryFile's modificationTime) — datetime.fromtimestamp would bake
+    in the SYSTEM zone and disagree whenever
+    spark.sql.session.timeZone differs from it."""
     listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -72,26 +79,26 @@ def read_binary_dir(spark, path: str, glob: str = "*.jpg") -> DataFrame:
             F.col("modificationTime").alias("modified_at"),
         )
     )
-    import datetime
-
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + glob)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(hpath)
     empties = [
-        (
-            st.getPath().toString(),
-            0,
-            None,
-            datetime.datetime.fromtimestamp(st.getModificationTime() / 1000.0),
-        )
+        (st.getPath().toString(), 0, None, st.getModificationTime())
         for st in (statuses or [])
-        if st.isFile() and st.getLen() == 0
+        if st.isFile()
+        and st.getLen() == 0
+        and not st.getPath().getName().startswith(("_", "."))
     ]
     if not empties:
         return listed
     zero = spark.createDataFrame(
-        empties, "path string, n_bytes long, content binary, modified_at timestamp"
+        empties, "path string, n_bytes long, content binary, __mod_ms long"
+    ).select(
+        "path",
+        "n_bytes",
+        "content",
+        (F.col("__mod_ms") / F.lit(1000.0)).cast("timestamp").alias("modified_at"),
     )
     return listed.unionByName(zero)
 

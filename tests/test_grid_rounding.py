@@ -72,3 +72,18 @@ def test_spark_round_duckdb_round_do_disagree_on_the_tie(spark):
     ).fetchall()[0][0]
     assert spark_rounded == pytest.approx(0.7213)
     assert duck_rounded == pytest.approx(0.7212)
+
+
+def test_round_key_audit_allowlist_is_exhaustive():
+    """r14 (ADVICE r13 #3): the static backstop now audits EVERY F.round
+    alias feeding a groupBy/join/partitionBy key (any alias, whole
+    package) plus round-aliases in evaluated-oracle GROUP BY/PARTITION
+    BY/ON clauses, against an allowlist that must match the found set
+    exactly — an unlisted site (new round-keyed grid) or a stale entry
+    (audited site gone) both fail."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.grid_tie_sweep import audit_no_round_keys
+
+    assert audit_no_round_keys() == []

@@ -64,6 +64,46 @@ def test_zero_byte_file_listed_after_fix(spark, tmp_path):
     assert byname["one.jpg"].n_bytes == 1
 
 
+def test_zero_byte_hidden_files_stay_hidden(spark, tmp_path):
+    """r14 (ADVICE): raw globStatus does not apply Spark's hidden-file
+    rule, so a zero-byte '_'- or '.'-prefixed file matching the glob
+    used to be unioned into the listing even though Spark excludes such
+    names at ANY size. The twin now applies the same basename filter."""
+    d = str(tmp_path)
+    _touch(d, "real.jpg", b"x")
+    _touch(d, "_SUCCESS.jpg", b"")
+    _touch(d, ".hidden.jpg", b"")
+    _touch(d, "empty.jpg", b"")
+    listed = {os.path.basename(r.path) for r in read_binary_dir(spark, d).collect()}
+    assert listed == {"real.jpg", "empty.jpg"}
+
+
+def test_zero_byte_modified_at_is_session_tz_instant(spark, tmp_path):
+    """r14 (ADVICE): the twin's modified_at was datetime.fromtimestamp —
+    naive SYSTEM-zone wallclock, which Spark re-interprets in the session
+    timezone, skewing the instant whenever the two zones differ. Built
+    from epoch millis via a Spark cast, the instant survives any session
+    timezone: casting the timestamp back to epoch seconds must agree
+    with the file's real mtime for the zero-byte row exactly as it does
+    for the binaryFile row."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path)
+    _touch(d, "full.jpg", b"x")
+    _touch(d, "empty.jpg", b"")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # UTC+14
+    try:
+        rows = read_binary_dir(spark, d).select(
+            "path", F.col("modified_at").cast("long").alias("epoch_s")
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    for r in rows:
+        true_mtime = os.path.getmtime(r.path.replace("file:", ""))
+        assert abs(r.epoch_s - true_mtime) < 5, r.path
+
+
 def test_glob_is_case_sensitive_pinned(spark, tmp_path):
     d = str(tmp_path)
     for n in ("a.jpg", "B.JPG", "c.jpeg", "d.png"):
