@@ -1,10 +1,11 @@
 """Hostile-stripe sweeps at DEPTH: the committed adversarial batteries
-stripe NULLs / non-finite doubles over sf0.001; this tool re-runs the
-same six stripe layouts (NULL-laced documents metadata / lineitem+orders
-/ events; non-finite events.value / fact measures / embedding
-components) over a LARGER scale factor and oracle-compares every sweep
-member — the same depth axis that found the sf0.1 decimal-halfway
-split in the clean catalog (DIVERGENCES "sf0.1 sweep", r12).
+stripe NULLs / non-finite doubles / unicode hazards / hostile
+timestamps over sf0.001; this tool re-runs the same stripe layouts
+(four NULL stripes, three non-finite stripes, the unicode-hazard
+stripe, the hostile-ts stripe, and the two all-tables-at-once combos)
+over a LARGER scale factor and oracle-compares every sweep member —
+the same depth axis that found the sf0.1 decimal-halfway split in the
+clean catalog (DIVERGENCES "sf0.1 sweep", r12).
 
 One-off evidence runner (results recorded in DIVERGENCES/README, not a
 committed test — sf0.01+ adversarial sweeps would triple suite time).
@@ -190,6 +191,35 @@ STRIPES["unicode(documents.text)"] = (
             " WHEN 10 THEN text || ' ' || chr(304) || 'stanbul'"
             " WHEN 11 THEN text || ' \U0001d7cf\U0001d7d0'"
             " ELSE text END AS text"
+        )
+    },
+)
+
+# Hostile-timestamp stripe (r14, verdict #5 — the streaming axis): the
+# EXACT ts-rewrite of the committed sf0.001 battery
+# (tests/test_timestamp_adversarial.py): NULL ts (%7), pre-epoch 1969
+# µs-laden (%11), far-future 2342 past the datetime64[ns] ceiling
+# (%13), one shared duplicate instant (%5). Every events-reading sweep
+# member runs under it — which includes the batch twins of the whole
+# streaming family (session_windows_batch, stateful_dedup_events,
+# stream_tumbling_counts, the tumbling/sliding/interarrival stats), so
+# the streaming semantics carry the same scale-decade evidence as the
+# rest of the catalog.
+STRIPES["hostile-ts(events.ts)"] = (
+    ("events",),
+    {
+        "events": (
+            "CASE"
+            " WHEN event_id % 7 = 0 THEN NULL"
+            " WHEN event_id % 11 = 0 THEN"
+            " TIMESTAMP '1969-07-20 20:17:40.123456'"
+            " - to_days(CAST(event_id % 97 AS INTEGER))"
+            " - to_microseconds(CAST(event_id % 999983 AS BIGINT))"
+            " WHEN event_id % 13 = 0 THEN"
+            " TIMESTAMP '2342-06-01 00:00:00.999999'"
+            " + to_hours(CAST(event_id % 43 AS INTEGER))"
+            " WHEN event_id % 5 = 0 THEN TIMESTAMP '2024-01-15 12:00:00'"
+            " ELSE ts END AS ts"
         )
     },
 )
