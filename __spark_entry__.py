@@ -83,6 +83,14 @@ _CHANGED_THIS_ROUND = (
     "incremental_dedup_survivors",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pruned",
+    # --- plan-identical refactor, re-entered out of caution: the
+    # simhash operator's stages 1-3 split out as
+    # simhash_hamming_rep_pairs so the 100x deep point can time the
+    # 2^16-bounded band stage without the (contractually quadratic-in-
+    # replicas) member-pair expansion; the catalog query composes the
+    # same DataFrames as before (collapse-equivalence + oracle
+    # re-verified at the split) ---
+    "simhash_hamming_pairs_q",
 )
 
 

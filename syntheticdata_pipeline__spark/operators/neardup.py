@@ -472,6 +472,45 @@ def simhash_hamming_pairs(
 
     Returns (id_a, id_b, hamming), id_a < id_b, each pair once.
     """
+    pairs, groups = simhash_hamming_rep_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_bits=n_bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        salt=salt,
+        collapse_identical=collapse_identical,
+    )
+    if groups is None:
+        return pairs
+    return expand_collapsed_pairs(
+        pairs, groups, id_col="id",
+        within_payload={"hamming": F.lit(0).cast("int")},
+    )
+
+
+def simhash_hamming_rep_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    salt: str = "sh",
+    collapse_identical: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Stages 1-3 of :func:`simhash_hamming_pairs` — collapse, band
+    join, Hamming verify — WITHOUT the member-pair expansion: returns
+    ``(rep_pairs, groups)`` (groups is None with ``collapse_identical``
+    off, and the pairs are then final). Split out (r14) so the 2**n_bits
+    band-stage bound is measurable in isolation: on a replica-laced
+    corpus the full query's output is quadratic in replica-group size BY
+    CONTRACT (every member pair is emitted), which swamps any wall-clock
+    measurement of the band stage itself — the 100× deep point times
+    THIS function to assert the compute stage stays flat while the full
+    query's growth is attributable to emitted-row count
+    (tools/deep_query_point.py --simhash-rep-stage)."""
     if max_hamming >= bands:
         raise ValueError(
             f"banding is only exact for max_hamming < bands (got {max_hamming} >= {bands})"
@@ -532,12 +571,7 @@ def simhash_hamming_pairs(
         .distinct()  # a close pair can collide on several bands
         .filter(F.col("hamming") <= max_hamming)
     )
-    if groups is None:
-        return pairs
-    return expand_collapsed_pairs(
-        pairs, groups, id_col="id",
-        within_payload={"hamming": F.lit(0).cast("int")},
-    )
+    return pairs, groups
 
 
 def minhash_signatures(

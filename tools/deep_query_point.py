@@ -12,7 +12,16 @@ Prints ONE JSON line: {"date", "query", "sf_dir", "base": {...},
 Usage::
 
     python tools/deep_query_point.py <query_name> <factor> [factor ...]
-    # e.g. python tools/deep_query_point.py simhash_hamming_pairs_q 30 100
+    # e.g. python tools/deep_query_point.py jaccard_prefix_filter_join 30
+
+    python tools/deep_query_point.py --simhash-rep-stage <factor> [...]
+    # times operators.neardup.simhash_hamming_rep_pairs (collapse +
+    # band join + Hamming verify, NO member expansion) over the stress
+    # corpus. The full simhash query's output is quadratic in
+    # replica-group size BY CONTRACT (every member pair is emitted:
+    # 29,628 pairs at sf0.01 already), so its wall time at 100x
+    # measures emitted-row volume, not the band stage; this mode
+    # asserts the 2**16-bounded compute stage itself stays flat.
 """
 
 from __future__ import annotations
@@ -36,7 +45,19 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[2:]] or [30]
     spark = get_spark("deep-query-point")
     spark.sparkContext.setLogLevel("ERROR")
-    build = load_all()[name].build
+    if name == "--simhash-rep-stage":
+        from syntheticdata_pipeline__spark.operators.neardup import (
+            simhash_hamming_rep_pairs,
+        )
+
+        def build(sp, sf_dir):
+            docs = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            rep_pairs, _groups = simhash_hamming_rep_pairs(docs)
+            return rep_pairs
+
+        name = "simhash_rep_stage(simhash_hamming_rep_pairs)"
+    else:
+        build = load_all()[name].build
 
     def best_of_2(sf_dir: str) -> tuple[float, int]:
         best, rows = float("inf"), 0
