@@ -357,6 +357,59 @@ def test_running_totals_nonfinite_value_crashes_pinned_red(spark, tmp_path):
         _run(running_user_totals(_stream(spark, src, per_file=False)), "update")
 
 
+def test_stream_stream_join_boundary_inclusive_and_null_keys(spark, tmp_path):
+    """The stream-stream join's time condition is INCLUSIVE at both
+    edges (a right event exactly ±`within` of the left event matches;
+    one microsecond past does not), and NULL join keys never match on
+    either side (SQL equi-join semantics) — the convention every
+    correlation window in the engine shares."""
+    from syntheticdata_pipeline__spark.streaming.windows import stream_stream_join
+
+    schema = "event_id long, ts timestamp, user_id long"
+    w = dt.timedelta(minutes=5)
+    spark.createDataFrame(
+        [(1, BASE, 1), (2, BASE, None)], schema
+    ).write.parquet(str(tmp_path / "l"))
+    spark.createDataFrame(
+        [
+            (10, BASE + w, 1),  # exactly +within → match
+            (11, BASE - w, 1),  # exactly -within → match
+            (12, BASE + w + dt.timedelta(microseconds=1), 1),  # 1µs past → no
+            (13, BASE, None),  # NULL key → never matches
+        ],
+        schema,
+    ).write.parquet(str(tmp_path / "r"))
+    l = spark.readStream.schema(schema).parquet(str(tmp_path / "l"))
+    r = spark.readStream.schema(schema).parquet(str(tmp_path / "r"))
+    j = stream_stream_join(
+        l.withColumnRenamed("event_id", "l_id"),
+        r.withColumnRenamed("event_id", "r_id"),
+        on="user_id",
+    )
+    out = _run(j.select("l_id", "r_id"), "append")
+    assert sorted((x.l_id, x.r_id) for x in out.collect()) == [(1, 10), (1, 11)]
+
+
+def test_dedup_null_ts_rows_still_participate(spark, tmp_path):
+    """A NULL-event-time row is outside every window and session, but
+    dropDuplicatesWithinWatermark still processes it: a NULL-ts row
+    with a NEW key is emitted, a NULL-ts row whose key was already
+    seen is suppressed. Pinned so the convention is explicit — dedup
+    keys on identity, not on event time, and a timestampless duplicate
+    is still a duplicate (the reference's seen-set would drop it too,
+    any_scraper.py:198-222)."""
+    from syntheticdata_pipeline__spark.streaming.windows import dedup_within_watermark
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, BASE, 1), (2, None, 1), (3, None, 2)], schema
+    ).coalesce(1).write.parquet(src)
+    s = spark.readStream.schema(schema).parquet(src)
+    out = _run(dedup_within_watermark(s, ["user_id"]), "append")
+    assert sorted(x.event_id for x in out.collect()) == [1, 3]
+
+
 # ---------------------------------------------------------------------------
 # fold_sessions kernel hostility
 # ---------------------------------------------------------------------------
