@@ -51,7 +51,7 @@ if [ "$MODE" = "full" ]; then
     fail=1
   fi
 
-  echo "== gate 2d: eleven-stripe hostile depth sweep at sf0.01 =="
+  echo "== gate 2d: twelve-stripe hostile depth sweep at sf0.01 =="
   if ! python tools/hostile_depth_sweep.py /root/testdata/sf0.01; then
     echo "GATE FAIL: hostile depth sweep" >&2
     fail=1

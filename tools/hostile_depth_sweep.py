@@ -224,6 +224,25 @@ STRIPES["hostile-ts(events.ts)"] = (
     },
 )
 
+# Combined events stripe (r14): hostile-ts and nullevents touch the
+# SAME table on DISJOINT columns (ts vs user_id/value/event_type/
+# props), so their composition is an events table where every hostility
+# co-occurs — NULL users with far-future stamps, non-NULL-keyed rows at
+# the shared duplicate instant, NULL values inside pre-epoch sessions —
+# interaction coverage neither per-column stripe can give (the ts
+# moduli 5/7/11/13 vs the NULL moduli 13/17/19/23 guarantee combined
+# rows at any SF).
+STRIPES["combo-events(hostile-ts + null columns at once)"] = (
+    ("events",),
+    {
+        "events": (
+            STRIPES["hostile-ts(events.ts)"][1]["events"]
+            + ", "
+            + STRIPES["nullevents(events)"][1]["events"]
+        )
+    },
+)
+
 # Combined stripes (r13): the four NULL stripes touch DISJOINT table
 # sets (documents / lineitem+orders / events / the five dims), so their
 # union is a world where EVERY table is NULL-laced SIMULTANEOUSLY —
