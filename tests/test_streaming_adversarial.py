@@ -357,6 +357,48 @@ def test_running_totals_nonfinite_value_crashes_pinned_red(spark, tmp_path):
         _run(running_user_totals(_stream(spark, src, per_file=False)), "update")
 
 
+def test_keyed_state_recovers_across_query_restarts(spark, tmp_path):
+    """applyInPandasWithState state-store recovery (R2/R3): a SECOND
+    query object over the SAME checkpoint resumes the keyed state — the
+    per-user totals continue from where the killed/completed run left
+    off, folding only new data; a user first seen after the restart
+    initializes fresh. foreachBatch → parquet is the durable-sink route
+    (the memory sink refuses checkpoint recovery by design — pinned in
+    the restart test above). This is the property the reference fakes
+    with whole-set JSON flushes (any_scraper.py:85-116): state survives
+    the PROCESS, not just the micro-batch."""
+    from syntheticdata_pipeline__spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        s = _stream(spark, src, per_file=False)
+
+        def write_batch(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(sink)
+
+        q = (
+            running_user_totals(s)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {}
+        for r in spark.read.parquet(sink).orderBy("batch_id").collect():
+            final[r.user_id] = (r.n_events, r.sum_value_micros)
+        return final
+
+    _write_chunk(spark, src, [_ev(1, BASE, 7, value=1.0), _ev(2, BASE, 7, value=2.0)])
+    assert run_once() == {7: (2, 3_000_000)}
+    _write_chunk(spark, src, [_ev(3, BASE, 7, value=0.5), _ev(4, BASE, 8, value=4.0)])
+    assert run_once() == {7: (3, 3_500_000), 8: (1, 4_000_000)}
+
+
 def test_stream_stream_join_boundary_inclusive_and_null_keys(spark, tmp_path):
     """The stream-stream join's time condition is INCLUSIVE at both
     edges (a right event exactly ±`within` of the left event matches;
