@@ -263,6 +263,170 @@ def lsh_neardup_pairs(
     return cross.select(*sel).unionByName(intra.select(*sel)).select(*out_cols)
 
 
+def _arrow_side_arrays(tbl, id_name: str, vec_name: str, label_name: str | None):
+    """Decompose one cogroup side into (ids, labels, {length: (row_idx,
+    float64 matrix)}) with the exact validity semantics of the strict
+    sequential fold: a row participates in dot products only when its id
+    is non-NULL, its vector cell is non-NULL, its length is > 0 and no
+    element is NULL (a NULL element makes the fold NULL, which the
+    ``>= threshold`` filter drops). Arrow validity bitmaps preserve the
+    NULL-element / NaN-element distinction that a pandas conversion would
+    destroy (both arrive as NaN there)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    ids_col = tbl.column(id_name).combine_chunks()
+    vec = tbl.column(vec_name).combine_chunks()
+    id_ok = pc.is_valid(ids_col).to_numpy(zero_copy_only=False)
+    cell_ok = pc.is_valid(vec).to_numpy(zero_copy_only=False)
+    lengths = (
+        pc.list_value_length(vec).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    offsets = np.asarray(vec.offsets, dtype=np.int64)
+    child = vec.values
+    if child.null_count:
+        el_null = pc.is_null(child).to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(el_null)])
+        row_nulls = cs[offsets[1:]] - cs[offsets[:-1]]
+    else:
+        row_nulls = np.zeros(n, dtype=np.int64)
+    valid = id_ok & cell_ok & (lengths > 0) & (row_nulls == 0)
+    ids = ids_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    # float32 -> float64 is an exact IEEE widening — identical to the
+    # per-element cast("double") inside the fold.
+    vals = child.to_numpy(zero_copy_only=False).astype(np.float64)
+    groups: dict[int, tuple] = {}
+    for L in np.unique(lengths[valid]):
+        idx = np.nonzero(valid & (lengths == L))[0]
+        gather = offsets[idx][:, None] + np.arange(int(L))[None, :]
+        groups[int(L)] = (idx, vals[gather])
+    labels = tbl.column(label_name).to_pylist() if label_name else None
+    return ids, labels, groups
+
+
+def allpairs_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    blocks: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with sequential-fold dot >= ``threshold`` —
+    the Arrow block kernel form of the quadratic exact verifier.
+
+    The naive plan (``a.join(b, id_a < id_b)`` + per-pair fold dot) pays an
+    interpreted higher-order-function evaluation per pair: n²/2 zip_with +
+    aggregate lambda trees dominate the runtime (measured 28 s for 2 M
+    pairs at sf0.1 vs 0.8 s for the join itself). Here the decision data
+    moves once: the corpus is hash-blocked on the id (one block per core),
+    the comparison side rides along replicated per block, and each cogroup
+    computes its block × corpus dot matrix in NumPy with a strict
+    dimension-order loop — bit-identical to the JVM fold (same left-to-
+    right association, one IEEE rounding per multiply and per add, exact
+    float32→float64 widening), so the DuckDB oracle hash is unchanged.
+
+    Scale shape: shuffle volume is blocks × corpus (vs. the broadcast
+    nested-loop join's partitions × corpus — same asymptotics), compute is
+    the unavoidable n²·d/cores but at vectorized-native speed; per-task
+    memory is bounded by chunking the block side. This remains the
+    *labeled quadratic verifier* — the production path at corpus scale is
+    still the LSH-bucketed :func:`lsh_neardup_pairs`.
+
+    NULL/NaN contract (bit-matching the fold + ``>=`` filter): NULL id,
+    NULL vector, NULL element or mismatched lengths never emit; NaN dots
+    emit (Spark treats NaN as greater than any number); inf dots emit;
+    ``same_label`` is NULL when either label is NULL."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    nb = int(blocks or max(spark.sparkContext.defaultParallelism, 1))
+    has_label = label_col is not None
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(label_col).alias("la")] if has_label else []),
+        F.col(vec_col).alias("va"),
+        F.pmod(F.xxhash64(id_col), F.lit(nb)).cast("int").alias("blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        *([F.col(label_col).alias("lb")] if has_label else []),
+        F.col(vec_col).alias("vb"),
+    ).withColumn("blk", F.explode(F.array(*[F.lit(i) for i in range(nb)])))
+
+    out_fields = [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("cos_sim", pa.float64()),
+    ] + ([("same_label", pa.bool_())] if has_label else [])
+    out_schema = pa.schema(out_fields)
+    thr = float(threshold)
+    lbl = "la" if has_label else None
+
+    def block_kernel(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if len(left) == 0 or len(right) == 0:
+            return out_schema.empty_table()
+        ia_all, la_all, ga = _arrow_side_arrays(left, "id_a", "va", lbl)
+        ib_all, lb_all, gb = _arrow_side_arrays(
+            right, "id_b", "vb", "lb" if lbl else None
+        )
+        cols: dict[str, list] = {f[0]: [] for f in out_fields}
+        for L, (ia_idx, X) in ga.items():
+            if L not in gb:
+                continue
+            ib_idx, Y = gb[L]
+            ids_b = ib_all[ib_idx]
+            # chunk the block side so acc stays <= ~32 MB per task
+            step = max(1, 4_000_000 // max(len(ib_idx), 1))
+            for s in range(0, len(ia_idx), step):
+                ca = ia_idx[s : s + step]
+                Xa = X[s : s + step]
+                ids_a = ia_all[ca]
+                acc = np.zeros((len(ca), len(ib_idx)))
+                for k in range(L):
+                    acc = acc + Xa[:, k][:, None] * Y[:, k][None, :]
+                keep = (ids_a[:, None] < ids_b[None, :]) & (
+                    (acc >= thr) | np.isnan(acc)
+                )
+                ii, jj = np.nonzero(keep)
+                if len(ii) == 0:
+                    continue
+                cols["id_a"].append(ids_a[ii])
+                cols["id_b"].append(ids_b[jj])
+                cols["cos_sim"].append(acc[ii, jj])
+                if has_label:
+                    sl = [
+                        None
+                        if la_all[i2] is None or lb_all[j2] is None
+                        else bool(la_all[i2] == lb_all[j2])
+                        for i2, j2 in zip(ca[ii], ib_idx[jj])
+                    ]
+                    cols["same_label"].append(sl)
+        if not cols["id_a"]:
+            return out_schema.empty_table()
+        arrays = [
+            pa.array(np.concatenate(cols["id_a"]), type=pa.int64()),
+            pa.array(np.concatenate(cols["id_b"]), type=pa.int64()),
+            pa.array(np.concatenate(cols["cos_sim"]), type=pa.float64()),
+        ]
+        if has_label:
+            flat = [x for chunk in cols["same_label"] for x in chunk]
+            arrays.append(pa.array(flat, type=pa.bool_()))
+        return pa.table(dict(zip([f[0] for f in out_fields], arrays)))
+
+    schema = "id_a long, id_b long, cos_sim double" + (
+        ", same_label boolean" if has_label else ""
+    )
+    return (
+        a.groupBy("blk")
+        .cogroup(b.groupBy("blk"))
+        .applyInArrow(block_kernel, schema)
+    )
+
+
 def topk_pandas_kernel(
     corpus: DataFrame,
     queries_pd,
