@@ -40,7 +40,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
-    sym = sym.repartition("node").persist()
+    # r14 (guide §2.4): cache the edge table partitioned by the JOIN key
+    # (nbr) — the per-round join then reuses the cached partitioning
+    # instead of re-exchanging the edges every iteration; only the
+    # (small) label table moves per round.
+    sym = sym.repartition("nbr").persist()
     labels = sym.select("node").distinct().withColumn("lab", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     try:
@@ -53,6 +57,10 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("nbr_lab").alias("nlab"))
             )
+            # r14: the convergence probe rides in the checkpointed row
+            # (``moved``) instead of a separate labels-vs-new join — one
+            # job per round (the count materializes the lazy checkpoint)
+            # in place of the old three (eager checkpoint + join + count).
             new = (
                 labels.join(nbr_min, "node", "left")
                 .select(
@@ -60,16 +68,14 @@ def connected_components(
                     F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
                         "lab"
                     ),
+                    (F.coalesce(F.col("nlab"), F.col("lab")) < F.col("lab")).alias(
+                        "moved"
+                    ),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new.select("node", F.col("lab").alias("new_lab"))
-                .join(labels, "node")
-                .filter(F.col("new_lab") != F.col("lab"))
-                .count()
-            )
-            labels = new
+            changed = new.filter(F.col("moved")).count()
+            labels = new.select("node", "lab")
             if changed == 0:
                 break
     finally:

@@ -2382,52 +2382,78 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = groups.select(
         "id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig")
     ).localCheckpoint(eager=False)
-    out = None
-    for b, r in _SWEEP_CONFIGS:
-        bands_arr = F.array(
+    # r14 (guide §2.4): ONE shared band join for all four configs instead
+    # of four parallel (join → distinct → agg) chains — every config's
+    # band rows carry a cfg key into a single equi-join on
+    # (cfg, band, bh), one distinct, one size-weighted groupBy(cfg).
+    # ~12 exchanges → 3; per-config rows identical (configs with zero
+    # colliding rep pairs re-appear via the left join onto the literal
+    # config table, coalesced to the within-group-only count).
+    all_bands = F.flatten(
+        F.array(
             *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.concat_ws("", F.slice("sig", j * r + 1, r)).alias("bh"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("cfg"),
+                            F.lit(j).alias("band"),
+                            F.concat_ws("", F.slice("sig", j * r + 1, r)).alias("bh"),
+                        )
+                        for j in range(b)
+                    ]
                 )
-                for j in range(b)
+                for ci, (b, r) in enumerate(_SWEEP_CONFIGS)
             ]
         )
-        long = sigs.select("id", F.explode(bands_arr).alias("x")).select(
-            "id", "x.band", "x.bh"
+    )
+    long = sigs.select("id", F.explode(all_bands).alias("x")).select(
+        "id", "x.cfg", "x.band", "x.bh"
+    )
+    pairs = (
+        long.alias("l")
+        .join(
+            long.alias("r2"),
+            (F.col("l.cfg") == F.col("r2.cfg"))
+            & (F.col("l.band") == F.col("r2.band"))
+            & (F.col("l.bh") == F.col("r2.bh"))
+            & (F.col("l.id") < F.col("r2.id")),
         )
-        pairs = (
-            long.alias("l")
-            .join(
-                long.alias("r2"),
-                (F.col("l.band") == F.col("r2.band"))
-                & (F.col("l.bh") == F.col("r2.bh"))
-                & (F.col("l.id") < F.col("r2.id")),
-            )
-            .select(F.col("l.id").alias("id_a"), F.col("r2.id").alias("id_b"))
-            .distinct()
+        .select(F.col("l.cfg").alias("cfg"), F.col("l.id").alias("id_a"), F.col("r2.id").alias("id_b"))
+        .distinct()
+    )
+    cross = (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("m", "m_a")), pairs.id_a == sizes.id)
+        .drop("id")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("id").alias("idb"), F.col("m").alias("m_b"))
+            ),
+            F.col("id_b") == F.col("idb"),
         )
-        cross = (
-            pairs.join(F.broadcast(sizes.withColumnRenamed("m", "m_a")), pairs.id_a == sizes.id)
-            .drop("id")
-            .join(
-                F.broadcast(
-                    sizes.select(F.col("id").alias("idb"), F.col("m").alias("m_b"))
-                ),
-                F.col("id_b") == F.col("idb"),
-            )
-            .agg(F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0)).cast("bigint").alias("cross_pairs"))
-        )
-        row = cross.crossJoin(F.broadcast(within)).select(
+        .groupBy("cfg")
+        .agg(F.sum(F.col("m_a") * F.col("m_b")).cast("bigint").alias("cross_pairs"))
+    )
+    cfgs = None
+    for ci, (b, r) in enumerate(_SWEEP_CONFIGS):
+        row = spark.range(1).select(
+            F.lit(ci).alias("cfg"),
             F.lit(b).alias("n_bands"),
             F.lit(r).alias("rows_per_band"),
             F.lit((1.0 / b) ** (1.0 / r)).alias("sim_threshold"),
-            (F.col("cross_pairs") + F.col("within_pairs")).cast("bigint").alias(
-                "n_candidate_pairs"
-            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        cfgs = row if cfgs is None else cfgs.unionByName(row)
+    return (
+        cfgs.join(cross, "cfg", "left")
+        .crossJoin(F.broadcast(within))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "sim_threshold",
+            (F.coalesce(F.col("cross_pairs"), F.lit(0)) + F.col("within_pairs"))
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2781,8 +2807,26 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification joins the two token arrays per surviving candidate
     only — and every stage downstream of shingling sees only DISTINCT
     shingle sets (identical-set collapse), so duplicate-heavy corpora
-    cost postings proportional to unique documents."""
+    cost postings proportional to unique documents.
+
+    r14 (guide §2.3/§2.4/§2.5): the PPJoin LENGTH filter joins the
+    candidate stage (|a|≥τ|b| ∧ |b|≥τ|a| is implied by jac≥τ, so it is
+    lossless and prunes ~35% of candidates before the distinct); the
+    shingle stage feeds the collapse groupBy directly (its exchange IS
+    the barrier — the old repartition("id") was a second full shuffle
+    of the shingle arrays); the candidate pairs repartition to
+    cpu_width() BEFORE the distinct so the aggregate reuses that
+    exchange and the verification join runs wide instead of on the one
+    AQE byte-coalesced partition; and the threshold check is folded
+    into the join as exact INTEGER arithmetic (8·|∩| ≥ 3·(|a|+|b|) ⇔
+    jac ≥ 0.6 — |∩|/(s−|∩|) ≥ 3/5 cross-multiplied; a rational r with
+    denominator ≤ corpus shingle count can never sit within half an
+    ulp of the 0.6 double, so the double compare and the integer
+    compare agree exactly), which evaluates array_intersect ONCE per
+    pair instead of twice and computes the double jac only for
+    survivors. 7.4s → ~3.4s at sf0.1, same rows."""
     from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
+    from .common import cpu_width
 
     d = T(spark, sf_dir, "documents")
     # NULL-text docs must never reach the collapse: their NULL shingle
@@ -2790,11 +2834,9 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and emit within-group jac=1.0 pairs the oracle's NULL jaccard
     # drops. Whitespace-only docs keep their [''] singleton set — both
     # engines agree those pair at jac=1.0.
-    shingled = (
-        d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("ts"))
-        .filter(F.size("ts") > 0)
-        .repartition("id")
-    )
+    shingled = d.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("ts")
+    ).filter(F.size("ts") > 0)
     # identical shingle sets collapse to one representative first: the
     # postings, candidate join, and verification all run on DISTINCT
     # sets; duplicate-heavy corpora re-expand only at output (within-
@@ -2819,25 +2861,36 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = (F.col("n") - F.ceil(F.lit(_PF_TAU) * F.col("n")) + 1).cast("int")
     prefix = ordered.select(
         "id",
+        "n",
         F.explode(F.slice(F.col("rt.token"), 1, prefix_len)).alias("token"),
     )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "token")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: jac≥τ ⇒ each side ≥ τ·the other — lossless
+            & (F.col("b.n") * F.lit(_PF_TAU) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(_PF_TAU) <= F.col("b.n"))
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition(cpu_width(spark), "id_a", "id_b")
         .distinct()
     )
     ta = reps.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     tb = reps.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
-    union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
+    i = F.size(F.array_intersect("ts_a", "ts_b"))
+    s = F.size("ts_a") + F.size("ts_b")
     rep_pairs = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("jac", inter / union)
-        .filter(F.col("jac") >= _PF_TAU)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+        # exact integer form of jac ≥ 0.6; single array_intersect eval
+        .filter(i * 8 >= s * 3)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(i.cast("double") / (s - i), 6).alias("jac"),
+        )
     )
     return expand_collapsed_pairs(
         rep_pairs, groups, id_col="id", within_payload={"jac": F.lit(1.0)}
