@@ -217,13 +217,16 @@ def lsh_neardup_pairs(
     b_side = reps.select(
         F.col("id").alias("rb"), F.col("vec").alias("__vb"), "bucket"
     )
-    rep_pairs = a_side.join(b_side, "bucket").filter(F.col("ra") < F.col("rb"))
+    # r14: the within-bucket verify (equi-join on bucket + per-pair
+    # interpreted fold dot + filter) runs as one Arrow cogroup kernel per
+    # bucket — bit-identical output (strict dimension-order NumPy
+    # accumulation, see bucketed_cosine_pairs), same Σ|bucket|² shape.
+    rep_pairs = bucketed_cosine_pairs(a_side, b_side, threshold=threshold)
     if multi_probe:
-        # a pair can meet in its home bucket AND a probed one
+        # a pair can meet in its home bucket AND a probed one; the dot is
+        # bit-identical wherever it meets, so post-kernel dedup equals the
+        # old pre-dot dedup
         rep_pairs = rep_pairs.dropDuplicates(["ra", "rb"])
-    rep_pairs = rep_pairs.select(
-        "ra", "rb", dot(F.col("__va"), F.col("__vb")).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
 
     # --- re-expansion to member pairs
     ma = memb.select(
@@ -424,6 +427,88 @@ def allpairs_cosine_pairs(
         a.groupBy("blk")
         .cogroup(b.groupBy("blk"))
         .applyInArrow(block_kernel, schema)
+    )
+
+
+def bucketed_cosine_pairs(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    threshold: float,
+    bucket_col: str = "bucket",
+    id_a: str = "ra",
+    vec_a: str = "__va",
+    id_b: str = "rb",
+    vec_b: str = "__vb",
+) -> DataFrame:
+    """Within-bucket pairs (id_a < id_b) with sequential-fold dot >=
+    ``threshold`` — the bucket-cogroup sibling of
+    :func:`allpairs_cosine_pairs`, replacing the LSH verify stage's
+    per-pair interpreted fold (``join on bucket`` + ``dot`` + filter)
+    with one NumPy dot matrix per bucket.
+
+    Same bit-exactness contract as the block kernel: strict
+    dimension-order accumulation (identical IEEE rounding sequence to
+    the JVM fold), exact float32→float64 widening, NULL id / NULL
+    vector / NULL element / mismatched lengths never emit, NaN and +inf
+    dots emit. NULL buckets are dropped on both sides to match the
+    equi-join semantics this replaces (cogroup would otherwise align
+    the NULL groups). Shuffle volume and Σ|bucket|² compute asymptotics
+    are unchanged — only the per-pair evaluation becomes vectorized."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [(id_a, pa.int64()), (id_b, pa.int64()), ("cos_sim", pa.float64())]
+    )
+    thr = float(threshold)
+
+    def bucket_kernel(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if len(left) == 0 or len(right) == 0:
+            return out_schema.empty_table()
+        ia_all, _, ga = _arrow_side_arrays(left, id_a, vec_a, None)
+        ib_all, _, gb = _arrow_side_arrays(right, id_b, vec_b, None)
+        cols: dict[str, list] = {id_a: [], id_b: [], "cos_sim": []}
+        for L, (ia_idx, X) in ga.items():
+            if L not in gb:
+                continue
+            ib_idx, Y = gb[L]
+            ids_b = ib_all[ib_idx]
+            # chunk the probe side so acc stays <= ~32 MB per task
+            step = max(1, 4_000_000 // max(len(ib_idx), 1))
+            for s in range(0, len(ia_idx), step):
+                ca = ia_idx[s : s + step]
+                Xa = X[s : s + step]
+                ids_a = ia_all[ca]
+                acc = np.zeros((len(ca), len(ib_idx)))
+                for k in range(L):
+                    acc = acc + Xa[:, k][:, None] * Y[:, k][None, :]
+                keep = (ids_a[:, None] < ids_b[None, :]) & (
+                    (acc >= thr) | np.isnan(acc)
+                )
+                ii, jj = np.nonzero(keep)
+                if len(ii) == 0:
+                    continue
+                cols[id_a].append(ids_a[ii])
+                cols[id_b].append(ids_b[jj])
+                cols["cos_sim"].append(acc[ii, jj])
+        if not cols[id_a]:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                id_a: pa.array(np.concatenate(cols[id_a]), type=pa.int64()),
+                id_b: pa.array(np.concatenate(cols[id_b]), type=pa.int64()),
+                "cos_sim": pa.array(
+                    np.concatenate(cols["cos_sim"]), type=pa.float64()
+                ),
+            }
+        )
+
+    a = a_side.filter(F.col(bucket_col).isNotNull())
+    b = b_side.filter(F.col(bucket_col).isNotNull())
+    return (
+        a.groupBy(bucket_col)
+        .cogroup(b.groupBy(bucket_col))
+        .applyInArrow(bucket_kernel, f"{id_a} long, {id_b} long, cos_sim double")
     )
 
 

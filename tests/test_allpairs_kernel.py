@@ -132,3 +132,40 @@ def test_kernel_block_count_invariant(spark, blocks):
     new = allpairs_cosine_pairs(df, threshold=THRESH, label_col="label", blocks=blocks)
     base = allpairs_cosine_pairs(df, threshold=THRESH, label_col="label")
     _assert_same(base, new)
+
+
+def test_bucketed_kernel_matches_fold_join(spark):
+    """bucketed_cosine_pairs must equal the equi-join + fold + filter it
+    replaced inside lsh_neardup_pairs, hostile corners included (NULL
+    bucket dropped, NULL element dropped, NaN kept, length mismatch
+    dropped)."""
+    from syntheticdata_pipeline__spark.operators.similarity import (
+        bucketed_cosine_pairs,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 0, None),                   # NULL vec
+        (4, 0, [1.0, None]),            # NULL element
+        (5, 0, [float("nan"), 0.0]),    # NaN dot
+        (6, 1, [1.0, 0.0]),             # other bucket
+        (7, 1, [0.8, 0.0, 0.0]),        # length mismatch within bucket
+        (8, None, [1.0, 0.0]),          # NULL bucket: join drops
+        (9, None, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, bucket int, vec array<float>"
+    )
+    a = df.select(F.col("rid").alias("ra"), F.col("vec").alias("__va"), "bucket")
+    b = df.select(F.col("rid").alias("rb"), F.col("vec").alias("__vb"), "bucket")
+    ref = (
+        a.join(b, "bucket")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+    new = bucketed_cosine_pairs(a, b, threshold=0.4)
+    assert ref.count() > 0
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
