@@ -420,6 +420,55 @@ def simhash_bits_sql(text_sql: str, n_bits: int, salt: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def simhash_sig_agg(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "__txt",
+    n_bits: int = 16,
+    salt: str = "sh",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(id, sig) via explode + codegen aggregation — value-identical to
+    ``simhash_bits`` but without its 16 interpreted HOF folds.
+
+    The fold form re-hashes every token once PER BIT (n_bits md5 calls
+    per token inside interpreted lambda trees — measured 3.6 s of the
+    5.7 s simhash query at sf0.1). Here each token row computes md5
+    once, the 16 nibble votes are plain codegen CASE sums with map-side
+    partial aggregation (the shuffle carries one 16-int row per doc per
+    partition), and the signature is re-assembled from the vote signs.
+    Exactness: votes are integer sums (order-independent, exact); docs
+    whose token array is NULL get NULL votes from the left join and
+    every ``vote > 0`` test is then false — bit 0 — matching the fold's
+    NULL-aggregate → 0 signature."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__sid"), toks.alias("__toks"))
+    ex = base.select("__sid", F.explode("__toks").alias("__t")).select(
+        "__sid", F.md5(F.concat(F.lit(salt), F.col("__t"))).alias("__h")
+    )
+    votes = ex.groupBy("__sid").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.instr(F.lit("89abcdef"), F.substring("__h", b + 1, 1)) > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        sig = sig + F.when(
+            F.col(f"__v{b}") > 0, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        base.select("__sid")
+        .join(votes, "__sid", "left")
+        .select(F.col("__sid").alias(id_col), sig.alias(sig_col))
+    )
+
+
 def hamming16(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-bit simhashes via popcount of XOR
     (expression form; portable)."""
@@ -529,8 +578,15 @@ def simhash_hamming_rep_pairs(
             F.min_by("__txt", "id").alias("__txt"),
             F.collect_list("id").alias("members"),
         ).drop("__tkey")
-        tsigs = tgroups.select(
-            "id", "members", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")
+        # r14: signatures via the explode+agg kernel (simhash_sig_agg)
+        # instead of the 16-fold HOF expression, joined back to the
+        # member lists on the (co-partitioned) group id
+        tsigs = tgroups.select("id", "members").join(
+            simhash_sig_agg(
+                tgroups.select("id", "__txt"), id_col="id", text_col="__txt",
+                n_bits=n_bits, salt=salt,
+            ),
+            "id",
         )
         # level 2: identical signature → one band-join row per distinct
         # signature (≤ 2**n_bits rows, corpus-size-independent); member
@@ -538,13 +594,14 @@ def simhash_hamming_rep_pairs(
         groups = tsigs.groupBy("sig").agg(
             F.min("id").alias("id"),
             F.flatten(F.collect_list("members")).alias("members"),
-        )
+        ).localCheckpoint(eager=False)
+        # pinned (≤ 2**n_bits rows): groups feeds the band join AND three
+        # branches of expand_collapsed_pairs — without the pin the whole
+        # signature lineage is re-evaluated per branch
         sigs = groups.select("id", "sig").repartition("id")
     else:
-        # barrier staging as in minhash_lsh_pairs: compute the (expensive,
-        # n_bits-aggregate) signature exactly once before the band fan-out
-        sigs = src.select(
-            "id", simhash_bits(F.col("__txt"), n_bits, salt).alias("sig")
+        sigs = simhash_sig_agg(
+            src, id_col="id", text_col="__txt", n_bits=n_bits, salt=salt
         ).repartition("id")
     stack_args = ", ".join(
         f"{b}, shiftright(sig, {b * bits_per_band}) & {mask}" for b in range(bands)

@@ -195,3 +195,43 @@ def test_simhash_hamming_pairs_pigeonhole_complete(spark):
 
     with pytest.raises(ValueError, match="only exact"):
         simhash_hamming_pairs(d, bands=4, max_hamming=4)
+
+
+def test_simhash_sig_agg_matches_fold(spark):
+    """The explode+aggregate signature kernel (r14 rewrite) is
+    value-identical to the 16-fold HOF form on hostile inputs: NULL
+    text (NULL token array -> all-zero signature), empty / whitespace
+    text (single empty token), unicode, VT-class whitespace."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.operators.neardup import (
+        simhash_bits,
+        simhash_sig_agg,
+    )
+
+    hostile = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "a"),
+            (5, "a a a"),
+            (6, "é café 中文"),
+            (7, "x\ty\nz"),
+            (8, " leading trailing "),
+            (9, "same same"),
+            (10, "\x0b vt-token"),
+        ],
+        "id bigint, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    for d in (hostile, docs):
+        old = d.select("id", simhash_bits(F.col("text"), 16, "sh").alias("sig_old"))
+        new = simhash_sig_agg(
+            d.withColumnRenamed("text", "__txt"), id_col="id", text_col="__txt"
+        ).withColumnRenamed("sig", "sig_new")
+        j = old.join(new, "id", "full")
+        assert j.filter(~F.col("sig_old").eqNullSafe(F.col("sig_new"))).count() == 0
+        assert j.filter(F.col("sig_old").isNull() | F.col("sig_new").isNull()).count() == 0
