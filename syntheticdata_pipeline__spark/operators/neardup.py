@@ -176,17 +176,48 @@ def minhash_lsh_pairs(
     slice of the signature matches exactly. Returns (id_a, id_b, n_bands)
     with id_a < id_b.
     """
-    # Stage 1 + barrier: shingle once. Without the exchange,
-    # CollapseProject inlines the shingling expression into every one of
-    # the num_hashes min-hash lambdas (12× recompute of split/slice/md5
-    # per row — measured 60s→2s at sf0.1).
+    # Stage 1: shingle once. The explode+aggregate min-hash kernel
+    # references the shingle expression exactly once (a generator input),
+    # so the old anti-CollapseProject barrier exchange (which existed to
+    # stop the 12 HOF lambdas each re-evaluating split/slice/md5 —
+    # measured 60s→2s at sf0.1) is no longer needed; dropping it removes
+    # a full shuffle of the shingle arrays (r14, guide §2.4).
     shingled = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
         .repartition("id")  # parallelize raw rows (single input split otherwise)
         .select("id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
-        .repartition("id")  # materialize shingles before the 12-fold fan-out
     )
     return minhash_pairs_from_sets(shingled, num_hashes=num_hashes, bands=bands)
+
+
+def minhash_mins_agg(
+    shingled: DataFrame,
+    num_hashes: int = 12,
+    salt: str = "mh",
+    id_col: str = "id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """(id, h0..h{n-1}) per-permutation min-hashes via explode + codegen
+    min aggregation — value-identical to ``num_hashes`` interpreted
+    ``array_min(transform(...))`` HOF columns, without their overhead.
+
+    The HOF form evaluates num_hashes lambda trees per row outside
+    whole-stage codegen (measured: the 12-fold signature stage alone was
+    most of minhash_lsh_candidates at sf0.1). Here each set element
+    becomes one row; the num_hashes salted md5+min are plain codegen
+    aggregates with map-side partial aggregation, so the exchange
+    carries one fixed-width (id, 12×32-hex) row per id per partition.
+    Exactness: min over md5 hex strings is order-independent and uses
+    the same binary string ordering as array_min; NULL/empty sets
+    explode_outer to a single NULL element, md5(NULL)=NULL, and
+    min(all-NULL)=NULL — exactly array_min(transform(NULL|[]))."""
+    ex = shingled.select(id_col, F.explode_outer(set_col).alias("__s"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{salt}{i}|"), F.col("__s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_pairs_from_sets(
@@ -198,16 +229,9 @@ def minhash_pairs_from_sets(
     shingle sets (columns ``id``, ``sh``) — split out so callers can
     collapse identical sets first and band only the representatives."""
     rows_per_band = num_hashes // bands
-    # Stage 2: each hash-permutation min computed exactly once (plain
-    # columns, not an array, so no slice-induced duplication).
-    def min_hash_col(i: int) -> Column:
-        # closure (not default-arg lambda): a 2-param lambda would be
-        # misread by F.transform as an (element, index) function
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"mh{i}|"), s)))
-        ).alias(f"h{i}")
-
-    mins = shingled.select("id", *[min_hash_col(i) for i in range(num_hashes)])
+    # Stage 2: min-hashes via the explode+aggregate kernel (r14, guide
+    # §4.1) — value-identical to the 12 interpreted HOF columns.
+    mins = minhash_mins_agg(shingled, num_hashes)
     # Stage 3: band rows via stack; pre-partition on the join keys so the
     # self-join reuses ONE exchange for both sides and needs no reshuffle.
     stack_args = ", ".join(
@@ -290,9 +314,14 @@ def jaccard_pairs_inverted(
 
     groups = None
     if collapse_identical:
+        # r14 (guide §5): groups feeds the postings explode plus up to
+        # four expand/eligibility branches — without the pin each branch
+        # re-ran the whole scan+shingle+collapse subtree (the before-plan
+        # carried 5 parquet scans; 18 with the df-cap). localCheckpoint
+        # truncates the lineage so the subtree computes once per run.
         groups = collapse_identical_sets(
             sh, id_col="id", set_col="sh", group_cols=("blk",)
-        )
+        ).localCheckpoint(eager=False)
         base = groups.select("blk", "id", "sh")
     else:
         base = sh
@@ -312,7 +341,12 @@ def jaccard_pairs_inverted(
         # Pruned set size must be recounted — it is the Jaccard denominator.
         from pyspark.sql import Window
 
-        ex = ex.withColumn("n", F.count("*").over(Window.partitionBy("blk", "id")))
+        # r14 (guide §5): the capped postings feed both self-join sides
+        # plus the eligibility semi-join — pin so the df-count anti-join
+        # + recount window run once, not three times.
+        ex = ex.withColumn(
+            "n", F.count("*").over(Window.partitionBy("blk", "id"))
+        ).localCheckpoint(eager=False)
     else:
         ex = base.select(
             "blk", "id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
@@ -644,10 +678,15 @@ def minhash_signatures(
     shingled = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
         .repartition("id")
+        # no second barrier needed: the explode+aggregate kernel (unlike
+        # the 12 HOF columns it replaced) references the shingle
+        # expression exactly once, so CollapseProject cannot fan it out
         .select("id", word_shingles(F.col("__txt"), shingle_n).alias("sh"))
-        .repartition("id")
     )
-    return shingled.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    mins = minhash_mins_agg(shingled, num_hashes)
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -741,8 +780,13 @@ def incremental_minhash_dedup(
     sig_ok = F.col("sig")[0].isNotNull()
     sig_key = F.md5(F.concat_ws("|", "sig"))
     wmin = Window.partitionBy("__sk")
-    keyed = sigs.withColumn("__sk", sig_key).withColumn(
-        "__gmin", F.min("id").over(wmin)
+    # r14 (guide §5): keyed feeds both the collapse-dup filter and the
+    # representative filter — pin so the signature stage + group-min
+    # window run once, not once per consumer.
+    keyed = (
+        sigs.withColumn("__sk", sig_key)
+        .withColumn("__gmin", F.min("id").over(wmin))
+        .localCheckpoint(eager=False)
     )
     collapse_dups = keyed.filter(sig_ok & (F.col("id") > F.col("__gmin"))).select("id")
     reps = keyed.filter(sig_ok & (F.col("id") == F.col("__gmin"))).select("id", "sig")

@@ -637,11 +637,14 @@ def cluster_aware_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(r < F.lit(hi), F.lit(name)).otherwise(expr)
         return expr
 
+    # r14 (guide §5): asg feeds both pair-join sides AND the split-count
+    # agg — pin so the documents scan + label join + md5 split draws run
+    # once, not three times.
     asg = lab.select(
         "doc_id",
         split_expr(F.col("doc_id")).alias("split_doc"),
         split_expr(F.col("lab")).alias("split_cluster"),
-    )
+    ).localCheckpoint(eager=False)
     px = pairs.join(
         asg.select(
             F.col("doc_id").alias("id_a"),

@@ -235,7 +235,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)
         .repartition("id")
     )
-    groups = collapse_identical_sets(shingled, id_col="id", set_col="sh")
+    # r14 (guide §5): groups feeds the banding, BOTH verification-join
+    # sides and three expand branches — the before-plan re-ran the
+    # scan+shingle+collapse subtree 7 times; the pin computes it once.
+    groups = collapse_identical_sets(shingled, id_col="id", set_col="sh").localCheckpoint(
+        eager=False
+    )
     reps = groups.select("id", "sh")
     cand = minhash_pairs_from_sets(reps, num_hashes=_MH_HASHES, bands=_MH_BANDS)
     ver = (
@@ -402,7 +407,11 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         word_shingles(F.col("text"), _SS_N).alias("sh"),
     ).repartition("id")
-    groups = collapse_identical_sets(sh8, id_col="id", set_col="sh", group_cols=("blk",))
+    # r14 (guide §5): groups feeds the postings explode + three expand
+    # branches — pin so the scan+8-gram-shingle+collapse runs once.
+    groups = collapse_identical_sets(
+        sh8, id_col="id", set_col="sh", group_cols=("blk",)
+    ).localCheckpoint(eager=False)
     ex = groups.select("blk", "id", F.explode("sh").alias("gram"))
     a = ex.select("blk", F.col("id").alias("id_a"), "gram")
     b = ex.select("blk", F.col("id").alias("id_b"), "gram")
@@ -766,21 +775,25 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.md5(ws_normalize(F.col("text"))).alias("ck"),
     )
-    # barrier: survivors feed three consumers (minhash, shingle verify,
-    # final anti-join) — the exchange is computed once and reused instead
-    # of re-running the dedup window per consumer
+    # r14 (guide §5): survivors feed three consumers (minhash, shingle
+    # verify, final anti-join). The old repartition barrier relied on
+    # ReuseExchange, which the differently-projected consumers defeated
+    # (the before-plan carried 6 scan+dedup-window evaluations) — pin the
+    # lineage so the exact-dedup window runs once per run.
     survivors = (
         first_wins(keyed, ["ck"], [F.col("doc_id")])
         .select("doc_id", "lang", "text")
-        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
 
     cand = minhash_lsh_pairs(
         survivors, id_col="doc_id", text_col="text", num_hashes=_MH_HASHES, bands=_MH_BANDS
     )
-    sh = survivors.select("doc_id", word_shingles(F.col("text")).alias("shingles")).repartition(
-        "doc_id"
-    )
+    # shingle sets feed BOTH verification-join sides — pin (same as the
+    # minhash_lsh_candidates groups pin) so shingling runs once.
+    sh = survivors.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    ).localCheckpoint(eager=False)
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -1183,30 +1196,49 @@ def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialize — the self-join-then-arrays_overlap form is O(n² per
     source block) and dies at scale. The repartition on the join keys is a
     barrier so tokenize+explode runs once and ReuseExchange feeds both join
-    sides from the same exchange."""
-    posts = (
+    sides from the same exchange.
+
+    r14 (guide §2.3): identical big-token SETS collapse to one
+    representative before the postings join (the predicate depends only
+    on the set): duplicate-heavy corpora pay the quadratic postings cost
+    on DISTINCT token sets only; member pairs re-expand at output.
+    Within-group pairs (identical non-empty sets trivially share a
+    token) are emitted directly; docs with NO >3-char token never pair
+    in either form and are dropped up front. Output-identical — each doc
+    belongs to exactly one group, so the expanded pairs stay distinct."""
+    from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
+
+    sets = (
         T(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
-            F.explode(
-                F.filter(F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3)
-            ).alias("token"),
+            F.filter(
+                F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3
+            ).alias("bt"),
         )
-        .repartition("source", "token")
+        .filter(F.size("bt") > 0)
+        .repartition("doc_id")
     )
+    groups = collapse_identical_sets(
+        sets, id_col="doc_id", set_col="bt", group_cols=("source",)
+    ).localCheckpoint(eager=False)
+    posts = groups.select(
+        "source", F.col("doc_id").alias("id"), F.explode("bt").alias("token")
+    ).repartition("source", "token")
     a = posts.alias("a")
     b = posts.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return expand_collapsed_pairs(rep_pairs, groups, id_col="doc_id", within_payload={})
 
 
 # --------------------------------------------------------------------------
@@ -2081,13 +2113,22 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as ngram_jaccard_pairs: |∩| arrives as a postings
     co-occurrence count (never a per-pair array intersection), pairs
     sharing zero shingles never materialize, set sizes join back on the
-    doc id; the df-cap and identical-set collapse guards of the Jaccard
-    family apply identically when corpus-sized."""
+    doc id.
+
+    r14 (guide §5): the exploded postings feed the size table AND both
+    self-join sides — pinned so the scan+shingle+explode subtree runs
+    once per run instead of three times (the before-plan carried 4
+    scans). The identical-set collapse was A/B-tested here and REVERTED:
+    at sf0.1 the fingerprint+collect_list+expand machinery cost ~0.6 s
+    more than the duplicate postings it saved (solo 3.79s vs 4.42s);
+    the df-cap/collapse guards remain available when corpus-sized."""
     d = T(spark, sf_dir, "documents")
     src = d.select("doc_id", "lang", word_shingles(F.col("text")).alias("sh")).repartition(
         "doc_id"
     )
-    ex = src.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    ex = src.select("doc_id", "lang", F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=False
+    )
     sz = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.select(F.col("doc_id").alias("id_a"), "lang", "shingle")
     b = ex.select(F.col("doc_id").alias("id_b"), "lang", "shingle")
@@ -2379,6 +2420,10 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("within_pairs")
     ).localCheckpoint(eager=False)
+    # HOF form deliberately kept here (r14): the signature runs ONCE on
+    # the already-collapsed groups straight into this checkpoint, so the
+    # explode+aggregate kernel's extra exchange costs more than the
+    # interpreted mins save (A/B solo-measured 3.63s vs 4.11s at sf0.1).
     sigs = groups.select(
         "id", minhash_signature(F.col("sh"), _MH_HASHES).alias("sig")
     ).localCheckpoint(eager=False)
@@ -3169,13 +3214,16 @@ def quality_duplication_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("m")))
         .distinct()
     )
+    # r14 (guide §5): q feeds the histogram, the doc count AND the final
+    # labeled join — pin so the scan + tokenize/regex quality score runs
+    # once instead of three times.
     q = quality_score(T(spark, sf_dir, "documents")).select(
         "doc_id",
         # IEEE floor-grid, NOT F.round(·,4) — see _LIFT_QUALITY_EXPR
         F.floor(F.col("quality") * F.lit(10000.0) + F.lit(0.5))
         .cast("bigint")
         .alias("qv"),
-    )
+    ).localCheckpoint(eager=False)
     hist = q.groupBy("qv").agg(F.count("*").alias("c"))
     wc = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.withColumn("cum_lt", F.sum("c").over(wc) - F.col("c"))

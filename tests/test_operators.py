@@ -235,3 +235,44 @@ def test_simhash_sig_agg_matches_fold(spark):
         j = old.join(new, "id", "full")
         assert j.filter(~F.col("sig_old").eqNullSafe(F.col("sig_new"))).count() == 0
         assert j.filter(F.col("sig_old").isNull() | F.col("sig_new").isNull()).count() == 0
+
+
+def test_minhash_mins_agg_matches_hof(spark):
+    """The explode+aggregate min-hash kernel (r14 rewrite) is
+    value-identical to the 12 array_min(transform(...)) HOF columns on
+    hostile inputs: NULL text (NULL shingle set -> all-NULL signature),
+    empty text (empty set -> all-NULL), whitespace (single '' shingle),
+    unicode, short docs (partial shingle), and the sf0.001 corpus."""
+    import pyspark.sql.functions as F
+
+    from syntheticdata_pipeline__spark.operators.neardup import (
+        minhash_mins_agg,
+        minhash_signature,
+        word_shingles,
+    )
+
+    hostile = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "one two"),
+            (6, "one two three four five"),
+            (7, "é café 中文 tokens here"),
+            (8, "dup dup dup dup"),
+        ],
+        "id bigint, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    for d in (hostile, docs):
+        sh = d.select("id", word_shingles(F.col("text")).alias("sh"))
+        old = sh.select("id", minhash_signature(F.col("sh"), 12).alias("sig_old"))
+        new = minhash_mins_agg(sh, 12).select(
+            "id", F.array(*[F.col(f"h{i}") for i in range(12)]).alias("sig_new")
+        )
+        j = old.join(new, "id", "full")
+        assert j.count() == d.count()  # explode_outer keeps every id
+        assert j.filter(~F.col("sig_old").eqNullSafe(F.col("sig_new"))).count() == 0
