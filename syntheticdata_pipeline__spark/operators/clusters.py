@@ -140,6 +140,13 @@ def kmeans_fixed_iters(
     )
 
     def assign(src: DataFrame, cent_df: DataFrame) -> DataFrame:
+        # Window form deliberately kept (r14): two argmin PARTIAL
+        # AGGREGATE variants (min over struct(dist, cid, vec); min_by
+        # with a fixed-width (dist, cid) key) were A/B-measured and both
+        # LOST to the window at sf0.1 (ann_ivf_trained 2.8s window vs
+        # 3.7-4.0s agg — min/min_by over array-carrying buffers fall out
+        # of whole-stage codegen into Object/Sort aggregates, costing
+        # more than the k-row-per-key window sort saves).
         d = src.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
         scored = d.select(
             id_col,
@@ -186,8 +193,11 @@ def kmeans_fixed_iters(
     if train_vecs is not None:
         # the single full-corpus pass against the sample-trained codebook
         assigned = assign(vecs, cents)
+    # r14: carry the assigned vector through (it rides the argmin struct
+    # for free) so IVF callers build their inverted file straight from
+    # the assignment instead of re-joining the corpus for the vector.
     out = assigned.select(
-        F.col(id_col), F.col("cid").alias("cluster_id"), F.col("dist")
+        F.col(id_col), F.col(vec_col), F.col("cid").alias("cluster_id"), F.col("dist")
     )
     if return_centroids:
         # the (cid, cv) codebook the FINAL assignment used — the trained

@@ -1274,7 +1274,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = kmeans_fixed_iters(
         e, k=_KM_K, iters=_KM_ITERS, return_centroids=True, train_vecs=train
     )
-    cells = e.join(assigned.select("vec_id", "cluster_id"), "vec_id").select(
+    # r14 (guide §2.4): the assignment carries the vector (it rides the
+    # argmin struct), so the inverted file is a projection of the
+    # assignment — the old corpus re-join (one more scan + exchange of
+    # every embedding) is gone.
+    cells = assigned.select(
         "vec_id", "embedding", F.col("cluster_id").alias("cell")
     )
     pw = Window.partitionBy("query_id").orderBy(
