@@ -45,10 +45,28 @@ def connected_components(
     # instead of re-exchanging the edges every iteration; only the
     # (small) label table moves per round.
     sym = sym.repartition("nbr").persist()
-    labels = sym.select("node").distinct().withColumn("lab", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
     try:
-        for _ in range(max_iters):
+        if max_iters == 0:
+            # unrefined identity labels (the documented zero-round form)
+            return (
+                sym.select("node")
+                .distinct()
+                .withColumn("lab", F.col("node"))
+                .localCheckpoint(eager=True)
+            )
+        # r14: ROUND 1 FOLDED INTO ONE AGGREGATE — from identity labels
+        # the first propagation is exactly lab = min(node, min(nbr)), so
+        # the old init job (distinct + eager checkpoint) and the first
+        # join round collapse into a single groupBy (~1 job saved per CC
+        # call; the fold counts as iteration 1 toward max_iters, keeping
+        # the bounded-refinement semantics of test_max_iters_bound).
+        labels = (
+            sym.groupBy("node")
+            .agg(F.min("nbr").alias("__mn"))
+            .select("node", F.least(F.col("node"), F.col("__mn")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters - 1):
             nbr_lab = labels.select(
                 F.col("node").alias("nbr"), F.col("lab").alias("nbr_lab")
             )
