@@ -91,6 +91,27 @@ _CHANGED_THIS_ROUND = (
     # same DataFrames as before (collapse-equivalence + oracle
     # re-verified at the split) ---
     "simhash_hamming_pairs_q",
+    # --- r14 optimization rewrites (value-identical by construction,
+    # kernel equivalence pinned in tests, 190/190 local oracle + touched
+    # set re-checked at sf0.1; re-entered so the driver re-verifies the
+    # rewritten plans): the explode+aggregate min-hash kernel + fan-out
+    # lineage pins (OPTIMIZATION_r14.md §8-§9), the token-set collapse
+    # (§10), the IVF cells-from-assignment projection (§11), and the
+    # connected-components round-1 fold (§12) ---
+    "minhash_lsh_candidates",
+    "corpus_dedup_pipeline",
+    "token_overlap_pairs",
+    "ngram_containment_pairs",
+    "substring_dup_pairs",
+    "quality_duplication_lift",
+    "cluster_aware_split_leakage",
+    "neardup_clusters",
+    "cluster_dedup_stats",
+    "cluster_best_survivors",
+    "semantic_dedup_stats",
+    "entity_resolution_parts",
+    "ann_ivf_trained_topk",
+    "kmeans_embedding_clusters",
 )
 
 

@@ -91,25 +91,47 @@ def test_tier0_entries_precede_all_other_tiers():
 
 
 def test_tier0_entries_were_not_driver_checked_since_rewrite():
-    """Round-13 pin: every tier-0 entry is either an r13 queued-fix
-    rewrite or an r11-rewrite leftover the r12 window missed — none may
-    appear in CORRECTNESS_r12.json (entries the r12 driver re-checked
-    post-rewrite must leave the list).
+    """Round-14 pin: every tier-0 entry is either an r14 correctness fix
+    (NULL-signature collapse family) or an r14 optimization rewrite
+    (OPTIMIZATION_r14.md §1-§12) — none may appear in
+    CORRECTNESS_r13.json unless it was rewritten again afterward
+    (entries the r13 driver re-checked post-rewrite must leave the
+    list or carry a justification below).
 
     Pinned to the correctness file that was CURRENT when this round's
-    list was written (not "latest": the driver writes CORRECTNESS_r13
+    list was written (not "latest": the driver writes CORRECTNESS_r14
     at round end, after the list is frozen). Each round's list
     maintenance bumps this pin alongside the list itself.
     """
-    pin = "CORRECTNESS_r12.json"
+    pin = "CORRECTNESS_r13.json"
     # Queries legitimately REWRITTEN AGAIN after the pinned round's
-    # check — each needs a DIVERGENCES.md entry justifying the rewrite.
-    # r13: simhash_hamming_pairs_q was r12-checked (r11 WS tail) and
-    # then rewritten in r13 with the distinct-signature collapse
-    # (output-identical, equivalence-tested; DIVERGENCES "Round-13
-    # queued-fix index" addenda) — it re-enters tier-0 for r13 driver
-    # evidence on the new plan.
-    rewritten_after_pin: set[str] = {"simhash_hamming_pairs_q"}
+    # check — each needs a DIVERGENCES.md or OPTIMIZATION_r14.md entry
+    # justifying the rewrite. r14 is the optimization round: every
+    # plan rewritten here is output-identical by construction (kernel
+    # equivalence tests + 190/190 local oracle + sf0.1 re-checks), and
+    # re-enters tier-0 so the driver re-verifies the rewritten plan.
+    rewritten_after_pin: set[str] = {
+        # r14 correctness fixes on r13-checked queries (ADVICE medium)
+        "incremental_dedup_survivors",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_pruned",
+        "simhash_hamming_pairs_q",
+        # r14 optimization rewrites (OPTIMIZATION_r14.md §1-§12)
+        "minhash_lsh_candidates",
+        "corpus_dedup_pipeline",
+        "token_overlap_pairs",
+        "ngram_containment_pairs",
+        "substring_dup_pairs",
+        "quality_duplication_lift",
+        "cluster_aware_split_leakage",
+        "neardup_clusters",
+        "cluster_dedup_stats",
+        "cluster_best_survivors",
+        "semantic_dedup_stats",
+        "entity_resolution_parts",
+        "ann_ivf_trained_topk",
+        "kmeans_embedding_clusters",
+    }
     checked = set(json.load(open(os.path.join(ROOT, pin))))
     stale_greens = [
         n
