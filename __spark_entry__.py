@@ -98,11 +98,16 @@ _CHANGED_THIS_ROUND = (
     # lineage pins (OPTIMIZATION_r14.md §8-§9), the token-set collapse
     # (§10), the IVF cells-from-assignment projection (§11), and the
     # connected-components round-1 fold (§12) ---
+    # (token_overlap/ngram_jaccard*/substring* additionally carry the
+    # §13 NULL-block collapse guard — a wrong-answer-on-hostile-input
+    # fix found by the NULL-metadata battery this round, pinned in
+    # tests/test_nullblock_guard.py)
     "minhash_lsh_candidates",
     "corpus_dedup_pipeline",
     "token_overlap_pairs",
     "ngram_containment_pairs",
     "substring_dup_pairs",
+    "substring_max_span",
     "quality_duplication_lift",
     "cluster_aware_split_leakage",
     "neardup_clusters",

@@ -308,9 +308,16 @@ def jaccard_pairs_inverted(
     # rows up front so both paths stay output-identical (size(NULL) = -1,
     # so > 0 excludes exactly the NULL sets; whitespace-only docs keep
     # their [''] singleton and legitimately pair at jac=1.0).
+    # NULL block (failed language-ID upstream) can never equi-join in the
+    # base plan or the oracle (NULL = NULL is not true), yet groupBy in
+    # the collapse would key NULL blocks together and emit phantom
+    # within-group jac=1.0 pairs for NULL-block docs with identical sets
+    # (r14 NULL-metadata battery find, same class as the r13 NULL-
+    # signature fix). Drop them up front — output-identical on both the
+    # collapse-on and collapse-off paths.
     sh = src.select(
         "blk", "id", word_shingles(F.col("__txt"), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).filter((F.size("sh") > 0) & F.col("blk").isNotNull())
 
     groups = None
     if collapse_identical:

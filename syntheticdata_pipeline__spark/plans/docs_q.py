@@ -402,11 +402,20 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
 
     d = T(spark, sf_dir, "documents")
-    sh8 = d.select(
-        F.col("lang").alias("blk"),
-        F.col("doc_id").alias("id"),
-        word_shingles(F.col("text"), _SS_N).alias("sh"),
-    ).repartition("id")
+    # NULL lang never equi-joins in the base plan/oracle, and a NULL
+    # text (NULL shingle set) has no postings — but the collapse would
+    # key both into within-groups and emit phantom pairs (r14 NULL-
+    # metadata battery class; proven divergent on a crafted fixture).
+    # Drop both up front — output-identical to the uncollapsed join.
+    sh8 = (
+        d.select(
+            F.col("lang").alias("blk"),
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), _SS_N).alias("sh"),
+        )
+        .filter((F.size("sh") > 0) & F.col("blk").isNotNull())
+        .repartition("id")
+    )
     # r14 (guide §5): groups feeds the postings explode + three expand
     # branches — pin so the scan+8-gram-shingle+collapse runs once.
     groups = collapse_identical_sets(
@@ -488,13 +497,17 @@ def substring_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import collapse_identical_sets, expand_collapsed_pairs
 
     d = T(spark, sf_dir, "documents")
+    # blk.isNotNull: NULL lang never equi-joins in the base plan/oracle,
+    # but the ordered collapse would key NULL-lang identical sequences
+    # into one within-group and emit phantom max-span pairs (r14 NULL-
+    # metadata battery class).
     seqs = (
         d.select(
             F.col("lang").alias("blk"),
             F.col("doc_id").alias("id"),
             tokens(F.col("text")).alias("toks"),
         )
-        .filter(F.size("toks") >= _SS_N)
+        .filter((F.size("toks") >= _SS_N) & F.col("blk").isNotNull())
         .repartition("id")
     )
     groups = collapse_identical_sets(
@@ -1217,7 +1230,11 @@ def token_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(tokens(F.col("text"))), lambda t: F.length(t) > 3
             ).alias("bt"),
         )
-        .filter(F.size("bt") > 0)
+        # source.isNotNull: a NULL source never equi-joins in the base
+        # plan/oracle, but the collapse would key NULL sources together
+        # and emit phantom within-group pairs for identical token sets
+        # (caught red by tests/test_nullmeta_adversarial.py, +12 rows).
+        .filter((F.size("bt") > 0) & F.col("source").isNotNull())
         .repartition("doc_id")
     )
     groups = collapse_identical_sets(

@@ -122,6 +122,7 @@ def test_tier0_entries_were_not_driver_checked_since_rewrite():
         "token_overlap_pairs",
         "ngram_containment_pairs",
         "substring_dup_pairs",
+        "substring_max_span",
         "quality_duplication_lift",
         "cluster_aware_split_leakage",
         "neardup_clusters",
