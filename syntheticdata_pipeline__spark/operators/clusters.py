@@ -46,8 +46,10 @@ def connected_components(
     # (small) label table moves per round.
     sym = sym.repartition("nbr").persist()
     try:
-        if max_iters == 0:
-            # unrefined identity labels (the documented zero-round form)
+        if max_iters <= 0:
+            # unrefined identity labels (the documented zero-round form;
+            # <= keeps the pre-r14 empty-range-loop behavior for negative
+            # out-of-contract values too — r14 ADVICE)
             return (
                 sym.select("node")
                 .distinct()
@@ -120,7 +122,10 @@ def kmeans_fixed_iters(
     assigns every vector to the nearest (strict-fold sqdist, ties to the
     lowest centroid id), and recomputes per-dimension means with
     trunc-scaled BIGINT sums (exact, order-independent). Returns the
-    final assignment of ``vecs`` (id, cluster_id, dist).
+    final assignment of ``vecs`` as (id, vec, cluster_id, dist) — the
+    vector column rides along since r14 so IVF callers can build their
+    inverted file straight from the assignment (callers that don't need
+    it project it away).
 
     ``train_vecs`` decouples codebook training from assignment — the
     100 TB form: Lloyd converges on a seeded sample (init + every

@@ -78,6 +78,10 @@ def minhash_signature_sql(shingles_sql: str, num_hashes: int = 12, salt: str = "
 # prefix-collision-free. Kept as a visible escape in a named constant
 # (a raw byte in a string literal renders as concat_ws("") in diffs).
 _SET_SEP = "\x01"
+# Second separator for the double-join fingerprint (see
+# collapse_identical_sets): two joins of the same elements under two
+# DIFFERENT separators cannot both collide for distinct arrays.
+_SET_SEP2 = "\x02"
 
 
 def collapse_identical_sets(
@@ -91,19 +95,36 @@ def collapse_identical_sets(
     ``group_cols``) to one representative row: (group_cols…, id=min id,
     set_col, members=[all ids]).
 
-    The group key is md5 over the sorted elements — a fixed-width
-    fingerprint, so the shuffle never carries raw arrays as keys. The
-    \\x01 separator cannot occur inside whitespace-split tokens, making
-    the encoding prefix-collision-free. With ``ordered=True`` elements are
-    fingerprinted in array order (SEQUENCE identity, for positional
-    operators) instead of sorted (set identity). This is the
-    exact-duplicate collapse every set-similarity stage should run first:
-    downstream quadratic work then scales with DISTINCT sets, and
-    duplicate-heavy corpora (the 100 TB norm) re-expand only at output
-    time.
+    The group key is the pair md5(\\x01-join) ‖ md5(\\x02-join) of the
+    sorted elements — fixed width, so the shuffle never carries raw
+    arrays as keys. A SINGLE separator join is ambiguous when an element
+    itself contains the separator (r14 ADVICE reproducer:
+    {'abcd\\x01efgh'} and {'abcd','efgh'} encoded identically, collapsed
+    into one group, and emitted a phantom pair the base equi-join can
+    never produce; shingles contain whatever bytes the document had, so
+    "tokens are whitespace-split" was not a safe precondition). Joining
+    the SAME elements twice under two different separators is injective:
+    if two distinct arrays matched both joins, some position would be a
+    boundary in one array but element content in the other, and that one
+    content byte would have to equal \\x01 (to match join 1) and \\x02
+    (to match join 2) simultaneously. Two codegen'd concat+md5 passes —
+    measured cheaper than any per-element (higher-order-function)
+    encoding, which at sf0.1 cost +15–30% on the collapse queries. With
+    ``ordered=True`` elements are fingerprinted in array order (SEQUENCE
+    identity, for positional operators) instead of sorted (set
+    identity). This is the exact-duplicate collapse every set-similarity
+    stage should run first: downstream quadratic work then scales with
+    DISTINCT sets, and duplicate-heavy corpora (the 100 TB norm)
+    re-expand only at output time.
     """
     enc = F.col(set_col) if ordered else F.sort_array(set_col)
-    keyed = sets_df.withColumn("__skey", F.md5(F.concat_ws(_SET_SEP, enc)))
+    keyed = sets_df.withColumn(
+        "__skey",
+        F.concat(
+            F.md5(F.concat_ws(_SET_SEP, enc)),
+            F.md5(F.concat_ws(_SET_SEP2, enc)),
+        ),
+    )
     return keyed.groupBy(*group_cols, "__skey").agg(
         F.min(id_col).alias(id_col),
         F.min_by(set_col, id_col).alias(set_col),
@@ -210,7 +231,13 @@ def minhash_mins_agg(
     Exactness: min over md5 hex strings is order-independent and uses
     the same binary string ordering as array_min; NULL/empty sets
     explode_outer to a single NULL element, md5(NULL)=NULL, and
-    min(all-NULL)=NULL — exactly array_min(transform(NULL|[]))."""
+    min(all-NULL)=NULL — exactly array_min(transform(NULL|[])).
+
+    Precondition (r14 ADVICE): ``id_col`` values must be unique and
+    non-NULL — the groupBy collapses duplicate ids (and all NULL ids)
+    into ONE signature over the union of their sets, whereas the HOF
+    form kept one output row per input row. Every in-repo caller feeds
+    unique non-null doc ids."""
     ex = shingled.select(id_col, F.explode_outer(set_col).alias("__s"))
     return ex.groupBy(id_col).agg(
         *[
@@ -681,7 +708,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>) MinHash signatures — the compact per-doc
     state an incremental dedup persists (num_hashes md5 strings per doc,
-    ~400 B; never the text or shingle set)."""
+    ~400 B; never the text or shingle set).
+
+    ``id_col`` must be unique and non-NULL (minhash_mins_agg
+    precondition: duplicate/NULL ids collapse into one signature)."""
     shingled = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
         .repartition("id")

@@ -1,4 +1,6 @@
-"""Capture ``explain("formatted")`` for catalog queries into plans/r14/.
+"""Capture ``explain("formatted")`` for catalog queries into plans/r<N>/.
+
+Round directory comes from $SPARK_GRAFT_PLANS_ROUND (default r15).
 
 Planning only — no job is executed, so a capture run does not perturb a
 concurrent bench. Usage::
@@ -21,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
 )
 
 
