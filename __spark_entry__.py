@@ -43,82 +43,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver round has re-checked them post-rewrite. Add entries here ONLY
 # for queries rewritten this round.
 #
-# Round 13 — the queued-fix payoff round (r12 verdict "Next round" #1):
-# the r12 freeze's 12 queued fixes landed, and every catalog query whose
-# kernel or oracle they touched re-enters below. Head = the two
-# wrong-answer-on-hostile-input fixes (Q16 oracle NOT IN → NOT EXISTS;
-# sketch kernels drop NULL keys — kmv/cm/hll on both engines, oracle
-# twins in lockstep), then the grid-key floor conversion
-# (quality_duplication_lift — the latent 0.72125 sibling the r13 tie
-# sweep found), then the perf rewrites whose clean outputs are proven
-# identical (incremental collapse; gopher token hoist), and last the two
-# r11 leftovers the r12 window could not reach (both independently
-# re-verified by the r12 judge at sf0.01 — the designed lowest-risk
-# tail). kmv_set_overlap does NOT re-enter: its build never calls the
-# rewritten kernel (it inlines its own r9 NULL-filtered sketch) and its
-# oracle is unchanged. curation_pipeline_end_to_end does NOT re-enter:
-# it calls gopher_flags via the unchanged default path, so its plan is
-# byte-identical. Tier-0 size / window / overflow are COMPUTED by
-# tools/staleness.py (pinned in tests/test_staleness_report.py) — do
-# not hand-write those numbers here; the tail rule stands in prose: the
-# list ends with the lowest-risk entries so any overflow falls on them.
+# Round 15 (optimization round 2/2) — every r14 entry was re-checked
+# green by the r14 driver window (CORRECTNESS_r14: 50/50, all 19 listed)
+# and rotates out. This round's entries are the reach of two
+# value-identical operator changes, re-entered so the driver re-verifies
+# the rewritten plans first:
+# (a) collapse_identical_sets' group fingerprint became the injective
+#     double-join md5(\x01-join)||md5(\x02-join) (r14 ADVICE high: a
+#     single-separator join let an element containing \x01 forge the
+#     encoding and emit phantom pairs; pinned in
+#     tests/test_collapse_equivalence.py). Clean-data grouping is
+#     unchanged; 190/190 local oracle re-verified.
+# (b) minhash_pairs_from_sets dropped its dead .repartition("band","bh")
+#     (the r14 plan dump proved the intended exchange reuse never fires
+#     — one side broadcasts; EnsureRequirements re-inserts join-key
+#     exchanges wherever SMJ/SHJ is picked at scale).
+# Order: the six minhash-family paths (both changes) first, then the
+# collapse-only consumers, lowest-risk (sweep/param mirrors) last so any
+# window overflow falls on them.
 _CHANGED_THIS_ROUND = (
-    # --- r14 wrong-answer fixes (r13 ADVICE medium + same-class audit),
-    # landed in-round with pinned tests (tests/test_incremental_dedup.py
-    # ::test_null_text_survives_and_associative + the three new rows in
-    # tests/test_nulltext_guard.py):
-    # (a) incremental_minhash_dedup's identical-signature collapse keyed
-    #     all-NULL signatures (NULL text) under md5('') and dropped the
-    #     non-minimum ids within a batch, while cross-batch NULL band
-    #     hashes never matched -- survivor sets depended on batch
-    #     boundaries, breaking the documented associativity guarantee.
-    #     All-NULL signatures are now exempt from the collapse on both
-    #     the batch and prior-state sides (operators/neardup.py);
-    # (b) jaccard_pairs_inverted's collapse path fingerprinted NULL
-    #     shingle sets into the empty-encoding group and emitted phantom
-    #     within-group jac=1.0 pairs the collapse-off plan (and the
-    #     oracle's NULL jaccard) never produce -- NULL sets are now
-    #     dropped before the collapse, restoring collapse-on ==
-    #     collapse-off ---
-    "incremental_dedup_survivors",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pruned",
-    # --- plan-identical refactor, re-entered out of caution: the
-    # simhash operator's stages 1-3 split out as
-    # simhash_hamming_rep_pairs so the 100x deep point can time the
-    # 2^16-bounded band stage without the (contractually quadratic-in-
-    # replicas) member-pair expansion; the catalog query composes the
-    # same DataFrames as before (collapse-equivalence + oracle
-    # re-verified at the split) ---
-    "simhash_hamming_pairs_q",
-    # --- r14 optimization rewrites (value-identical by construction,
-    # kernel equivalence pinned in tests, 190/190 local oracle + touched
-    # set re-checked at sf0.1; re-entered so the driver re-verifies the
-    # rewritten plans): the explode+aggregate min-hash kernel + fan-out
-    # lineage pins (OPTIMIZATION_r14.md §8-§9), the token-set collapse
-    # (§10), the IVF cells-from-assignment projection (§11), and the
-    # connected-components round-1 fold (§12) ---
-    # (token_overlap/ngram_jaccard*/substring* additionally carry the
-    # §13 NULL-block collapse guard — a wrong-answer-on-hostile-input
-    # fix found by the NULL-metadata battery this round, pinned in
-    # tests/test_nullblock_guard.py)
     "minhash_lsh_candidates",
     "corpus_dedup_pipeline",
-    "token_overlap_pairs",
-    "ngram_containment_pairs",
-    "substring_dup_pairs",
-    "substring_max_span",
-    "quality_duplication_lift",
-    "cluster_aware_split_leakage",
+    "incremental_dedup_survivors",
     "neardup_clusters",
     "cluster_dedup_stats",
     "cluster_best_survivors",
-    "semantic_dedup_stats",
-    "entity_resolution_parts",
-    "ann_ivf_trained_topk",
-    "kmeans_embedding_clusters",
+    "quality_duplication_lift",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pruned",
+    "cluster_aware_split_leakage",
+    "token_overlap_pairs",
+    "substring_dup_pairs",
+    "substring_max_span",
+    "jaccard_prefix_filter_join",
+    "simhash_hamming_pairs_q",
+    "lsh_band_sweep",
+    "lsh_param_chooser",
 )
-
 
 
 def _catalog_order(names: list[str]) -> list[str]:

@@ -213,6 +213,34 @@ def _build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     return stress
 
 
+def _fresh_process_best(name: str, sf_dir: str, repeats: int = 2) -> float | None:
+    """Best-of-``repeats`` in a truly fresh PROCESS (cold JVM via
+    tools/time_queries.py). r15 measurement-bug fix (documented in
+    OPTIMIZATION_r15.md): the recheck used to reuse the same JVM
+    (spark.stop() + getOrCreate), so a degraded JVM/machine could
+    CONFIRM false >2x breaches on untouched sub-second queries. Returns
+    None on any failure so the caller falls back to the in-process
+    session recheck (the conservative pre-r15 behavior)."""
+    import subprocess
+
+    env = dict(
+        os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_REPEATS=str(repeats)
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "time_queries.py"), name],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if out.returncode != 0:
+            return None
+        return float(json.loads(out.stdout.strip().splitlines()[-1])[name])
+    except Exception:
+        return None
+
+
 def _confirm_regressions(
     spark,
     registry,
@@ -223,14 +251,39 @@ def _confirm_regressions(
     recheck: dict[str, dict],
     sf_dir: str | None = None,
 ) -> list[str]:
-    """Fresh-session confirmation of would-be 2x gate breaches: only a
-    breach that REPRODUCES in the given (fresh) session counts. The
-    fresh best-of-2 replaces the in-context timing/ratio and both values
-    are recorded in ``recheck`` for provenance; returns the confirmed
-    subset. Tested in tests/test_bench_reclaim.py."""
+    """Fresh confirmation of would-be 2x gate breaches: only a breach
+    that REPRODUCES outside the warm session counts. Since r15 the
+    recheck runs in a fresh PROCESS (cold JVM) when a live session is
+    passed (``spark is not None``); on any subprocess failure it falls
+    back to the in-(re)started-session loop, which is also the path the
+    methodology tests drive directly. The fresh best-of-2 replaces the
+    in-context timing/ratio and both values are recorded in ``recheck``
+    for provenance; returns the confirmed subset. Tested in
+    tests/test_bench_reclaim.py."""
     sf_dir = sf_dir or SF_DIR
     confirmed = []
     for name in candidates:
+        if spark is not None:
+            fresh = _fresh_process_best(name, sf_dir)
+            if fresh is not None:
+                ratio = fresh / baseline[name]
+                recheck[name] = {
+                    "in_context_sec": timings[name],
+                    "fresh_sec": round(fresh, 3),
+                    "vs_baseline": round(ratio, 2),
+                    "fresh_process": True,
+                }
+                timings[name] = round(fresh, 3)
+                vs_baseline[name] = round(ratio, 2)
+                if ratio > 2.0:
+                    confirmed.append(name)
+                print(
+                    f"# recheck {name}: fresh-process {fresh:.3f}s vs anchor ratio"
+                    f" {ratio:.3f}"
+                    f" ({'CONFIRMED regression' if ratio > 2.0 else 'in-context noise'})",
+                    file=sys.stderr,
+                )
+                continue
         # A recheck crash (transient Spark failure, OOM) must not sink the
         # bench line (r10 ADVICE): keep the in-context breach as confirmed
         # — the conservative reading — and record the error for triage.

@@ -259,15 +259,27 @@ def minhash_pairs_from_sets(
     # Stage 2: min-hashes via the explode+aggregate kernel (r14, guide
     # §4.1) — value-identical to the 12 interpreted HOF columns.
     mins = minhash_mins_agg(shingled, num_hashes)
-    # Stage 3: band rows via stack; pre-partition on the join keys so the
-    # self-join reuses ONE exchange for both sides and needs no reshuffle.
+    # Stage 3: band rows via stack. r15: the old explicit
+    # .repartition("band", "bh") ("pre-partition so the self-join reuses
+    # ONE exchange for both sides") was FALSIFIED by the committed r14
+    # plan dump: the planner broadcasts one join side, so the sides are a
+    # shuffle Exchange and a BroadcastExchange — ReuseExchange can never
+    # unify them, and the repartition was pure overhead on BOTH sides
+    # (an extra Exchange under the BroadcastExchange, and a
+    # REPARTITION_BY_COL the broadcast probe side doesn't need). Dropped;
+    # EnsureRequirements inserts the join-key exchanges itself whenever
+    # the planner picks SMJ/SHJ at scale. (A localCheckpoint pin on the
+    # banded rows was also A/B'd to stop the signature chain computing
+    # once per join side — solo best-of-3 LOST, 3.3 s vs 3.0 s on
+    # minhash_lsh_candidates and 5.1 s vs 3.4 s on corpus_dedup_pipeline:
+    # the materialization costs more than the duplicated ~2k-distinct-doc
+    # signature aggregate saves at sf0.1 — same verdict class as the r14
+    # lsh_band_sweep kernel revert.)
     stack_args = ", ".join(
         f"{b}, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
         for b in range(bands)
     )
-    banded = mins.selectExpr("id", f"stack({bands}, {stack_args}) AS (band, bh)").repartition(
-        "band", "bh"
-    )
+    banded = mins.selectExpr("id", f"stack({bands}, {stack_args}) AS (band, bh)")
     left = banded.alias("l")
     right = banded.alias("r")
     return (

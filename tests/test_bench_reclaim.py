@@ -173,3 +173,46 @@ def test_gate_compares_unrounded_ratio(monkeypatch):
 
     assert confirmed == ["edge_q"]
     assert recheck["edge_q"]["vs_baseline"] == 2.0  # display value rounds
+
+
+def test_recheck_prefers_fresh_process_and_falls_back(monkeypatch):
+    """r15: with a live session the recheck times the offender in a
+    truly fresh PROCESS (cold JVM); if the subprocess fails it falls
+    back to the in-process loop (pre-r15 behavior)."""
+    import bench
+
+    registry = {"proc_q": _FakeSpec(), "fallback_q": _FakeSpec()}
+    baseline = {"proc_q": 1.0, "fallback_q": 1.0}
+    timings = {"proc_q": 3.0, "fallback_q": 3.0}
+    vs_baseline = {"proc_q": 3.0, "fallback_q": 3.0}
+    recheck: dict = {}
+
+    def fake_fresh(name, sf_dir, repeats=2):
+        return 2.4 if name == "proc_q" else None  # fallback_q: subprocess fails
+
+    monkeypatch.setattr(bench, "_fresh_process_best", fake_fresh)
+    # fallback_q's in-process best-of-2 comes back at 0.5s
+    monkeypatch.setattr(bench, "time", _FakeClock([0.0, 0.5, 10.0, 10.7]))
+
+    confirmed = bench._confirm_regressions(
+        spark=object(),  # non-None: the fresh-process path is eligible
+        registry=registry,
+        candidates=["proc_q", "fallback_q"],
+        baseline=baseline,
+        timings=timings,
+        vs_baseline=vs_baseline,
+        recheck=recheck,
+        sf_dir="/nonexistent",
+    )
+
+    assert confirmed == ["proc_q"]
+    assert recheck["proc_q"] == {
+        "in_context_sec": 3.0,
+        "fresh_sec": 2.4,
+        "vs_baseline": 2.4,
+        "fresh_process": True,
+    }
+    assert timings["proc_q"] == 2.4
+    # the fallback path ran in-process and cleared the breach
+    assert recheck["fallback_q"]["fresh_sec"] == 0.5
+    assert "fresh_process" not in recheck["fallback_q"]

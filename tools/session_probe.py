@@ -63,12 +63,10 @@ def reclaim(spark) -> int:
     """Unpersist every persistent RDD (non-blocking). Between bench
     queries all of them are dead weight — each query run rebuilds its
     DataFrame from the parquet inputs."""
-    it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-    n = 0
-    while it.hasNext():
-        it.next().unpersist(False)
-        n += 1
-    return n
+    rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for r in rdds:
+        r.unpersist(False)
+    return len(rdds)
 
 
 def main() -> None:
