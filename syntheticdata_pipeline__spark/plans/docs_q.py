@@ -233,7 +233,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's NULL jaccard drops; whitespace docs keep their ['']
         # singleton (both engines pair those at jac=1.0).
         .filter(F.size("sh") > 0)
-        .repartition("id")
+        # r15: a second .repartition("id") sat here (since b400fce) —
+        # select/filter preserve the first repartition's hash(id)
+        # distribution, so it only re-shuffled the fattest intermediate
+        # (the shingle arrays) to the layout they already had, inside the
+        # checkpoint materialization of every minhash-family query.
     )
     # r14 (guide §5): groups feeds the banding, BOTH verification-join
     # sides and three expand branches — the before-plan re-ran the
