@@ -60,7 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     exchanges wherever SMJ/SHJ is picked at scale).
 # Order: the six minhash-family paths (both changes) first, then the
 # collapse-only consumers, lowest-risk (sweep/param mirrors) last so any
-# window overflow falls on them.
+# window overflow falls on them. Tier-0 size / window / overflow are
+# COMPUTED by tools/staleness.py (pinned in
+# tests/test_staleness_report.py) — do not hand-write those numbers
+# here.
 _CHANGED_THIS_ROUND = (
     "minhash_lsh_candidates",
     "corpus_dedup_pipeline",

@@ -38,6 +38,9 @@ _SRC = "/root/testdata/sf0.001"
 
 from tests.test_embeddings_adversarial import _members, _run_one  # noqa: E402
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 
 def _make_degenerate_fixture(tmp: str) -> str:
     import duckdb

@@ -43,6 +43,9 @@ _SRC = "/root/testdata/sf0.001"
 
 from tests.sweep_membership import sweep_members
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 
 def _members():
     """Every registered query that reads embeddings — build-source grep

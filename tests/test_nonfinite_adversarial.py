@@ -48,6 +48,9 @@ _NF = (
 
 from tests.sweep_membership import sweep_members as _members  # noqa: E402
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 
 def _build(tmp_path_factory, label, copies, tables):
     import duckdb

@@ -12,6 +12,9 @@ from syntheticdata_pipeline__spark.plans import load_all
 
 from .conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 REGISTRY = load_all()
 
 

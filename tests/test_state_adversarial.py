@@ -40,6 +40,9 @@ from syntheticdata_pipeline__spark.operators.state import (
     incremental_transition_counts,
 )
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 
 def _rows(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())

@@ -30,6 +30,9 @@ import uuid
 import pyspark.sql.functions as F
 import pytest
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
 BASE_US = 1_704_103_200_000_000  # 2024-01-01T10:00:00Z in µs
 EV_SCHEMA = (

@@ -65,6 +65,9 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 _SRC = "/root/testdata/sf0.001"
 
 # Explicit escapes — the hostile codepoints are invisible or

@@ -45,6 +45,9 @@ _SRC = "/root/testdata/sf0.001"
 # reads the events table (see test_member_list_is_current).
 from tests.test_events_adversarial import EVENTS_QUERIES
 
+pytestmark = pytest.mark.slow  # deep battery: default run skips;
+# SPARK_GRAFT_FULL_TESTS=1 (run_gates.sh full) runs it (r15 suite split)
+
 
 def _make_hostile_ts_fixture(tmp: str) -> str:
     import duckdb
